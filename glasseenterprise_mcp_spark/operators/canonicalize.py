@@ -1,0 +1,134 @@
+"""Stage C — canonicalization: iterative hash-join connected components +
+identity resolution.
+
+Two kernels, both analogues of reference behaviors:
+
+* ``connected_components`` — the north rule's "iterative hash-join connected
+  components over the mention graph". The reference's transitive identity
+  grouping (src/scanner/developerAnalyzer.ts:214-270 groups via shared
+  normalized keys; cycle queries src/commands/queryCommand.ts:36-61 walk
+  bounded paths) generalizes to min-label propagation: each vertex adopts the
+  smallest id reachable through the edge set. Implementation is the standard
+  Spark pattern: alternate join + min-aggregate rounds until fixpoint, with
+  ``localCheckpoint`` every few rounds to truncate lineage (SURVEY.md §4.2).
+  At 100TB scale each round is one shuffle keyed on vertex id; skew from hot
+  vertices is handled by AQE skew-join splitting (hot entity = high-degree
+  vertex, but the groupBy is on the *destination* vertex with map-side
+  partial min, so hot keys partial-aggregate before the shuffle).
+
+* ``resolve_identities`` — A4/W1 analogue (developerAnalyzer.ts:214-270 +
+  mode-email selection 257-261): group mention surfaces by normalized key,
+  pick the most frequent surface as display name (ties → lexicographically
+  smallest — deterministic), collect alias sets, count mentions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Return (id, component) where component = min vertex id in the
+    connected component (undirected closure of ``edges``).
+
+    Converges in O(diameter) rounds for min-label propagation; each round is
+    ``labels ⋈ edges`` + min-aggregate. The convergence probe is a count
+    action per round (cheap: count of changed labels only).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    vertices = und.select(F.col("a").alias("id")).distinct()
+    labels = vertices.withColumn("comp", F.col("id"))
+
+    for i in range(max_iter):
+        # candidate label for a = min(comp of neighbors b)
+        neighbor_min = (
+            und.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("comp").alias("ncomp"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+                (F.col("ncomp") < F.col("comp")).alias("changed"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("changed")).limit(1).count()
+        labels = new_labels.select("id", "comp")
+        if changed == 0:
+            break
+    return labels
+
+
+def connected_components_cte(edges_cte: str) -> str:
+    """DuckDB oracle: recursive-CTE transitive closure (small graphs only —
+    the oracle runs at sf0.01; the engine path above is the scale path)."""
+    return f"""cc AS (
+  WITH RECURSIVE und(a, b) AS (
+    SELECT subj, obj FROM {edges_cte}
+    UNION SELECT obj, subj FROM {edges_cte}
+  ), reach(a, b) AS (
+    SELECT a, a FROM und
+    UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+  )
+  SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a
+)"""
+
+
+def resolve_identities(mentions: DataFrame, mtype: str = "entity") -> DataFrame:
+    """A4 analogue: canonical display identity per normalized key.
+
+    Output: (norm, display, n_mentions, n_surfaces, aliases) where display is
+    the modal surface (count desc, then lexicographic asc — deterministic).
+    """
+    surf_counts = (
+        mentions.filter(F.col("mtype") == mtype)
+        .groupBy("norm", "surface")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("norm").orderBy(F.desc("cnt"), F.asc("surface"))
+    ranked = surf_counts.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("norm")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("surface"))).alias("display"),
+            F.sum("cnt").cast("long").alias("n_mentions"),
+            F.count(F.lit(1)).cast("long").alias("n_surfaces"),
+            F.array_sort(F.collect_set("surface")).alias("aliases"),
+        )
+    )
+
+
+def resolve_identities_cte(mtype: str = "entity") -> str:
+    return f"""identities AS (
+  WITH sc AS (
+    SELECT norm, surface, COUNT(*) AS cnt FROM mentions
+    WHERE mtype = '{mtype}' GROUP BY norm, surface
+  ), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY norm ORDER BY cnt DESC, surface ASC) AS rn
+    FROM sc
+  )
+  SELECT norm,
+         MAX(CASE WHEN rn = 1 THEN surface END) AS display,
+         CAST(SUM(cnt) AS BIGINT) AS n_mentions,
+         CAST(COUNT(*) AS BIGINT) AS n_surfaces,
+         list_sort(list(DISTINCT surface)) AS aliases
+  FROM ranked GROUP BY norm
+)"""

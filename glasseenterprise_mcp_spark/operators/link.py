@@ -1,0 +1,265 @@
+"""Stage B — entity linking: mentions → (subj, pred, obj) triples.
+
+Analogue of the reference's relationship builder
+(src/scanner/relationshipBuilder.ts:35-440): a set of blocking-key equi
+joins, one window-shaped previous-turn linker, and the tiered
+similarity-scored cross-corpus linking join (relationshipBuilder.ts:547-590).
+
+All stages are pure DataFrame ops (JVM-side, codegen'd); every operator has a
+DuckDB-oracle CTE builder mirrored below. Predicates:
+
+  mentions-in  mention-node → turn        (J1 analogue: CONTAINS/DECLARES)
+  calls-tool   turn → tool-node           (J5 analogue: USES_API)
+  replies-to   turn → turn                (W4: lag default + explicit re:#N)
+  refers-to    url-node → resource-node   (J20 analogue: CONSUMES_API_FROM,
+                                           tiered + confidence-scored N15)
+
+Confidence is an integer 0-100 (avoids float-formatting divergence between
+engines; reference's additive 0-1 scorecard is relationshipBuilder.ts:670-714).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions.ids import node_id_col, node_id_sql
+from ..functions.normalize import norm_name_col, norm_name_sql
+
+# mtype → node kind + id key column ('norm' except url which ids on path)
+MENTION_NODE_KIND: dict[str, tuple[str, str]] = {
+    "entity": ("entity", "norm"),
+    "tool": ("tool", "norm"),
+    "config": ("config", "norm"),
+    "error": ("error", "norm"),
+    "url": ("url", "path"),
+    "endpoint": ("resource", "norm"),
+}
+
+
+def turn_id_col(conv, turn) -> F.Column:
+    return node_id_col("turn", F.concat_ws("|", conv, turn.cast("string")))
+
+
+def turn_id_sql(conv_expr: str, turn_expr: str) -> str:
+    return node_id_sql("turn", f"concat_ws('|', {conv_expr}, CAST({turn_expr} AS VARCHAR))")
+
+
+def _kind_case_col() -> F.Column:
+    c = None
+    for mtype, (kind, _key) in MENTION_NODE_KIND.items():
+        c = F.when(F.col("mtype") == mtype, F.lit(kind)) if c is None else c.when(
+            F.col("mtype") == mtype, F.lit(kind)
+        )
+    return c
+
+
+def mentions_in_edges(mentions: DataFrame) -> DataFrame:
+    """J1 analogue: one triple per distinct (mention-node, turn).
+
+    subj = typed mention node id, obj = turn node id. reply mentions are
+    excluded (they drive replies-to instead). No join needed — mentions
+    already carry (conv_id, turn_idx); dedup is the only shuffle, keyed on
+    the triple itself (uniform) so no skew.
+    """
+    m = mentions.filter(F.col("mtype") != "reply")
+    key = F.when(F.col("mtype") == "url", F.col("path")).otherwise(F.col("norm"))
+    return (
+        m.select(
+            F.md5(F.concat_ws("|", _kind_case_col(), key)).alias("subj"),
+            F.lit("mentions-in").alias("pred"),
+            turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("obj"),
+            _kind_case_col().alias("subj_kind"),
+        )
+        .dropDuplicates(["subj", "obj"])
+        .select("subj", "pred", "obj", "subj_kind")
+    )
+
+
+def mentions_in_cte() -> str:
+    kind_case = " ".join(
+        f"WHEN '{mt}' THEN '{kind}'" for mt, (kind, _k) in MENTION_NODE_KIND.items()
+    )
+    key = "CASE WHEN mtype = 'url' THEN path ELSE norm END"
+    return f"""mentions_in AS (
+  SELECT DISTINCT
+    md5(concat_ws('|', CASE mtype {kind_case} END, {key})) AS subj,
+    'mentions-in' AS pred,
+    {turn_id_sql('conv_id', 'turn_idx')} AS obj,
+    CASE mtype {kind_case} END AS subj_kind
+  FROM mentions WHERE mtype <> 'reply'
+)"""
+
+
+def replies_to_edges(transcripts: DataFrame, mentions: DataFrame) -> DataFrame:
+    """W4: every turn>0 replies to the previous turn by default (lag over the
+    stable (conv_id, turn_idx) ordering); an explicit ``re:#N`` mention with
+    N < turn_idx overrides (smallest N wins, deterministically).
+
+    The window partitions by conv_id — the mega-conversation skew case is
+    bounded because lag is O(1) per row and AQE coalesces output partitions.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    base = transcripts.select(
+        "conv_id", "turn_idx", F.lag("turn_idx").over(w).alias("prev_idx")
+    ).filter(F.col("prev_idx").isNotNull())
+
+    explicit = (
+        mentions.filter(F.col("mtype") == "reply")
+        .select("conv_id", "turn_idx", F.col("norm").cast("int").alias("target"))
+        .filter(F.col("target") < F.col("turn_idx"))
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.min("target").alias("explicit_target"))
+    )
+
+    joined = base.join(explicit, ["conv_id", "turn_idx"], "left")
+    target = F.coalesce(F.col("explicit_target"), F.col("prev_idx"))
+    mode = F.when(F.col("explicit_target").isNotNull(), F.lit("explicit")).otherwise(
+        F.lit("implicit")
+    )
+    return joined.select(
+        turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("subj"),
+        F.lit("replies-to").alias("pred"),
+        turn_id_col(F.col("conv_id"), target).alias("obj"),
+        mode.alias("mode"),
+    )
+
+
+def replies_to_cte() -> str:
+    return f"""replies_to AS (
+  WITH base AS (
+    SELECT conv_id, turn_idx,
+           lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_idx
+    FROM transcripts
+  ), explicit AS (
+    SELECT conv_id, turn_idx, MIN(CAST(norm AS INT)) AS explicit_target
+    FROM mentions WHERE mtype = 'reply' AND CAST(norm AS INT) < turn_idx
+    GROUP BY conv_id, turn_idx
+  )
+  SELECT {turn_id_sql('b.conv_id', 'b.turn_idx')} AS subj,
+         'replies-to' AS pred,
+         {turn_id_sql('b.conv_id', 'COALESCE(e.explicit_target, b.prev_idx)')} AS obj,
+         CASE WHEN e.explicit_target IS NOT NULL THEN 'explicit' ELSE 'implicit' END AS mode
+  FROM base b LEFT JOIN explicit e USING (conv_id, turn_idx)
+  WHERE b.prev_idx IS NOT NULL
+)"""
+
+
+def calls_tool_edges(transcripts: DataFrame, mentions: DataFrame) -> DataFrame:
+    """J5 analogue: turn → tool node, from two detector sources unioned —
+    the ``call:name(`` text mention and the structured ``tool`` column
+    (role='tool' rows). Dedup keeps the lexicographically smallest ``via``
+    (deterministic first-wins, analogue of reference dedupe keep-first,
+    relationshipBuilder.ts:943-953)."""
+    from_mentions = mentions.filter(F.col("mtype") == "tool").select(
+        turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("subj"),
+        node_id_col("tool", F.col("norm")).alias("obj"),
+        F.lit("call-marker").alias("via"),
+    )
+    from_column = transcripts.filter(F.col("tool").isNotNull()).select(
+        turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("subj"),
+        node_id_col("tool", norm_name_col(F.col("tool"))).alias("obj"),
+        F.lit("tool-column").alias("via"),
+    )
+    return (
+        from_mentions.unionByName(from_column)
+        .groupBy("subj", "obj")
+        .agg(F.min("via").alias("via"))
+        .select("subj", F.lit("calls-tool").alias("pred"), "obj", "via")
+    )
+
+
+def calls_tool_cte() -> str:
+    return f"""calls_tool AS (
+  SELECT subj, 'calls-tool' AS pred, obj, MIN(via) AS via FROM (
+    SELECT {turn_id_sql('conv_id', 'turn_idx')} AS subj,
+           {node_id_sql('tool', 'norm')} AS obj, 'call-marker' AS via
+    FROM mentions WHERE mtype = 'tool'
+    UNION ALL
+    SELECT {turn_id_sql('conv_id', 'turn_idx')} AS subj,
+           {node_id_sql('tool', norm_name_sql('tool'))} AS obj, 'tool-column' AS via
+    FROM transcripts WHERE tool IS NOT NULL
+  ) GROUP BY subj, obj
+)"""
+
+
+def refers_to_edges(mentions: DataFrame) -> DataFrame:
+    """J20 analogue — the tiered, similarity-scored cross-corpus linking join.
+
+    consumed side: distinct url mentions (id on pre-api-strip ``path``);
+    provided side: distinct endpoint resources (id on fully-normalized key).
+
+    Tier 1 (fast path): equi join on the fully-normalized resource key —
+      exact-match confidence 50 + path-length bonus (N15 scorecard analog,
+      integer 0-100).
+    Tier 2 (residual): left-anti remainder of consumed, broadcast theta join
+      on consumed.path CONTAINS provided.norm — confidence 30.
+    Never a cross join; the provided side is a small dim (distinct resource
+    registry), always broadcast-able even at 100TB fact scale.
+    """
+    consumed = (
+        mentions.filter(F.col("mtype") == "url").select("path", "norm").distinct()
+    )
+    provided = (
+        mentions.filter(F.col("mtype") == "endpoint")
+        .select(F.col("norm").alias("p_norm"))
+        .distinct()
+    )
+
+    conf1 = (F.lit(50) + F.least(F.length("norm"), F.lit(20))).cast("int")
+    tier1 = consumed.join(
+        F.broadcast(provided), consumed["norm"] == provided["p_norm"], "inner"
+    ).select(
+        node_id_col("url", F.col("path")).alias("subj"),
+        node_id_col("resource", F.col("p_norm")).alias("obj"),
+        conf1.alias("confidence"),
+        F.lit(1).alias("tier"),
+    )
+
+    residual = consumed.join(
+        provided, consumed["norm"] == provided["p_norm"], "left_anti"
+    )
+    tier2 = residual.join(
+        F.broadcast(provided),
+        (F.length("p_norm") > 1) & F.col("path").contains(F.col("p_norm")),
+        "inner",
+    ).select(
+        node_id_col("url", F.col("path")).alias("subj"),
+        node_id_col("resource", F.col("p_norm")).alias("obj"),
+        F.lit(30).cast("int").alias("confidence"),
+        F.lit(2).alias("tier"),
+    )
+
+    return (
+        tier1.unionByName(tier2)
+        .groupBy("subj", "obj")
+        .agg(F.max("confidence").alias("confidence"), F.min("tier").alias("tier"))
+        .select("subj", F.lit("refers-to").alias("pred"), "obj", "confidence", "tier")
+    )
+
+
+def refers_to_cte() -> str:
+    return f"""refers_to AS (
+  WITH consumed AS (
+    SELECT DISTINCT path, norm FROM mentions WHERE mtype = 'url'
+  ), provided AS (
+    SELECT DISTINCT norm AS p_norm FROM mentions WHERE mtype = 'endpoint'
+  ), tier1 AS (
+    SELECT {node_id_sql('url', 'c.path')} AS subj,
+           {node_id_sql('resource', 'p.p_norm')} AS obj,
+           CAST(50 + LEAST(len(c.norm), 20) AS INT) AS confidence, 1 AS tier
+    FROM consumed c JOIN provided p ON c.norm = p.p_norm
+  ), residual AS (
+    SELECT c.* FROM consumed c ANTI JOIN provided p ON c.norm = p.p_norm
+  ), tier2 AS (
+    SELECT {node_id_sql('url', 'c.path')} AS subj,
+           {node_id_sql('resource', 'p.p_norm')} AS obj,
+           CAST(30 AS INT) AS confidence, 2 AS tier
+    FROM residual c JOIN provided p
+      ON len(p.p_norm) > 1 AND contains(c.path, p.p_norm)
+  )
+  SELECT subj, 'refers-to' AS pred, obj,
+         MAX(confidence) AS confidence, MIN(tier) AS tier
+  FROM (SELECT * FROM tier1 UNION ALL SELECT * FROM tier2)
+  GROUP BY subj, obj
+)"""

@@ -1,0 +1,254 @@
+"""Stage D — graph materialization: canonical nodes + deduped triple edges,
+snapshot-stamped, written to partitioned tables with upsert semantics.
+
+Analogues: node upsert grouped by type (src/neo4j/saveNodes.ts:32-201),
+versioned edge upsert keyed (relKey, snapshotVersion)
+(src/neo4j/saveRelationships.ts:16-57), pre-write dedup
+(relationshipBuilder.ts:943-953), dedup-merge of node attributes
+(saveNodes.ts:86-104), snapshot stamp minted once per run on the driver
+(src/index.ts:176 — N12 determinism across task retries).
+
+Write layout (SURVEY.md §4.5): edges partitioned by ``pred``, nodes by
+``type`` — partition pruning makes per-predicate queries (the dominant
+access pattern of the query layer) scan only their slice at 100TB.
+The sink is an interface: Iceberg ``MERGE INTO`` when a catalog is
+configured, else a parquet MoR-style fallback (read existing ∪ new →
+dedup by key → dynamic-partition overwrite) — same idempotent-replay
+contract either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.ids import node_id_col, node_id_sql
+from .link import MENTION_NODE_KIND, turn_id_col, turn_id_sql
+
+
+def snapshot_stamp(spark: SparkSession) -> str:
+    """One ISO stamp per run, minted on the driver (N12): deterministic
+    across task retries because it is a plan-time literal, not a per-row
+    ``current_timestamp()``."""
+    return (
+        spark.sql("SELECT date_format(current_timestamp(), \"yyyy-MM-dd'T'HH:mm:ss.SSSX\") v")
+        .collect()[0][0]
+    )
+
+
+def build_nodes(
+    transcripts: DataFrame, mentions: DataFrame, snapshot_version: str
+) -> DataFrame:
+    """Canonical node table: turn + conversation nodes from transcripts,
+    typed mention nodes (entity/tool/config/error/url/resource) from
+    mentions. Display name per node = modal surface (count desc, surface asc
+    — A4/W1); first sighting = min (conv_id, turn_idx) lexicographic."""
+    turns = transcripts.select(
+        turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("id"),
+        F.lit("turn").alias("type"),
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("name"),
+        F.lit(None).cast("string").alias("norm"),
+        F.col("conv_id").alias("first_conv"),
+        F.col("turn_idx").alias("first_turn"),
+    )
+    convs = (
+        transcripts.groupBy("conv_id")
+        .agg(F.min("turn_idx").alias("first_turn"))
+        .select(
+            node_id_col("conv", F.col("conv_id")).alias("id"),
+            F.lit("conversation").alias("type"),
+            F.col("conv_id").alias("name"),
+            F.col("conv_id").alias("norm"),
+            F.col("conv_id").alias("first_conv"),
+            F.col("first_turn"),
+        )
+    )
+
+    m = mentions.filter(F.col("mtype") != "reply")
+    kind = None
+    for mt, (k, _key) in MENTION_NODE_KIND.items():
+        kind = F.when(F.col("mtype") == mt, F.lit(k)) if kind is None else kind.when(
+            F.col("mtype") == mt, F.lit(k)
+        )
+    key = F.when(F.col("mtype") == "url", F.col("path")).otherwise(F.col("norm"))
+    typed = m.select(
+        kind.alias("type"),
+        key.alias("key"),
+        F.col("norm"),
+        F.col("surface"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+    )
+    # first-sighting arg-min encoded as 'conv|zero-padded-turn' so plain MIN
+    # is the lexicographic (conv_id, turn_idx) minimum — identical in DuckDB.
+    first_key = F.concat_ws(
+        "|", F.col("conv_id"), F.lpad(F.col("turn_idx").cast("string"), 9, "0")
+    )
+    counts = typed.groupBy("type", "key", "norm", "surface").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(first_key).alias("first_k"),
+    )
+    w = Window.partitionBy("type", "key").orderBy(F.desc("cnt"), F.asc("surface"))
+    mention_nodes = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .groupBy("type", "key")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("surface"))).alias("name"),
+            F.min("norm").alias("norm"),
+            F.min("first_k").alias("first_k"),
+        )
+        .select(
+            F.md5(F.concat_ws("|", "type", "key")).alias("id"),
+            "type",
+            "name",
+            "norm",
+            F.split(F.col("first_k"), r"\|").getItem(0).alias("first_conv"),
+            F.split(F.col("first_k"), r"\|").getItem(1).cast("int").alias("first_turn"),
+        )
+    )
+
+    return (
+        turns.unionByName(convs)
+        .unionByName(mention_nodes)
+        .withColumn("snapshot_version", F.lit(snapshot_version))
+    )
+
+
+def nodes_cte() -> str:
+    kind_case = " ".join(
+        f"WHEN '{mt}' THEN '{k}'" for mt, (k, _key) in MENTION_NODE_KIND.items()
+    )
+    return f"""nodes AS (
+  SELECT {turn_id_sql('conv_id', 'turn_idx')} AS id, 'turn' AS type,
+         conv_id || '#' || CAST(turn_idx AS VARCHAR) AS name,
+         CAST(NULL AS VARCHAR) AS norm, conv_id AS first_conv, turn_idx AS first_turn
+  FROM transcripts
+  UNION ALL
+  SELECT {node_id_sql('conv', 'conv_id')}, 'conversation', conv_id, conv_id,
+         conv_id, MIN(turn_idx)
+  FROM transcripts GROUP BY conv_id
+  UNION ALL
+  SELECT md5(concat_ws('|', type, key)) AS id, type,
+         MAX(CASE WHEN rn = 1 THEN surface END) AS name,
+         MIN(norm) AS norm,
+         split_part(MIN(first_k), '|', 1) AS first_conv,
+         CAST(split_part(MIN(first_k), '|', 2) AS INT) AS first_turn
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY type, key ORDER BY cnt DESC, surface ASC) AS rn
+    FROM (
+      SELECT CASE mtype {kind_case} END AS type,
+             CASE WHEN mtype = 'url' THEN path ELSE norm END AS key,
+             norm, surface, COUNT(*) AS cnt,
+             MIN(concat_ws('|', conv_id, lpad(CAST(turn_idx AS VARCHAR), 9, '0'))) AS first_k
+      FROM mentions WHERE mtype <> 'reply'
+      GROUP BY 1, 2, 3, 4
+    )
+  ) u
+  GROUP BY type, key
+)"""
+
+
+def build_edges(edge_families: list[DataFrame], snapshot_version: str) -> DataFrame:
+    """Union the per-predicate edge families into the canonical edge table.
+
+    Each family arrives as (subj, pred, obj, *extra-cols); extras fold into
+    the ``props`` string map. Dedup on (subj, pred, obj) keeps the
+    lexicographically-smallest serialized props (deterministic keep-first,
+    A1 analogue)."""
+    canon = []
+    for df in edge_families:
+        extra = [c for c in df.columns if c not in ("subj", "pred", "obj")]
+        props = (
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in extra]),
+                F.array(*[F.col(c).cast("string") for c in extra]),
+            )
+            if extra
+            else F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>"))
+        )
+        canon.append(df.select("subj", "pred", "obj", props.alias("props")))
+    union = canon[0]
+    for df in canon[1:]:
+        union = union.unionByName(df)
+    return (
+        union.withColumn("_pk", F.to_json(F.col("props")))
+        .groupBy("subj", "pred", "obj")
+        .agg(F.min("_pk").alias("_pk"))
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.from_json(F.col("_pk"), "map<string,string>").alias("props"),
+            F.lit(snapshot_version).alias("snapshot_version"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sink interface: Iceberg MERGE when available, parquet MoR fallback.
+# --------------------------------------------------------------------------
+class GraphSink:
+    """Upsert sink for nodes/edges with the reference's idempotent-replay
+    contract (stable ids ⇒ MERGE replay is a no-op)."""
+
+    def __init__(self, spark: SparkSession, base_dir: str, use_iceberg: bool | None = None):
+        self.spark = spark
+        self.base_dir = base_dir
+        if use_iceberg is None:
+            use_iceberg = "spark.sql.catalog.kg" in {
+                k for k, _ in spark.sparkContext.getConf().getAll()
+            }
+        self.use_iceberg = use_iceberg
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.base_dir, table)
+
+    def upsert(self, df: DataFrame, table: str, keys: list[str], partition_by: list[str]):
+        if self.use_iceberg:
+            self._merge_iceberg(df, table, keys)
+            return
+        path = self._path(table)
+        existing_files = os.path.exists(path) and any(
+            f.endswith(".parquet") or f.startswith(partition_by[0] + "=")
+            for f in os.listdir(path)
+        )
+        if existing_files:
+            existing = self.spark.read.parquet(path)
+            # new rows win on key collision (last-writer-wins by snapshot,
+            # matching MERGE ... WHEN MATCHED THEN UPDATE semantics)
+            merged = df.unionByName(existing.join(df.select(keys).distinct(), keys, "left_anti"))
+        else:
+            merged = df
+        # Write via temp dir then swap, since we read from the same path.
+        tmp = path + "__tmp"
+        merged.repartition(*partition_by).write.mode("overwrite").partitionBy(
+            *partition_by
+        ).parquet(tmp)
+        final_tmp = path + "__old"
+        if os.path.exists(path):
+            os.rename(path, final_tmp)
+        os.rename(tmp, path)
+        if os.path.exists(final_tmp):
+            import shutil
+
+            shutil.rmtree(final_tmp)
+
+    def _merge_iceberg(self, df: DataFrame, table: str, keys: list[str]):
+        df.createOrReplaceTempView("_updates")
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        self.spark.sql(
+            f"MERGE INTO kg.{table} t USING _updates s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(table))
+
+
+def write_graph(
+    sink: GraphSink, nodes: DataFrame, edges: DataFrame
+) -> None:
+    sink.upsert(nodes, "nodes", keys=["id"], partition_by=["type"])
+    sink.upsert(edges, "edges", keys=["subj", "pred", "obj"], partition_by=["pred"])

