@@ -33,7 +33,6 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Return (id, component) where component = min vertex id in the
     connected component (undirected closure of ``edges``).
@@ -46,12 +45,25 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)  # cut upstream lineage: each round must
+        # not recompute the whole extract+link pipeline (≡ materializing the
+        # frontier, SURVEY.md §4.2)
     )
-    vertices = und.select(F.col("a").alias("id")).distinct()
-    labels = vertices.withColumn("comp", F.col("id"))
+    # Size the loop's partitioning to the GRAPH, not the corpus: the deduped
+    # linking graph is typically orders of magnitude smaller than the input,
+    # and an iterative loop on corpus-sized partition counts pays
+    # rounds x tasks of pure scheduling overhead. ~500k edges/partition.
+    n_edges = und.count()
+    parts = max(1, min(n_edges // 500_000 + 1, und.rdd.getNumPartitions()))
+    if parts < und.rdd.getNumPartitions():
+        und = und.repartition(parts, "b").localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
 
-    for i in range(max_iter):
-        # candidate label for a = min(comp of neighbors b)
+    for _ in range(max_iter):
+        # candidate label for a = min(comp of neighbors b); map-side partial
+        # min tames hot-vertex skew before the shuffle.
         neighbor_min = (
             und.join(labels.withColumnRenamed("id", "b"), "b")
             .groupBy("a")
@@ -67,9 +79,9 @@ def connected_components(
                 ),
                 (F.col("ncomp") < F.col("comp")).alias("changed"),
             )
+            .localCheckpoint(eager=True)  # labels are small (one row/vertex);
+            # eager checkpoint keeps the loop's plan O(1) per round
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("changed")).limit(1).count()
         labels = new_labels.select("id", "comp")
         if changed == 0:

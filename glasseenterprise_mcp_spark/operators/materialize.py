@@ -150,13 +150,22 @@ def nodes_cte() -> str:
 )"""
 
 
-def build_edges(edge_families: list[DataFrame], snapshot_version: str) -> DataFrame:
+def build_edges(
+    edge_families: list[DataFrame], snapshot_version: str, dedupe: bool = False
+) -> DataFrame:
     """Union the per-predicate edge families into the canonical edge table.
 
     Each family arrives as (subj, pred, obj, *extra-cols); extras fold into
-    the ``props`` string map. Dedup on (subj, pred, obj) keeps the
-    lexicographically-smallest serialized props (deterministic keep-first,
-    A1 analogue)."""
+    the ``props`` string map.
+
+    ``dedupe=False`` by default: every linking operator already guarantees
+    uniqueness of (subj, pred, obj) within its family (dropDuplicates /
+    groupBy / one-row-per-turn), and families cannot collide across preds —
+    so the global dedup (A1, relationshipBuilder.ts:943-953) would be a
+    3rd full shuffle of the triple set for nothing. Pass ``dedupe=True``
+    when composing edge families without that guarantee; the dedup keeps
+    the lexicographically-smallest serialized props (deterministic
+    keep-first)."""
     canon = []
     for df in edge_families:
         extra = [c for c in df.columns if c not in ("subj", "pred", "obj")]
@@ -172,18 +181,17 @@ def build_edges(edge_families: list[DataFrame], snapshot_version: str) -> DataFr
     union = canon[0]
     for df in canon[1:]:
         union = union.unionByName(df)
-    return (
-        union.withColumn("_pk", F.to_json(F.col("props")))
-        .groupBy("subj", "pred", "obj")
-        .agg(F.min("_pk").alias("_pk"))
-        .select(
-            "subj",
-            "pred",
-            "obj",
-            F.from_json(F.col("_pk"), "map<string,string>").alias("props"),
-            F.lit(snapshot_version).alias("snapshot_version"),
+    if dedupe:
+        union = (
+            union.withColumn("_pk", F.to_json(F.col("props")))
+            .groupBy("subj", "pred", "obj")
+            .agg(F.min("_pk").alias("_pk"))
+            .select(
+                "subj", "pred", "obj",
+                F.from_json(F.col("_pk"), "map<string,string>").alias("props"),
+            )
         )
-    )
+    return union.withColumn("snapshot_version", F.lit(snapshot_version))
 
 
 # --------------------------------------------------------------------------

@@ -70,6 +70,10 @@ def run_pipeline(
 ) -> PipelineResult:
     snap = snapshot_version or snapshot_stamp(spark)
 
+    # transcripts feeds four consumers (extract, replies, calls, nodes) —
+    # cache so a synthesized/amplified source isn't recomputed per consumer.
+    transcripts = transcripts.cache()
+
     # Stage A — narrow; cache because four linking joins consume it.
     mentions = extract_mentions(transcripts).cache()
 
@@ -79,17 +83,20 @@ def run_pipeline(
     e_calls = calls_tool_edges(transcripts, mentions)
     e_refers = refers_to_edges(mentions)
 
+    # Stage D edges built before stage C so the (cached) triple table is the
+    # single materialization everything downstream (CC, metrics, sink) reads
+    # — no edge family is ever computed twice.
+    nodes = build_nodes(transcripts, mentions, snap)
+    edges = build_edges([e_mentions_in, e_replies, e_calls, e_refers], snap).cache()
+
     # Stage C — canonicalization over the cross-corpus linking graph.
     if with_components:
+        refers = edges.filter(F.col("pred") == "refers-to")
         components = connected_components(
-            e_refers.select("subj", "obj"), src="subj", dst="obj"
+            refers.select("subj", "obj"), src="subj", dst="obj"
         )
     else:
         components = spark.createDataFrame([], "id string, comp string")
-
-    # Stage D
-    nodes = build_nodes(transcripts, mentions, snap)
-    edges = build_edges([e_mentions_in, e_replies, e_calls, e_refers], snap)
 
     metrics = [
         partition_metrics(mentions, "A_extract", snap),

@@ -20,14 +20,18 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Turn text can be large; bound Arrow batch memory for the extract UDF.
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    # Arrow batch size for the extract UDF: large enough to amortize per-batch
+    # Python/Arrow overhead, small enough to bound batch memory for fat turns.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Broadcast threshold: small dims (tool/config/resource registries) are
     # broadcast; 32MB is conservative for 100TB-scale fact sides.
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # In local mode the driver heap IS the executor heap: size it for the
+    # concurrent-task count or GC thrash serializes the Python stages
+    # (measured: 8g heap made local[32] extraction 5x slower than 32g).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }
 
 

@@ -92,6 +92,27 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def amplify(transcripts: DataFrame, factor: int) -> DataFrame:
+    """Deterministically replicate the corpus ``factor``× for benchmarking
+    (FIXTURES.md F1: bench ≥10⁶ turns, parameterized). Each replica is a new
+    conversation family (``conv_id || '_r<i>'``) so linking/canonicalization
+    work scales with data size, matching how a real corpus grows (more
+    conversations, not longer ones)."""
+    if factor <= 1:
+        return transcripts
+    spark = transcripts.sparkSession
+    reps = spark.range(factor).select(F.col("id").alias("_rep"))
+    # Repartition the NARROW side before the multiply, broadcast the replica
+    # index: the wide replicated rows are produced in place and never
+    # shuffled (a post-hoc repartition of the result would shuffle
+    # factor x the bytes).
+    base = transcripts.repartition(spark.sparkContext.defaultParallelism * 2)
+    out = base.crossJoin(F.broadcast(reps)).withColumn(
+        "conv_id", F.concat_ws("_r", F.col("conv_id"), F.col("_rep").cast("string"))
+    )
+    return out.drop("_rep")
+
+
 def transcripts_cte(n_docs: int | None = None) -> str:
     """DuckDB-dialect CTE body equivalent to :func:`derive_transcripts`.
 
