@@ -20,6 +20,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from glasseenterprise_mcp_spark import oracle as O
+from glasseenterprise_mcp_spark.operators import dedup as D
+from glasseenterprise_mcp_spark.operators import graph as G
+from glasseenterprise_mcp_spark.operators import similarity as S
+from glasseenterprise_mcp_spark.operators import textstats as T
 from glasseenterprise_mcp_spark.operators.canonicalize import (
     connected_components,
     resolve_identities,
@@ -31,11 +35,21 @@ from glasseenterprise_mcp_spark.operators.link import (
     refers_to_edges,
     replies_to_edges,
 )
-from glasseenterprise_mcp_spark.operators.materialize import build_nodes
+from glasseenterprise_mcp_spark.operators.materialize import build_edges, build_nodes
 from glasseenterprise_mcp_spark.pipeline import run_pipeline
 from glasseenterprise_mcp_spark.sources.transcripts import derive_transcripts
 
 SNAP = "test-snapshot"
+
+ANN_QUERY_WHERE = "vec_id % 50 = 0"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,6 +131,81 @@ def q_count_by_label(spark, sf_dir):
     )
 
 
+# --- graph layer ----------------------------------------------------------
+def q_impact(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    m = extract_mentions(t)
+    edges = build_edges(
+        [
+            mentions_in_edges(m).drop("subj_kind"),
+            replies_to_edges(t, m),
+            calls_tool_edges(t, m),
+            refers_to_edges(m),
+        ],
+        SNAP,
+    )
+    nodes = build_nodes(t, m, SNAP)
+    seeds = nodes.filter(
+        (F.col("type") == "entity") & (F.col("norm") == "hot_entity")
+    ).select("id")
+    return G.impact(edges, nodes, seeds, depth=2)
+
+
+def q_tool_transitions(spark, sf_dir):
+    return G.tool_transitions(_t(spark, sf_dir))
+
+
+def q_tool_cycles(spark, sf_dir):
+    return G.find_cycles(
+        G.tool_transitions(_t(spark, sf_dir)), "from_tool", "to_tool", max_len=8
+    )
+
+
+def q_blast_radius(spark, sf_dir):
+    return G.blast_radius(_m(spark, sf_dir))
+
+
+# --- training-data ops -----------------------------------------------------
+def q_exact_dedup(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_lsh_candidates(spark, sf_dir):
+    return D.lsh_candidate_pairs(
+        D.lsh_bands(D.minhash_signatures(D.shingles(_docs(spark, sf_dir))))
+    )
+
+
+def q_near_dup_jaccard(spark, sf_dir):
+    sh = D.shingles(_docs(spark, sf_dir))
+    pairs = D.lsh_candidate_pairs(D.lsh_bands(D.minhash_signatures(sh)))
+    return D.jaccard_verify(pairs, sh)
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(D.shingles(_docs(spark, sf_dir)))
+
+
+def q_fingerprints(spark, sf_dir):
+    return T.fingerprints(D.shingles(_docs(spark, sf_dir)))
+
+
+def q_lang_scores(spark, sf_dir):
+    return T.lang_scores(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark, sf_dir):
+    return T.token_stats(_docs(spark, sf_dir))
+
+
+def q_ann_brute(spark, sf_dir):
+    return S.brute_force_topk(_emb(spark, sf_dir), F.expr(ANN_QUERY_WHERE))
+
+
+def q_ann_lsh(spark, sf_dir):
+    return S.lsh_topk(_emb(spark, sf_dir), F.expr(ANN_QUERY_WHERE))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_transcripts_scan": q_transcripts,
@@ -130,6 +219,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_identity_resolution": q_identity_resolution,
         "d_nodes_materialize": q_nodes,
         "a8_count_by_label": q_count_by_label,
+        "g1_impact": q_impact,
+        "w4_tool_transitions": q_tool_transitions,
+        "g2_tool_cycles": q_tool_cycles,
+        "g5_blast_radius": q_blast_radius,
+        "dd1_exact_dedup": q_exact_dedup,
+        "dd2_lsh_candidates": q_lsh_candidates,
+        "dd3_near_dup_jaccard": q_near_dup_jaccard,
+        "dd4_simhash": q_simhash,
+        "tx1_lang_scores": q_lang_scores,
+        "tx2_token_stats": q_token_stats,
+        "tx3_fingerprints": q_fingerprints,
+        "sim1_ann_bruteforce": q_ann_brute,
+        "sim2_ann_lsh": q_ann_lsh,
     }
 
 
@@ -173,4 +275,57 @@ def oracle_sql() -> dict[str, str]:
             "SELECT type, CAST(COUNT(*) AS BIGINT) AS n FROM nodes GROUP BY type",
             O.nodes_cte(),
         ),
+        "g1_impact": O.oracle(
+            "SELECT n.type, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(b.dist) AS INT) AS min_dist "
+            "FROM bfs b JOIN nodes n USING (id) GROUP BY n.type",
+            O.mentions_in_cte(),
+            O.replies_to_cte(),
+            O.calls_tool_cte(),
+            O.refers_to_cte(),
+            """all_edges AS (
+  SELECT subj, obj FROM mentions_in
+  UNION ALL SELECT subj, obj FROM replies_to
+  UNION ALL SELECT subj, obj FROM calls_tool
+  UNION ALL SELECT subj, obj FROM refers_to
+)""",
+            O.nodes_cte(),
+            G.bfs_cte(2, "type = 'entity' AND norm = 'hot_entity'"),
+        ),
+        "w4_tool_transitions": O.oracle(
+            "SELECT from_tool, to_tool, weight FROM tool_transitions",
+            G.tool_transitions_cte(),
+        ),
+        "g2_tool_cycles": O.oracle(
+            "SELECT start, cycle_len FROM cycles",
+            G.tool_transitions_cte(),
+            G.find_cycles_cte("tool_transitions", "from_tool", "to_tool", 8),
+        ),
+        "g5_blast_radius": O.oracle(
+            "SELECT res_norm, n_convs, n_turns FROM blast", G.blast_radius_cte()
+        ),
+        "dd1_exact_dedup": D.exact_dedup_sql(),
+        "dd2_lsh_candidates": "WITH "
+        + ",\n".join([D.shingles_cte(), D.minhash_cte(), D.lsh_bands_cte(), D.lsh_candidates_cte()])
+        + "\nSELECT a, b FROM candidates",
+        "dd3_near_dup_jaccard": "WITH "
+        + ",\n".join(
+            [
+                D.shingles_cte(),
+                D.minhash_cte(),
+                D.lsh_bands_cte(),
+                D.lsh_candidates_cte(),
+                D.jaccard_verify_cte(),
+            ]
+        )
+        + "\nSELECT a, b, inter, union_n, jaccard_pct FROM jaccard",
+        "dd4_simhash": "WITH "
+        + ",\n".join([D.shingles_cte(), D.simhash_cte()])
+        + "\nSELECT doc_id, simhash FROM simhash",
+        "tx1_lang_scores": T.lang_scores_sql(),
+        "tx2_token_stats": T.token_stats_sql(),
+        "tx3_fingerprints": "WITH "
+        + ",\n".join([D.shingles_cte(), T.fingerprints_cte()])
+        + "\nSELECT doc_id, fingerprint FROM fingerprints",
+        "sim1_ann_bruteforce": S.brute_force_topk_sql(ANN_QUERY_WHERE),
+        "sim2_ann_lsh": S.lsh_topk_sql(ANN_QUERY_WHERE),
     }

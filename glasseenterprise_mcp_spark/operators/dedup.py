@@ -1,0 +1,248 @@
+"""Deduplication operators for large-scale training-data pipelines, over the
+``documents`` table: exact (hash groupBy), MinHash+LSH banding, n-gram
+Jaccard verification, SimHash.
+
+Scale notes (100TB design point):
+* exact dedup is one shuffle keyed on the content hash — uniform by
+  construction (md5), no skew.
+* MinHash/LSH: signatures are computed in a single narrow pass (shingle
+  explode + per-seed min is a partial aggregate before the shuffle); the
+  candidate join shuffles only (band_hash → doc) pairs, and band hashes
+  are uniform. The verify join touches only candidate pairs — never the
+  full cross product.
+* all hashing is md5-hex with *lexicographic* min as the minwise function,
+  chosen deliberately: identical semantics in Spark, Python and DuckDB
+  (the oracle), no 64-bit integer-conversion divergence.
+
+Every operator's DuckDB-oracle twin sits next to it.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# MinHash parameters: K seeds, B bands of R rows (K = B*R).
+MINHASH_K = 8
+LSH_BANDS = 4
+LSH_ROWS = 2
+SHINGLE_K = 3
+
+_TOKENIZE = r"\s+"
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups: (text_hash, n_docs, canonical_doc_id).
+    Canonical = min doc_id (deterministic keep-first)."""
+    return (
+        documents.select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_doc_id"),
+        )
+    )
+
+
+def exact_dedup_sql() -> str:
+    return """
+SELECT md5(text) AS text_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id
+FROM documents GROUP BY md5(text)"""
+
+
+def shingles(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Word k-gram shingles: (doc_id, sh). Narrow (explode, no shuffle)."""
+    toks = F.split(F.col("text"), _TOKENIZE)
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(k))
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(toks) - {k - 1}, 0)),"
+        f" i -> concat_ws(' ', {parts}))"
+    )
+    return (
+        documents.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(sh).alias("sh"))
+        .distinct()
+    )
+
+
+def shingles_cte(k: int = SHINGLE_K) -> str:
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+    return f"""shingles AS (
+  SELECT DISTINCT doc_id, {parts} AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+       unnest(range(1, greatest(len(toks) - {k - 1}, 0) + 1)) AS t(i)
+)"""
+
+
+def minhash_signatures(sh: DataFrame, n_seeds: int = MINHASH_K) -> DataFrame:
+    """(doc_id, seed, mh): per-seed minwise hash = lexicographic min of
+    md5('<seed>|<shingle>'). One narrow pass + one partial-agg shuffle."""
+    seeds = F.explode(F.expr(f"sequence(0, {n_seeds - 1})")).alias("seed")
+    return (
+        sh.select("doc_id", "sh", seeds)
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("sh"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def minhash_cte(n_seeds: int = MINHASH_K) -> str:
+    return f"""minhash AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+  FROM shingles, unnest(range(0, {n_seeds})) AS s(seed)
+  GROUP BY doc_id, seed
+)"""
+
+
+def lsh_bands(sigs: DataFrame, rows_per_band: int = LSH_ROWS) -> DataFrame:
+    """(doc_id, band, band_hash): md5 over the band's seed-ordered minhashes."""
+    banded = sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    return (
+        banded.groupBy("doc_id", "band")
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("sm"))
+        .select(
+            "doc_id",
+            "band",
+            F.md5(
+                F.concat_ws("|", F.expr("transform(sm, x -> x.mh)"))
+            ).alias("band_hash"),
+        )
+    )
+
+
+def lsh_bands_cte(rows_per_band: int = LSH_ROWS) -> str:
+    return f"""bands AS (
+  SELECT doc_id, band, md5(string_agg(mh, '|' ORDER BY seed)) AS band_hash
+  FROM (SELECT doc_id, seed, mh, CAST(seed // {rows_per_band} AS INT) AS band FROM minhash)
+  GROUP BY doc_id, band
+)"""
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Docs sharing any band hash → candidate pairs (a < b), distinct.
+    Self-join keyed on (band, band_hash) — uniform md5 keys, skew-free."""
+    l = bands.select("band", "band_hash", F.col("doc_id").alias("a"))
+    r = bands.select("band", "band_hash", F.col("doc_id").alias("b"))
+    return (
+        l.join(r, ["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").cast("long"), F.col("b").cast("long"))
+        .distinct()
+    )
+
+
+def lsh_candidates_cte() -> str:
+    return """candidates AS (
+  SELECT DISTINCT CAST(l.doc_id AS BIGINT) AS a, CAST(r.doc_id AS BIGINT) AS b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+)"""
+
+
+def jaccard_verify(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs:
+    (a, b, inter, union_n, jaccard_pct). Integer percentage (0-100) avoids
+    float-format divergence; the verify join touches candidates only."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("a"), "sh"), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .filter(F.col("sh") == F.col("sh_b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            F.col("inter").cast("long").alias("inter"),
+            (F.col("na") + F.col("nb") - F.col("inter")).cast("long").alias("union_n"),
+            (F.col("inter") * 100 / (F.col("na") + F.col("nb") - F.col("inter")))
+            .cast("int")
+            .alias("jaccard_pct"),
+        )
+    )
+
+
+def jaccard_verify_cte() -> str:
+    return """jaccard AS (
+  WITH sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+  inter AS (
+    SELECT c.a, c.b, COUNT(*) AS inter
+    FROM candidates c
+    JOIN shingles sa ON sa.doc_id = c.a
+    JOIN shingles sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+    GROUP BY c.a, c.b
+  )
+  SELECT c.a, c.b,
+         CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+         CAST(na.n + nb.n - COALESCE(i.inter, 0) AS BIGINT) AS union_n,
+         CAST(COALESCE(i.inter, 0) * 100 // (na.n + nb.n - COALESCE(i.inter, 0)) AS INT) AS jaccard_pct
+  FROM candidates c
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  JOIN sizes na ON na.doc_id = c.a
+  JOIN sizes nb ON nb.doc_id = c.b
+)"""
+
+
+def near_dup_pairs(documents: DataFrame, min_jaccard_pct: int = 50) -> DataFrame:
+    """Full MinHash→LSH→verify chain: near-duplicate pairs above threshold."""
+    sh = shingles(documents)
+    pairs = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh)))
+    return jaccard_verify(pairs, sh).filter(F.col("jaccard_pct") >= min_jaccard_pct)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit over md5 hex-digit parity — engine + oracle identical)
+# ---------------------------------------------------------------------------
+_HEX_ODD = "13579bdf"  # hex digits with low bit set
+
+
+def simhash(sh: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-char bit string. Bit i = majority over the
+    doc's shingles of parity(md5(sh)[i]). Pure column expressions."""
+    h = F.md5(F.col("sh"))
+    bits = [
+        F.when(
+            F.instr(F.lit(_HEX_ODD), F.substring(h, i + 1, 1)) > 0, 1
+        ).otherwise(0)
+        for i in range(32)
+    ]
+    per = sh.select(
+        "doc_id", *[b.alias(f"b{i}") for i, b in enumerate(bits)]
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(32)],
+    )
+    sim = F.concat(
+        *[
+            F.when(F.col(f"s{i}") * 2 >= F.col("n"), F.lit("1")).otherwise(F.lit("0"))
+            for i in range(32)
+        ]
+    )
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_cte() -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN instr('{_HEX_ODD}', substr(md5(sh), {i + 1}, 1)) > 0 THEN 1 ELSE 0 END) AS s{i}"
+        for i in range(32)
+    )
+    sim = " || ".join(
+        f"(CASE WHEN s{i} * 2 >= n THEN '1' ELSE '0' END)" for i in range(32)
+    )
+    return f"""simhash AS (
+  SELECT doc_id, {sim} AS simhash
+  FROM (SELECT doc_id, COUNT(*) AS n, {bit_sums} FROM shingles GROUP BY doc_id)
+)"""

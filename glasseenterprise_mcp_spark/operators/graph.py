@@ -1,0 +1,236 @@
+"""Graph / recursive operators over the materialized triple table
+(SURVEY.md §2.10): bounded traversals expressed as iterative hash joins.
+
+Analogues:
+  G1 impact traversal   src/commands/impactCommand.ts:49-92 (seed → edge
+                        expansion *1..depth → label-classified projections)
+  G2 cycle detection    src/commands/queryCommand.ts:36-52 (CALLS*1..8 back
+                        to start, bounded)
+  G5 blast radius       src/commands/queryCommand.ts:64-100
+  tool transitions      the window-lag derived graph the cycle query runs
+                        on (W4-shaped; replaces the reference's CALLS graph)
+
+Each iteration is one shuffle join against the (cached) edge table; the
+depth parameter is the loop bound — at 100TB the edges are partitioned by
+``pred`` so a traversal restricted to a predicate subset prunes partitions
+at scan time.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions.normalize import norm_name_sql
+from .link import turn_id_sql
+
+
+def bfs_expand(
+    edges: DataFrame,
+    seeds: DataFrame,
+    depth: int = 3,
+    directed: bool = False,
+) -> DataFrame:
+    """G1: bounded BFS from ``seeds`` (single column ``id``) over the edge
+    set; returns (id, dist) with the minimal hop distance ≤ depth.
+
+    Iterative frontier expansion: each round joins only the *frontier*
+    (newly discovered nodes) against the edges — the classic Spark BFS that
+    keeps per-round work proportional to the frontier, not the visited set.
+    """
+    e = edges.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col("obj").alias("a"), F.col("subj").alias("b"))
+        ).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    visited = seeds.select(F.col("id"), F.lit(0).alias("dist")).distinct()
+    frontier = visited
+    for d in range(1, depth + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["a"])
+            .select(F.col("b").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
+def bfs_cte(depth: int, seed_where: str, directed: bool = False) -> str:
+    """DuckDB oracle for bfs_expand over the ``edges`` CTE (subj/obj cols):
+    recursive closure with hop count, then min-dist per node."""
+    und = (
+        "SELECT subj AS a, obj AS b FROM all_edges UNION "
+        "SELECT obj AS a, subj AS b FROM all_edges"
+        if not directed
+        else "SELECT subj AS a, obj AS b FROM all_edges"
+    )
+    return f"""bfs AS (
+  WITH RECURSIVE und(a, b) AS ({und}),
+  seeds(id) AS (SELECT DISTINCT id FROM nodes WHERE {seed_where}),
+  walk(id, dist) AS (
+    SELECT id, 0 FROM seeds
+    UNION
+    SELECT u.b, w.dist + 1 FROM walk w JOIN und u ON w.id = u.a
+    WHERE w.dist < {depth}
+  )
+  SELECT id, MIN(dist) AS dist FROM walk GROUP BY id
+)"""
+
+
+def impact(
+    edges: DataFrame, nodes: DataFrame, seeds: DataFrame, depth: int = 3
+) -> DataFrame:
+    """G1 complete: BFS + label classification + per-type counts ordered,
+    the shape of the reference's impact report (top-50 per category is the
+    caller's ``limit``)."""
+    reached = bfs_expand(edges, seeds, depth)
+    return (
+        reached.join(nodes.select("id", "type"), "id")
+        .groupBy("type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("dist").cast("int").alias("min_dist"),
+        )
+        .orderBy("type")
+    )
+
+
+def tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """Derived directed graph for cycle analysis: within each conversation,
+    consecutive tool-bearing turns produce a (from_tool, to_tool) edge with
+    a weight = transition count. Window-lag shaped (W4)."""
+    t = transcripts.filter(F.col("tool").isNotNull())
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = t.select(
+        F.col("tool").alias("to_tool"),
+        F.lag("tool").over(w).alias("from_tool"),
+    ).filter(F.col("from_tool").isNotNull())
+    return (
+        pairs.groupBy("from_tool", "to_tool")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+
+
+def tool_transitions_cte() -> str:
+    return """tool_transitions AS (
+  SELECT from_tool, to_tool, CAST(COUNT(*) AS BIGINT) AS weight FROM (
+    SELECT tool AS to_tool,
+           lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS from_tool
+    FROM transcripts WHERE tool IS NOT NULL
+  ) WHERE from_tool IS NOT NULL
+  GROUP BY from_tool, to_tool
+)"""
+
+
+def find_cycles(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_len: int = 8
+) -> DataFrame:
+    """G2: bounded directed cycle detection via iterative path extension.
+
+    Returns (start, cycle_len) for each distinct minimal cycle: paths are
+    only extended from their lexicographically-smallest node (so each cycle
+    is reported once, by its canonical start) and carry their node set for
+    the revisit guard (``array_contains``), exactly the bounded
+    variable-length-path semantics of the reference's CALLS*1..8 query.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    # start paths only from nodes that can canonically lead a cycle
+    paths = e.select(
+        F.col("a").alias("start"),
+        F.col("b").alias("head"),
+        F.array(F.col("a")).alias("seen"),
+        F.lit(1).alias("length"),
+    )
+    cycles = (
+        paths.filter(F.col("start") == F.col("head"))
+        .select("start", F.col("length").alias("cycle_len"))
+    )
+    for _ in range(2, max_len + 1):
+        paths = (
+            paths.filter(F.col("start") != F.col("head"))
+            .filter(F.col("start") < F.col("head"))  # canonical-start pruning:
+            # every node on a cycle starts a path; keep only paths whose
+            # start is smaller than every subsequent head, so each cycle
+            # survives exactly once (led by its minimal node)
+            .join(e, F.col("head") == e["a"])
+            # revisit guard — but returning to the START is exactly a cycle
+            .filter(
+                (F.col("b") == F.col("start"))
+                | ~F.array_contains(F.col("seen"), F.col("b"))
+            )
+            .select(
+                "start",
+                F.col("b").alias("head"),
+                F.array_append("seen", F.col("head")).alias("seen"),
+                (F.col("length") + 1).alias("length"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        found = paths.filter(F.col("start") == F.col("head")).select(
+            "start", F.col("length").alias("cycle_len")
+        )
+        cycles = cycles.unionByName(found)
+        if paths.limit(1).count() == 0:
+            break
+    return cycles.groupBy("start").agg(F.min("cycle_len").cast("int").alias("cycle_len"))
+
+
+def find_cycles_cte(edges_cte: str, src: str, dst: str, max_len: int = 8) -> str:
+    return f"""cycles AS (
+  WITH RECURSIVE e(a, b) AS (SELECT DISTINCT {src}, {dst} FROM {edges_cte}),
+  walk(start, head, seen, length) AS (
+    SELECT a, b, [a], 1 FROM e
+    UNION ALL
+    SELECT w.start, e.b, list_append(w.seen, w.head), w.length + 1
+    FROM walk w JOIN e ON w.head = e.a
+    WHERE w.start <> w.head AND w.start < w.head
+      AND (e.b = w.start OR NOT list_contains(w.seen, e.b))
+      AND w.length < {max_len}
+  )
+  SELECT start, CAST(MIN(length) AS INT) AS cycle_len FROM walk
+  WHERE start = head GROUP BY start
+)"""
+
+
+def blast_radius(mentions: DataFrame, resource_norm_col: str = "norm") -> DataFrame:
+    """G5: for every provided resource, the set of conversations that
+    consume it through url mentions — (resource norm, n_convs, n_turns).
+    Join chain: endpoint resources ⋈ url mentions on the normalized key ⋈
+    turns. The provided side is a small dim (broadcast)."""
+    provided = (
+        mentions.filter(F.col("mtype") == "endpoint")
+        .select(F.col("norm").alias("res_norm"))
+        .distinct()
+    )
+    consumed = mentions.filter(F.col("mtype") == "url").select(
+        "conv_id", "turn_idx", "norm"
+    )
+    hits = consumed.join(
+        F.broadcast(provided), consumed["norm"] == provided["res_norm"]
+    )
+    return hits.groupBy("res_norm").agg(
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.countDistinct("conv_id", "turn_idx").cast("long").alias("n_turns"),
+    )
+
+
+def blast_radius_cte() -> str:
+    return """blast AS (
+  SELECT p.res_norm,
+         CAST(COUNT(DISTINCT c.conv_id) AS BIGINT) AS n_convs,
+         CAST(COUNT(DISTINCT (c.conv_id, c.turn_idx)) AS BIGINT) AS n_turns
+  FROM (SELECT DISTINCT norm AS res_norm FROM mentions WHERE mtype = 'endpoint') p
+  JOIN (SELECT conv_id, turn_idx, norm FROM mentions WHERE mtype = 'url') c
+    ON c.norm = p.res_norm
+  GROUP BY p.res_norm
+)"""

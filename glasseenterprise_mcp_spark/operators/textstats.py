@@ -1,0 +1,148 @@
+"""Text-analysis operators for training-data pipelines over ``documents``:
+language-ID (lexicon-hit heuristic), quality scoring, token counting,
+document fingerprinting.
+
+All are pure column expressions (JVM-side, codegen'd — the UDF-free fast
+path); scores are integer-valued to keep the DuckDB oracle bit-identical.
+At 100TB these are narrow map-only stages: no shuffle at all unless the
+caller aggregates.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# tiny per-language lexicons for the n-gram/stopword heuristic; generated
+# into both dialects from this single table.
+LANG_LEXICON: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and"],
+    "es": ["el", "la", "de", "y"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "de", "et"],
+    "zh": ["spark", "data", "query", "scan"],  # domain tokens as a stand-in
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def _hits(text: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(text, F.lit(pat), 1))
+
+
+def _hits_sql(expr: str, words: list[str]) -> str:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return f"len(regexp_extract_all({expr}, '{pat}', 1))"
+
+
+def lang_scores(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang, predicted_lang, *per-lang hit counts). Predicted =
+    argmax hits, ties broken by language code asc (deterministic)."""
+    langs = sorted(LANG_LEXICON)
+    cols = {lang: _hits(F.col("text"), LANG_LEXICON[lang]) for lang in langs}
+    # argmax via greatest over (hits, reversed-lang tiebreak) encoded struct
+    best = None
+    for lang in langs:
+        cand = F.struct(
+            cols[lang].alias("h"), F.lit(_inv(lang)).alias("inv"), F.lit(lang).alias("l")
+        )
+        best = cand if best is None else F.when(
+            (cand["h"] > best["h"]) | ((cand["h"] == best["h"]) & (cand["inv"] > best["inv"])),
+            cand,
+        ).otherwise(best)
+    return documents.select(
+        "doc_id",
+        "lang",
+        best["l"].alias("predicted_lang"),
+        *[cols[lang].cast("int").alias(f"hits_{lang}") for lang in langs],
+    )
+
+
+def _inv(lang: str) -> str:
+    """Lexicographically-inverting key so 'max' picks the alphabetically
+    FIRST language on ties (deterministic, same trick in SQL)."""
+    return "".join(chr(255 - ord(c)) for c in lang)
+
+
+def lang_scores_sql() -> str:
+    langs = sorted(LANG_LEXICON)
+    hit_cols = ", ".join(
+        f"CAST({_hits_sql('text', LANG_LEXICON[lang])} AS INT) AS hits_{lang}"
+        for lang in langs
+    )
+    # argmax with alphabetical-first tie-break as a CASE cascade: lang L wins
+    # if its hits >= max of all later (alphabetically greater) languages.
+    arms = []
+    for i, lang in enumerate(langs[:-1]):
+        rest = ", ".join(f"hits_{x}" for x in langs[i + 1 :])
+        greatest = rest if "," not in rest else f"GREATEST({rest})"
+        arms.append(f"WHEN hits_{lang} >= {greatest} THEN '{lang}'")
+    case = "CASE " + " ".join(arms) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {hit_cols} FROM documents)
+SELECT doc_id, lang, {case} AS predicted_lang,
+       {", ".join(f"hits_{lang}" for lang in langs)}
+FROM scored"""
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars, n_stopwords, quality): whitespace token
+    count, stopword hits, and an integer 0-100 quality score
+    (length band + token richness + stopword ratio)."""
+    toks = F.size(F.split(F.col("text"), r"\s+"))
+    stops = _hits(F.col("text"), STOPWORDS)
+    quality = (
+        F.least(F.lit(50), toks)
+        + F.least(F.lit(25), stops * 5)
+        + F.when((F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000), 25).otherwise(0)
+    )
+    return documents.select(
+        "doc_id",
+        toks.cast("int").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        stops.cast("int").alias("n_stopwords"),
+    ).withColumn(
+        "quality",
+        (
+            F.least(F.lit(50), F.col("n_tokens"))
+            + F.least(F.lit(25), F.col("n_stopwords") * 5)
+            + F.when((F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000), 25).otherwise(0)
+        ).cast("int"),
+    )
+
+
+def token_stats_sql() -> str:
+    stops = _hits_sql("text", STOPWORDS)
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST({stops} AS INT) AS n_stopwords,
+       CAST(LEAST(50, len(regexp_split_to_array(text, '\\s+')))
+            + LEAST(25, {stops} * 5)
+            + (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 25 ELSE 0 END) AS INT) AS quality
+FROM documents"""
+
+
+def fingerprints(sh: DataFrame, n: int = 4) -> DataFrame:
+    """Winnowing-style document fingerprint: the n smallest shingle hashes
+    (md5-hex, lexicographic) joined — a compact rolling-hash-family sketch.
+    (doc_id, fingerprint)."""
+    return (
+        sh.select("doc_id", F.md5(F.col("sh")).alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "|", F.slice(F.array_sort(F.collect_set("h")), 1, n)
+            ).alias("fingerprint")
+        )
+    )
+
+
+def fingerprints_cte(n: int = 4) -> str:
+    return f"""fingerprints AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list(DISTINCT md5(sh)))[1:{n}], '|') AS fingerprint
+  FROM shingles GROUP BY doc_id
+)"""
