@@ -50,6 +50,7 @@ def build_nodes(
         F.lit("turn").alias("type"),
         F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("name"),
         F.lit(None).cast("string").alias("norm"),
+        F.concat_ws("|", "conv_id", F.col("turn_idx").cast("string")).alias("key"),
         F.col("conv_id").alias("first_conv"),
         F.col("turn_idx").alias("first_turn"),
     )
@@ -61,6 +62,7 @@ def build_nodes(
             F.lit("conversation").alias("type"),
             F.col("conv_id").alias("name"),
             F.col("conv_id").alias("norm"),
+            F.col("conv_id").alias("key"),
             F.col("conv_id").alias("first_conv"),
             F.col("first_turn"),
         )
@@ -104,6 +106,7 @@ def build_nodes(
             "type",
             "name",
             "norm",
+            "key",
             F.split(F.col("first_k"), r"\|").getItem(0).alias("first_conv"),
             F.split(F.col("first_k"), r"\|").getItem(1).cast("int").alias("first_turn"),
         )
@@ -123,16 +126,19 @@ def nodes_cte() -> str:
     return f"""nodes AS (
   SELECT {turn_id_sql('conv_id', 'turn_idx')} AS id, 'turn' AS type,
          conv_id || '#' || CAST(turn_idx AS VARCHAR) AS name,
-         CAST(NULL AS VARCHAR) AS norm, conv_id AS first_conv, turn_idx AS first_turn
+         CAST(NULL AS VARCHAR) AS norm,
+         concat_ws('|', conv_id, CAST(turn_idx AS VARCHAR)) AS key,
+         conv_id AS first_conv, turn_idx AS first_turn
   FROM transcripts
   UNION ALL
   SELECT {node_id_sql('conv', 'conv_id')}, 'conversation', conv_id, conv_id,
-         conv_id, MIN(turn_idx)
+         conv_id, conv_id, MIN(turn_idx)
   FROM transcripts GROUP BY conv_id
   UNION ALL
   SELECT md5(concat_ws('|', type, key)) AS id, type,
          MAX(CASE WHEN rn = 1 THEN surface END) AS name,
          MIN(norm) AS norm,
+         key,
          split_part(MIN(first_k), '|', 1) AS first_conv,
          CAST(split_part(MIN(first_k), '|', 2) AS INT) AS first_turn
   FROM (

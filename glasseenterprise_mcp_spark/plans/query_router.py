@@ -49,12 +49,12 @@ class QueryRouter:
         self.templates: list[tuple[str, re.Pattern, Callable[[re.Match], DataFrame]]] = [
             (
                 "calls_of_tool",
-                re.compile(r"(?:what|which).*(?:calls?|uses?)\s+tool\s+(\S+)", re.I),
+                re.compile(r"(?:what|which).*(?:calls?|uses?)\s+tool\s+([A-Za-z0-9_.\-]+)", re.I),
                 self._calls_of_tool,
             ),
             (
                 "mentions_of",
-                re.compile(r"(?:where|what).*mentions?\s+(?:of\s+)?(\S+)", re.I),
+                re.compile(r"(?:where|what).*mentions?\s+(?:of\s+)?([A-Za-z0-9_.\-]+)", re.I),
                 self._mentions_of,
             ),
             (
@@ -69,7 +69,7 @@ class QueryRouter:
             ),
             (
                 "replies_chain",
-                re.compile(r"repl(?:y|ies).*(?:in|for)\s+conversation\s+(\S+)", re.I),
+                re.compile(r"repl(?:y|ies).*(?:in|for)\s+conversation\s+([A-Za-z0-9_.\-]+)", re.I),
                 self._replies_chain,
             ),
         ]

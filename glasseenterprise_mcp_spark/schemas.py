@@ -54,6 +54,7 @@ NODES_SCHEMA = StructType(
         StructField("type", StringType()),
         StructField("name", StringType()),
         StructField("norm", StringType()),
+        StructField("key", StringType()),  # the id's preimage (md5('<type>|<key>'))
         StructField("first_conv", StringType()),
         StructField("first_turn", IntegerType()),
         StructField("attrs", MapType(StringType(), StringType())),

@@ -1,0 +1,145 @@
+"""Incremental (micro-batch) KG construction — S7 analogue.
+
+The reference's watch mode debounces file events into a delta batch and
+re-runs extract→link→save on the delta (src/scanner/incrementalWatcher.ts:
+14-101, re-entry src/index.ts:207-228), with upsert idempotence from stable
+ids. Deletes are explicitly unsupported (unlink ignored,
+incrementalWatcher.ts:91-95) — we match that: append/upsert only.
+
+Our improvement over the reference (SURVEY.md §4 table): the reference links
+only *within* the delta, silently missing delta↔history links; we link the
+delta's consumed/provided mentions against the persisted registries too, so
+an url arriving in batch 2 still links to a resource from batch 1.
+
+Two entry points:
+  * ``incremental_update``   — one micro-batch (callable from foreachBatch)
+  * ``run_stream``           — Structured Streaming wrapper: parquet file
+                               source → foreachBatch(incremental_update),
+                               checkpointed, Trigger.AvailableNow for
+                               drain-and-stop semantics (the 300ms debounce
+                               knob maps to processingTime triggers).
+
+Resumability: state lives entirely in the sink tables (as in the reference,
+where Neo4j is the state); a killed run restarts from the stream checkpoint
+and MERGE replays are no-ops (stable ids ⇒ idempotent).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.extract import extract_mentions
+from ..operators.link import (
+    calls_tool_edges,
+    mentions_in_edges,
+    refers_to_edges,
+    replies_to_edges,
+)
+from ..operators.materialize import GraphSink, build_edges, build_nodes
+
+
+def _stored_registry(sink: GraphSink, node_type: str) -> DataFrame | None:
+    """Read the persisted mention registry of a node type (url/resource) —
+    a *small dim* at any scale (distinct resources, not occurrences)."""
+    try:
+        nodes = sink.read("nodes")
+    except Exception:
+        return None
+    # Snapshot eagerly: the registry must be pinned BEFORE this batch's own
+    # nodes upsert swaps the table directory under the lazy plan.
+    return nodes.filter(F.col("type") == node_type).localCheckpoint(eager=True)
+
+
+def incremental_update(
+    spark: SparkSession,
+    sink: GraphSink,
+    delta_transcripts: DataFrame,
+    snapshot_version: str,
+) -> None:
+    """Process one delta batch: extract → link (delta + against stored
+    registries) → MERGE upsert. Append-only, idempotent on replay."""
+    t = delta_transcripts.cache()
+    mentions = extract_mentions(t).cache()
+
+    e_mentions_in = mentions_in_edges(mentions).drop("subj_kind")
+    e_replies = replies_to_edges(t, mentions)
+    e_calls = calls_tool_edges(t, mentions)
+
+    # Cross-batch linking: widen the tiered join's sides with the persisted
+    # url/resource registries so delta↔history links form.
+    link_input = mentions.select("conv_id", "turn_idx", "mtype", "surface",
+                                 "norm", "ord", "span_start", "span_end", "path")
+    stored_urls = _stored_registry(sink, "url")
+    stored_resources = _stored_registry(sink, "resource")
+    extras = []
+    if stored_urls is not None:
+        extras.append(
+            stored_urls.select(
+                F.lit("_hist").alias("conv_id"), F.lit(-1).alias("turn_idx"),
+                F.lit("url").alias("mtype"), F.col("name").alias("surface"),
+                F.col("norm"), F.lit(0).alias("ord"),
+                F.lit(-1).alias("span_start"), F.lit(-1).alias("span_end"),
+                # url nodes are keyed on the pre-api-strip path = their id key
+                F.col("key").alias("path"),
+            )
+        )
+    if stored_resources is not None:
+        extras.append(
+            stored_resources.select(
+                F.lit("_hist").alias("conv_id"), F.lit(-1).alias("turn_idx"),
+                F.lit("endpoint").alias("mtype"), F.col("name").alias("surface"),
+                F.col("norm"), F.lit(0).alias("ord"),
+                F.lit(-1).alias("span_start"), F.lit(-1).alias("span_end"),
+                F.col("norm").alias("path"),
+            )
+        )
+    for x in extras:
+        link_input = link_input.unionByName(x)
+    e_refers = refers_to_edges(link_input)
+
+    nodes = build_nodes(t, mentions, snapshot_version)
+    edges = build_edges(
+        [e_mentions_in, e_replies, e_calls, e_refers], snapshot_version
+    )
+    sink.upsert(nodes, "nodes", keys=["id"], partition_by=["type"])
+    sink.upsert(edges, "edges", keys=["subj", "pred", "obj"], partition_by=["pred"])
+    mentions.unpersist()
+    t.unpersist()
+
+
+def run_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink: GraphSink,
+    checkpoint_dir: str,
+    snapshot_version: str,
+    available_now: bool = True,
+    processing_time: str = "1 second",
+):
+    """Structured Streaming driver: watch ``source_dir`` for new transcript
+    parquet files; each micro-batch runs the incremental pipeline.
+
+    ``available_now=True`` drains pending input then stops (deterministic
+    for tests/backfills); otherwise a continuous processingTime trigger —
+    the tunable analogue of the reference's 300ms debounce."""
+    from ..schemas import TRANSCRIPTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .parquet(source_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        stamp = f"{snapshot_version}-b{batch_id}"
+        incremental_update(spark, sink, batch_df, stamp)
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

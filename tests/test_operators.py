@@ -1,0 +1,240 @@
+"""Operator unit tests on crafted DataFrames (SURVEY.md §5.1 strategy —
+the reference's snippet-golden style, made automatic)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from glasseenterprise_mcp_spark.functions.normalize import (
+    norm_name_py,
+    norm_path_py,
+    norm_resource_py,
+)
+from glasseenterprise_mcp_spark.operators.canonicalize import connected_components
+from glasseenterprise_mcp_spark.operators.extract import (
+    MAX_MATCHES_PER_KIND,
+    MAX_TEXT_BYTES,
+    extract_mentions,
+)
+from glasseenterprise_mcp_spark.operators.graph import find_cycles
+from glasseenterprise_mcp_spark.operators.link import refers_to_edges
+from glasseenterprise_mcp_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    resize_plan,
+    synthesize_media,
+)
+
+
+# --------------------------------------------------------------------------
+# normalization — three-dialect lockstep (python / spark / duckdb)
+# --------------------------------------------------------------------------
+CASES = [
+    "http://svc-1.example.com/api/v1/r5?q=1",
+    "https://h/api-v2/v3/x//y/",
+    "/api/r7",
+    "/API/r7/",
+    "http://h//a//b#frag",
+    "/",
+    "/plain/path",
+]
+
+
+def test_norm_three_dialects(spark, duck_small):
+    import duckdb
+
+    from glasseenterprise_mcp_spark.functions.normalize import (
+        norm_name_col,
+        norm_name_sql,
+        norm_path_col,
+        norm_path_sql,
+        norm_resource_col,
+        norm_resource_sql,
+    )
+
+    df = spark.createDataFrame([(c,) for c in CASES], ["s"])
+    got_spark = [
+        (r[0], r[1], r[2])
+        for r in df.select(
+            norm_path_col(F.col("s")), norm_resource_col(F.col("s")), norm_name_col(F.col("s"))
+        ).collect()
+    ]
+    got_py = [(norm_path_py(c), norm_resource_py(c), norm_name_py(c)) for c in CASES]
+    con = duckdb.connect()
+    got_duck = []
+    for c in CASES:
+        lit = "'" + c.replace("'", "''") + "'"
+        got_duck.append(
+            con.sql(
+                f"SELECT {norm_path_sql(lit)}, {norm_resource_sql(lit)}, {norm_name_sql(lit)}"
+            ).fetchone()
+        )
+    assert got_spark == got_py == [tuple(x) for x in got_duck]
+
+
+# --------------------------------------------------------------------------
+# connected components — chains, forests, convergence
+# --------------------------------------------------------------------------
+def test_cc_chain_and_forest(spark):
+    # chain a-b-c-d-e (diameter 4) + separate pair x-y + isolated star
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y"),
+         ("s", "t1"), ("s", "t2"), ("s", "t3")],
+        ["src", "dst"],
+    )
+    got = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert {got[k] for k in "abcde"} == {"a"}
+    assert got["x"] == got["y"] == "x"
+    assert got["s"] == got["t1"] == got["t2"] == got["t3"] == "s"
+
+
+def test_cc_converges_on_long_chain(spark):
+    n = 40  # diameter > typical iteration counts; label ids sort lexicographically
+    edges = spark.createDataFrame(
+        [(f"v{i:03d}", f"v{i + 1:03d}") for i in range(n)], ["src", "dst"]
+    )
+    got = {r.id: r.comp for r in connected_components(edges, max_iter=60).collect()}
+    assert set(got.values()) == {"v000"}
+
+
+# --------------------------------------------------------------------------
+# tiered linking — tier 2 residual path (not exercised by the testdata)
+# --------------------------------------------------------------------------
+def test_refers_to_tier2_residual(spark):
+    from glasseenterprise_mcp_spark.schemas import MENTIONS_SCHEMA
+
+    rows = [
+        # tier-1 pair: same fully-normalized key
+        ("c1", 0, "url", "http://h/api/v1/r9", "/r9", 1, 0, 1, "/api/v1/r9"),
+        ("c2", 0, "endpoint", "/api/r9", "/r9", 1, 0, 1, "/api/r9"),
+        # tier-2: consumed path contains provided norm, but norms differ
+        ("c1", 1, "url", "http://h/legacy/r7/extra", "/legacy/r7/extra", 1, 0, 1, "/legacy/r7/extra"),
+        ("c2", 1, "endpoint", "/api/r7/extra", "/r7/extra", 1, 0, 1, "/api/r7/extra"),
+        # no match at all
+        ("c1", 2, "url", "http://h/nothing", "/nothing", 1, 0, 1, "/nothing"),
+    ]
+    m = spark.createDataFrame(rows, MENTIONS_SCHEMA)
+    got = {(r.subj, r.obj): (r.confidence, r.tier) for r in refers_to_edges(m).collect()}
+    from glasseenterprise_mcp_spark.functions.ids import stable_id_py
+
+    t1 = (stable_id_py("url", "/api/v1/r9"), stable_id_py("resource", "/r9"))
+    t2 = (stable_id_py("url", "/legacy/r7/extra"), stable_id_py("resource", "/r7/extra"))
+    assert t1 in got and got[t1][1] == 1 and got[t1][0] > 50
+    assert t2 in got and got[t2] == (30, 2)
+    assert len(got) == 2  # /nothing linked to nothing
+
+
+# --------------------------------------------------------------------------
+# extraction work caps (E2 analogue: bounded per-record work)
+# --------------------------------------------------------------------------
+def test_extraction_caps(spark):
+    mega = " ".join(f"@e{i}" for i in range(MAX_MATCHES_PER_KIND + 50))
+    huge = "@first " + ("x" * MAX_TEXT_BYTES) + " @beyond_the_cap"
+    df = spark.createDataFrame(
+        [("c1", 0, mega), ("c1", 1, huge)], ["conv_id", "turn_idx", "text"]
+    )
+    m = extract_mentions(df.withColumn("turn_idx", F.col("turn_idx").cast("int")))
+    per_turn = {
+        r.turn_idx: r.n
+        for r in m.filter(F.col("mtype") == "entity")
+        .groupBy("turn_idx").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_turn[0] == MAX_MATCHES_PER_KIND
+    assert per_turn[1] == 1  # truncated before @beyond_the_cap
+
+
+# --------------------------------------------------------------------------
+# cycle detection on crafted graphs
+# --------------------------------------------------------------------------
+def test_find_cycles_crafted(spark):
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # 2-cycle
+            ("p", "q"), ("q", "r"), ("r", "p"),  # 3-cycle
+            ("x", "y"), ("y", "z"),          # path, no cycle
+            ("s", "s"),                      # self-loop
+        ],
+        ["src", "dst"],
+    )
+    got = {r.start: r.cycle_len for r in find_cycles(edges, max_len=5).collect()}
+    assert got == {"a": 2, "p": 3, "s": 1}
+
+
+# --------------------------------------------------------------------------
+# skew smoke (FIXTURES.md F6): hot entity in 50% of turns + mega-conversation
+# --------------------------------------------------------------------------
+def test_skew_smoke(spark):
+    from glasseenterprise_mcp_spark.pipeline import run_pipeline
+
+    rows = []
+    for c in range(20):
+        for t in range(5):
+            rows.append((f"conv{c}", t, "user", f"text @hot @e{c}_{t}", None))
+    for t in range(500):  # mega-conversation: 5x all others combined
+        rows.append(("mega", t, "user", f"m @hot call:tool_a(x) @m{t}", "tool_a"))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.timestamp_seconds(F.lit(0)))
+    res = run_pipeline(spark, df, sink=None, snapshot_version="skew")
+    by_pred = {r.pred: r.n for r in res.edges.groupBy("pred").agg(F.count("*").alias("n")).collect()}
+    res.mentions.unpersist()
+    res.edges.unpersist()
+    # hot entity mentioned in all 600 turns → 600 mentions-in edges for it,
+    # plus per-turn uniques; replies: (500-1) + 20*(5-1)
+    assert by_pred["replies-to"] == 499 + 80
+    assert by_pred["calls-tool"] == 500
+    # hot(600) + small-conv uniques(100) + mega uniques(500) + tool-mention
+    # node in each mega turn(500)
+    assert by_pred["mentions-in"] == 600 + 100 + 500 + 500
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+def test_multimodal_features(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    media = synthesize_media(docs)
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r.features) == 8
+        assert abs(sum(r.features) - 1.0) < 1e-5
+        assert r.n_bytes > 0
+
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(media, fake=False).collect()
+
+    fs = frame_sample(media, every_ms=1000)
+    one = fs.groupBy("media_id").count().limit(5).collect()
+    assert all(r["count"] >= 1 for r in one)
+
+    rp = resize_plan(media, max_side=64).collect()
+    assert all(max(r.target_w, r.target_h) <= 64 for r in rp)
+
+
+def test_query_router(spark):
+    from glasseenterprise_mcp_spark.operators.extract import extract_mentions
+    from glasseenterprise_mcp_spark.operators.link import calls_tool_edges
+    from glasseenterprise_mcp_spark.operators.materialize import build_edges, build_nodes
+    from glasseenterprise_mcp_spark.plans.query_router import QueryRouter
+    from glasseenterprise_mcp_spark.sources.transcripts import derive_transcripts
+
+    t = derive_transcripts(spark, "/root/testdata/sf0.001")
+    m = extract_mentions(t)
+    nodes = build_nodes(t, m, "s")
+    edges = build_edges([calls_tool_edges(t, m)], "s")
+    router = QueryRouter(spark, nodes, edges)
+
+    r = router.route("which turns call tool tool_1?")
+    assert r.template == "calls_of_tool" and r.df.count() > 0
+
+    r = router.route("count nodes by type")
+    assert r.template == "count_by_type"
+
+    r = router.route("SQL: SELECT type, count(*) AS n FROM nodes GROUP BY type")
+    assert r.template == "sql_passthrough" and r.df.count() > 0
+
+    r = router.route("hot_entity somewhere")
+    assert r.template == "fallback_search" and r.df.count() > 0
