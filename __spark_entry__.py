@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from glasseenterprise_mcp_spark import oracle as O
+from glasseenterprise_mcp_spark.operators import analytics as A
 from glasseenterprise_mcp_spark.operators import dedup as D
 from glasseenterprise_mcp_spark.operators import graph as G
 from glasseenterprise_mcp_spark.operators import similarity as S
@@ -206,6 +207,38 @@ def q_ann_lsh(spark, sf_dir):
     return S.lsh_topk(_emb(spark, sf_dir), F.expr(ANN_QUERY_WHERE))
 
 
+# --- analytics (remaining join/agg/window coverage) ------------------------
+def q_tiered_attribution(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return A.tiered_attribution(t, extract_mentions(t))
+
+
+def q_cooccurrence(spark, sf_dir):
+    return A.cooccurrence_pairs(_m(spark, sf_dir))
+
+
+def q_conv_shared(spark, sf_dir):
+    return A.conv_shared_entities(_m(spark, sf_dir))
+
+
+def q_entity_stats(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return A.entity_stats(t, extract_mentions(t))
+
+
+def q_sessionize(spark, sf_dir):
+    return A.sessionize_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_top_entities(spark, sf_dir):
+    return A.top_entities(_m(spark, sf_dir))
+
+
+def q_new_entities(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return A.new_entities_second_half(extract_mentions(t), t)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_transcripts_scan": q_transcripts,
@@ -232,6 +265,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx3_fingerprints": q_fingerprints,
         "sim1_ann_bruteforce": q_ann_brute,
         "sim2_ann_lsh": q_ann_lsh,
+        "j8_tiered_attribution": q_tiered_attribution,
+        "j26_cooccurrence_pairs": q_cooccurrence,
+        "j13_conv_shared_entities": q_conv_shared,
+        "a5_entity_stats": q_entity_stats,
+        "ev1_sessionize": q_sessionize,
+        "w1_top_entities": q_top_entities,
+        "u5_new_entities": q_new_entities,
     }
 
 
@@ -328,4 +368,25 @@ def oracle_sql() -> dict[str, str]:
         + "\nSELECT doc_id, fingerprint FROM fingerprints",
         "sim1_ann_bruteforce": S.brute_force_topk_sql(ANN_QUERY_WHERE),
         "sim2_ann_lsh": S.lsh_topk_sql(ANN_QUERY_WHERE),
+        "j8_tiered_attribution": O.oracle(
+            "SELECT norm, tool, tier, n FROM attribution", A.tiered_attribution_cte()
+        ),
+        "j26_cooccurrence_pairs": O.oracle(
+            "SELECT a, b, n_turns FROM cooccur", A.cooccurrence_cte()
+        ),
+        "j13_conv_shared_entities": O.oracle(
+            "SELECT conv_a, conv_b, shared_count, sample FROM conv_pairs",
+            A.conv_shared_entities_cte(),
+        ),
+        "a5_entity_stats": O.oracle(
+            "SELECT norm, n_mentions, n_convs, first_ts, last_ts, top_roles FROM entity_stats",
+            A.entity_stats_cte(),
+        ),
+        "ev1_sessionize": A.sessionize_events_sql(),
+        "w1_top_entities": O.oracle(
+            "SELECT rank, norm, n FROM top_entities", A.top_entities_cte()
+        ),
+        "u5_new_entities": O.oracle(
+            "SELECT norm FROM new_entities", A.new_entities_cte()
+        ),
     }

@@ -1,0 +1,368 @@
+"""Analytics operators completing the reference's join/agg/window coverage
+(SURVEY.md §2.4-2.8) in the transcript domain.
+
+  tiered_attribution      J8 analogue (READS_FROM two-tier fallback:
+                          prefer-in-span-else-file ⇒ prefer same-turn tool,
+                          else conversation-modal tool), resolved with a
+                          priority column + row_number — the as-of-like
+                          ordered-preference join
+  cooccurrence_pairs      J26 analogue (COLLABORATES_WITH shared-file pair
+                          counts ⇒ entities sharing turns) — the hot-entity
+                          self-join skew case, fixed vs the reference's
+                          O(pairs x files) rescan by a single pair groupBy
+  conv_shared_entities    J13 analogue (SHARES_PACKAGE_WITH repo pairs ⇒
+                          conversation pairs sharing entities, with count +
+                          ≤10 sorted sample ids)
+  disjunctive_match       J23 analogue (commit↔developer identity join on
+                          email OR alias OR name) — union of equi joins with
+                          precedence dedup, never a cross join
+  entity_stats            A5/W2/W3 analogue (developer stats: first/last
+                          commit, language histogram, top-k) per entity
+  sessionize_events       gap-based sessionization over the events table
+                          (window lag + running sum) — the stateful-stream
+                          shape, batch-computed
+  top_entities            W1/L top-k with deterministic rank
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from .link import turn_id_sql  # noqa: F401  (oracle symmetry)
+
+SESSION_GAP_S = 1800
+
+
+def tiered_attribution(transcripts: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Attribute each entity mention to a tool: the tool called in the SAME
+    turn if any (tier 1), else the conversation's modal tool (tier 2), else
+    unattributed. Ordered-preference resolution via priority + row_number
+    (J8's prefer-in-span-else-file semantics).
+
+    Output: (norm, tool, tier, n) aggregated.
+    """
+    ents = mentions.filter(F.col("mtype") == "entity").select(
+        "conv_id", "turn_idx", "norm"
+    )
+    turn_tools = transcripts.filter(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", F.col("tool")
+    )
+    conv_modal = (
+        turn_tools.groupBy("conv_id", "tool")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("conv_id").orderBy(F.desc("cnt"), F.asc("tool"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("conv_id", F.col("tool").alias("modal_tool"))
+    )
+
+    t1 = ents.join(turn_tools, ["conv_id", "turn_idx"], "inner").select(
+        "conv_id", "turn_idx", "norm", F.col("tool"), F.lit(1).alias("tier")
+    )
+    t2 = (
+        ents.join(turn_tools, ["conv_id", "turn_idx"], "left_anti")
+        .join(conv_modal, "conv_id", "inner")
+        .select(
+            "conv_id", "turn_idx", "norm",
+            F.col("modal_tool").alias("tool"), F.lit(2).alias("tier"),
+        )
+    )
+    return (
+        t1.unionByName(t2)
+        .groupBy("norm", "tool", "tier")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def tiered_attribution_cte() -> str:
+    return f"""attribution AS (
+  WITH ents AS (
+    SELECT conv_id, turn_idx, norm FROM mentions WHERE mtype = 'entity'
+  ), turn_tools AS (
+    SELECT conv_id, turn_idx, tool FROM transcripts WHERE tool IS NOT NULL
+  ), conv_modal AS (
+    SELECT conv_id, tool AS modal_tool FROM (
+      SELECT conv_id, tool, COUNT(*) AS cnt,
+             row_number() OVER (PARTITION BY conv_id ORDER BY COUNT(*) DESC, tool ASC) AS rn
+      FROM turn_tools GROUP BY conv_id, tool
+    ) WHERE rn = 1
+  ), t1 AS (
+    SELECT e.norm, tt.tool, 1 AS tier
+    FROM ents e JOIN turn_tools tt USING (conv_id, turn_idx)
+  ), t2 AS (
+    SELECT e.norm, cm.modal_tool AS tool, 2 AS tier
+    FROM ents e
+    ANTI JOIN turn_tools tt ON e.conv_id = tt.conv_id AND e.turn_idx = tt.turn_idx
+    JOIN conv_modal cm ON cm.conv_id = e.conv_id
+  )
+  SELECT norm, tool, tier, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+  GROUP BY norm, tool, tier
+)"""
+
+
+def cooccurrence_pairs(mentions: DataFrame, min_count: int = 2) -> DataFrame:
+    """J26: entity pairs co-occurring in a turn, with pair counts (a < b).
+    Distinct per (turn, pair) first, then one pair groupBy — never a
+    per-pair rescan. The hot entity makes one side of this self-join hot:
+    map-side distinct + AQE skew splitting keep it bounded."""
+    e = mentions.filter(F.col("mtype") == "entity").select(
+        "conv_id", "turn_idx", "norm"
+    ).distinct()
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.turn_idx") == F.col("b.turn_idx"))
+            & (F.col("a.norm") < F.col("b.norm")),
+        )
+        .groupBy(F.col("a.norm").alias("a"), F.col("b.norm").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+        .filter(F.col("n_turns") >= min_count)
+    )
+    return pairs
+
+
+def cooccurrence_cte(min_count: int = 2) -> str:
+    return f"""cooccur AS (
+  WITH e AS (
+    SELECT DISTINCT conv_id, turn_idx, norm FROM mentions WHERE mtype = 'entity'
+  )
+  SELECT a.norm AS a, b.norm AS b, CAST(COUNT(*) AS BIGINT) AS n_turns
+  FROM e a JOIN e b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.norm < b.norm
+  GROUP BY a.norm, b.norm
+  HAVING COUNT(*) >= {min_count}
+)"""
+
+
+def conv_shared_entities(mentions: DataFrame, sample_n: int = 10) -> DataFrame:
+    """J13: conversation pairs sharing entities — (conv_a, conv_b,
+    shared_count, sample of ≤10 sorted shared norms). Computed by
+    self-joining the distinct (conv, entity) edge list on entity, then a
+    pair groupBy — avoids the reference's O(R²) pair loop."""
+    ce = mentions.filter(F.col("mtype") == "entity").select(
+        "conv_id", "norm"
+    ).distinct()
+    a = ce.alias("a")
+    b = ce.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.norm") == F.col("b.norm"))
+            & (F.col("a.conv_id") < F.col("b.conv_id")),
+        )
+        .groupBy(
+            F.col("a.conv_id").alias("conv_a"), F.col("b.conv_id").alias("conv_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_count"),
+            F.concat_ws(
+                ",", F.slice(F.array_sort(F.collect_set(F.col("a.norm"))), 1, sample_n)
+            ).alias("sample"),
+        )
+    )
+
+
+def conv_shared_entities_cte(sample_n: int = 10) -> str:
+    return f"""conv_pairs AS (
+  WITH ce AS (SELECT DISTINCT conv_id, norm FROM mentions WHERE mtype = 'entity')
+  SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_count,
+         array_to_string(list_sort(list(DISTINCT a.norm))[1:{sample_n}], ',') AS sample
+  FROM ce a JOIN ce b ON a.norm = b.norm AND a.conv_id < b.conv_id
+  GROUP BY a.conv_id, b.conv_id
+)"""
+
+
+def disjunctive_match(
+    left: DataFrame, right: DataFrame, key_pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """J23: identity join on a disjunction of key equalities — executed as a
+    UNION of equi joins (one per disjunct, in precedence order) with
+    keep-first dedup on the left key, never a cross join with OR predicate.
+
+    ``key_pairs``: ordered [(left_col, right_col), ...]; output = left keys +
+    matched right ``rid`` + the 1-based ``via`` disjunct index that matched.
+    ``left`` must carry ``lid``, ``right`` must carry ``rid``."""
+    branches = []
+    for i, (lk, rk) in enumerate(key_pairs, start=1):
+        branches.append(
+            left.join(right, left[lk] == right[rk], "inner")
+            .select(left["lid"], right["rid"], F.lit(i).alias("via"))
+        )
+    u = branches[0]
+    for x in branches[1:]:
+        u = u.unionByName(x)
+    w = Window.partitionBy("lid").orderBy(F.asc("via"), F.asc("rid"))
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lid", "rid", F.col("via").cast("int"))
+    )
+
+
+def entity_stats(transcripts: DataFrame, mentions: DataFrame, top_k: int = 3) -> DataFrame:
+    """A5/W2/W3: per-entity stats — mention count, conversations, first/last
+    ts_epoch, top-k roles by frequency (count desc, role asc)."""
+    em = (
+        mentions.filter(F.col("mtype") == "entity")
+        .join(
+            transcripts.select("conv_id", "turn_idx", "role", "ts_epoch"),
+            ["conv_id", "turn_idx"],
+        )
+    )
+    role_counts = em.groupBy("norm", "role").agg(F.count(F.lit(1)).alias("rc"))
+    w = Window.partitionBy("norm").orderBy(F.desc("rc"), F.asc("role"))
+    top_roles = (
+        role_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .groupBy("norm")
+        .agg(
+            F.concat_ws(
+                ",", F.expr("transform(array_sort(collect_list(struct(rn, role))), x -> x.role)")
+            ).alias("top_roles")
+        )
+    )
+    base = em.groupBy("norm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.min("ts_epoch").cast("long").alias("first_ts"),
+        F.max("ts_epoch").cast("long").alias("last_ts"),
+    )
+    return base.join(top_roles, "norm")
+
+
+def entity_stats_cte(top_k: int = 3) -> str:
+    return f"""entity_stats AS (
+  WITH em AS (
+    SELECT m.norm, t.role, t.ts_epoch, t.conv_id
+    FROM mentions m JOIN transcripts t USING (conv_id, turn_idx)
+    WHERE m.mtype = 'entity'
+  ), tr AS (
+    SELECT norm, string_agg(role, ',' ORDER BY rn) AS top_roles FROM (
+      SELECT norm, role,
+             row_number() OVER (PARTITION BY norm ORDER BY COUNT(*) DESC, role ASC) AS rn
+      FROM em GROUP BY norm, role
+    ) WHERE rn <= {top_k} GROUP BY norm
+  )
+  SELECT b.norm, b.n_mentions, b.n_convs, b.first_ts, b.last_ts, tr.top_roles
+  FROM (
+    SELECT norm, CAST(COUNT(*) AS BIGINT) AS n_mentions,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(MIN(ts_epoch) AS BIGINT) AS first_ts,
+           CAST(MAX(ts_epoch) AS BIGINT) AS last_ts
+    FROM em GROUP BY norm
+  ) b JOIN tr USING (norm)
+)"""
+
+
+def sessionize_events(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Gap-based sessionization of the events stream table (batch form of
+    the session-window stateful op): a new session starts when the gap to
+    the previous event of the same user exceeds ``gap_s``. Output per user:
+    session count, events, first/last epoch. Window lag + running sum —
+    one shuffle on user_id."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    e = events.select(
+        "user_id", F.col("ts"), F.unix_timestamp("ts").cast("long").alias("ts_s")
+    )
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_s") - F.lag("ts_s").over(w) > gap_s, 1
+        ).otherwise(F.when(F.lag("ts_s").over(w).isNull(), 1).otherwise(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts_s").cast("long").alias("first_ts"),
+            F.max("ts_s").cast("long").alias("last_ts"),
+        )
+    )
+
+
+def sessionize_events_sql(gap_s: int = SESSION_GAP_S) -> str:
+    return f"""
+WITH e AS (
+  -- floor, not round: Spark's unix_timestamp truncates sub-second parts
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+), flagged AS (
+  SELECT user_id, ts_s,
+         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) > {gap_s}
+              THEN 1
+              WHEN lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL THEN 1
+              ELSE 0 END AS new_session
+  FROM e
+), sessions AS (
+  SELECT user_id, ts_s,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_s
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(ts_s) AS BIGINT) AS first_ts,
+       CAST(MAX(ts_s) AS BIGINT) AS last_ts
+FROM sessions GROUP BY user_id"""
+
+
+def top_entities(mentions: DataFrame, k: int = 10) -> DataFrame:
+    """W1/L: global top-k most-mentioned entities with deterministic rank
+    (count desc, norm asc)."""
+    counts = (
+        mentions.filter(F.col("mtype") == "entity")
+        .groupBy("norm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("norm"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("rank").cast("int"), "norm", "n")
+    )
+
+
+def top_entities_cte(k: int = 10) -> str:
+    return f"""top_entities AS (
+  SELECT CAST(rank AS INT) AS rank, norm, n FROM (
+    SELECT norm, CAST(COUNT(*) AS BIGINT) AS n,
+           row_number() OVER (ORDER BY COUNT(*) DESC, norm ASC) AS rank
+    FROM mentions WHERE mtype = 'entity' GROUP BY norm
+  ) WHERE rank <= {k}
+)"""
+
+
+def new_entities_second_half(mentions: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """U5/set-op: entities appearing only in the later half of each
+    conversation's turns (anti join of per-half distinct sets)."""
+    half = transcripts.groupBy("conv_id").agg(
+        (F.max("turn_idx") / 2).alias("mid")
+    )
+    e = mentions.filter(F.col("mtype") == "entity").join(half, "conv_id")
+    late = e.filter(F.col("turn_idx") > F.col("mid")).select("norm").distinct()
+    early = e.filter(F.col("turn_idx") <= F.col("mid")).select("norm").distinct()
+    return late.join(early, "norm", "left_anti")
+
+
+def new_entities_cte() -> str:
+    return """new_entities AS (
+  WITH half AS (SELECT conv_id, MAX(turn_idx) / 2.0 AS mid FROM transcripts GROUP BY conv_id),
+  e AS (SELECT m.norm, m.turn_idx, h.mid FROM mentions m JOIN half h USING (conv_id)
+        WHERE m.mtype = 'entity'),
+  late AS (SELECT DISTINCT norm FROM e WHERE turn_idx > mid),
+  early AS (SELECT DISTINCT norm FROM e WHERE turn_idx <= mid)
+  SELECT l.norm FROM late l ANTI JOIN early x ON l.norm = x.norm
+)"""

@@ -154,18 +154,28 @@ def calls_tool_edges(transcripts: DataFrame, mentions: DataFrame) -> DataFrame:
     from_mentions = mentions.filter(F.col("mtype") == "tool").select(
         turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("subj"),
         node_id_col("tool", F.col("norm")).alias("obj"),
-        F.lit("call-marker").alias("via"),
+        F.lit(1).alias("via_code"),  # 1 = call-marker
     )
     from_column = transcripts.filter(F.col("tool").isNotNull()).select(
         turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("subj"),
         node_id_col("tool", norm_name_col(F.col("tool"))).alias("obj"),
-        F.lit("tool-column").alias("via"),
+        F.lit(2).alias("via_code"),  # 2 = tool-column
     )
+    # min over an INT code, not the string label: min(string) forces a
+    # SortAggregate (strings have no mutable agg buffer); the int keeps the
+    # whole agg in HashAggregate. Codes are ordered like the labels.
     return (
         from_mentions.unionByName(from_column)
         .groupBy("subj", "obj")
-        .agg(F.min("via").alias("via"))
-        .select("subj", F.lit("calls-tool").alias("pred"), "obj", "via")
+        .agg(F.min("via_code").alias("via_code"))
+        .select(
+            "subj",
+            F.lit("calls-tool").alias("pred"),
+            "obj",
+            F.when(F.col("via_code") == 1, "call-marker")
+            .otherwise("tool-column")
+            .alias("via"),
+        )
     )
 
 

@@ -1,0 +1,86 @@
+"""Physical-plan audits: the plans must be the ones we'd want at 100TB —
+filters pushed to the parquet scan, column pruning active, small dims
+broadcast, no cartesian products in the linking path."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from glasseenterprise_mcp_spark.operators.analytics import disjunctive_match
+from glasseenterprise_mcp_spark.operators.extract import extract_mentions
+from glasseenterprise_mcp_spark.operators.link import refers_to_edges
+from glasseenterprise_mcp_spark.sources.transcripts import derive_transcripts
+
+from .conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_and_pruning(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "lang")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:200]
+    # column pruning: text (the fat column) must not be read
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "text" not in read_schema
+
+
+def test_refers_to_broadcasts_provided_side(spark):
+    t = derive_transcripts(spark, SF_SMALL)
+    m = extract_mentions(t)
+    plan = _plan(refers_to_edges(m))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_whole_stage_codegen_relational(spark):
+    """Pure relational stages (no Python boundary) must be codegen'd; the
+    aggregate must be hash-based, not sort-based."""
+    from glasseenterprise_mcp_spark.operators.analytics import sessionize_events
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    plan = _plan(sessionize_events(ev))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_calls_tool_uses_hash_aggregate(spark):
+    from glasseenterprise_mcp_spark.operators.link import calls_tool_edges
+
+    t = derive_transcripts(spark, SF_SMALL)
+    m = extract_mentions(t)
+    plan = _plan(calls_tool_edges(t, m))
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_disjunctive_match_no_cross_join(spark):
+    left = spark.createDataFrame(
+        [("l1", "a@x", "alice", "A"), ("l2", "b@y", "bob", "B"), ("l3", "c@z", "carol", "C")],
+        ["lid", "email", "name", "alias"],
+    )
+    right = spark.createDataFrame(
+        [("r1", "a@x", "zz", "zz"), ("r2", "zz", "bob", "zz"), ("r3", "zz", "zz", "C")],
+        ["rid", "r_email", "r_name", "r_alias"],
+    )
+    out = disjunctive_match(
+        left, right, [("email", "r_email"), ("name", "r_name"), ("alias", "r_alias")]
+    )
+    got = {(r.lid, r.rid, r.via) for r in out.collect()}
+    assert got == {("l1", "r1", 1), ("l2", "r2", 2), ("l3", "r3", 3)}
+    assert "CartesianProduct" not in _plan(out)
+
+
+def test_disjunctive_match_precedence(spark):
+    # a left row matching two disjuncts takes the earliest (via=1)
+    left = spark.createDataFrame([("l1", "k", "k")], ["lid", "email", "name"])
+    right = spark.createDataFrame(
+        [("r1", "k", "zz"), ("r2", "zz", "k")], ["rid", "r_email", "r_name"]
+    )
+    out = disjunctive_match(left, right, [("email", "r_email"), ("name", "r_name")])
+    assert [(r.lid, r.rid, r.via) for r in out.collect()] == [("l1", "r1", 1)]
