@@ -239,6 +239,12 @@ def q_new_entities(spark, sf_dir):
     return A.new_entities_second_half(extract_mentions(t), t)
 
 
+def q_mention_attrs(spark, sf_dir):
+    from glasseenterprise_mcp_spark.operators.extract import enrich_mention_attrs
+
+    return enrich_mention_attrs(_m(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_transcripts_scan": q_transcripts,
@@ -272,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev1_sessionize": q_sessionize,
         "w1_top_entities": q_top_entities,
         "u5_new_entities": q_new_entities,
+        "e8_mention_attrs": q_mention_attrs,
     }
 
 
@@ -388,5 +395,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "u5_new_entities": O.oracle(
             "SELECT norm FROM new_entities", A.new_entities_cte()
+        ),
+        "e8_mention_attrs": O.oracle(
+            "SELECT conv_id, turn_idx, mtype, surface, norm, ord, scheme, host, "
+            "error_code, tool_base, tool_num, cfg_ns FROM mention_attrs",
+            __import__(
+                "glasseenterprise_mcp_spark.operators.extract", fromlist=["x"]
+            ).enrich_mention_attrs_cte(),
         ),
     }

@@ -129,6 +129,51 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def enrich_mention_attrs(mentions: DataFrame) -> DataFrame:
+    """E8-E13 analogue: typed attribute enrichment per mention kind, as pure
+    column expressions over the extracted surface (the reference enriches
+    entities with return types / schemas / parsed query structure,
+    returnTypeExtractor.ts:9-236, springAnalyzer.ts:16-248).
+
+      url      → host, scheme
+      error    → error code (leading E<digits> token)
+      tool     → base name + numeric suffix
+      config   → namespace prefix (before first _)
+    """
+    mt = F.col("mtype")
+    surface = F.col("surface")
+    return mentions.select(
+        "conv_id",
+        "turn_idx",
+        "mtype",
+        "surface",
+        "norm",
+        "ord",
+        F.when(mt == "url", F.regexp_extract(surface, r"^([a-z]+)://", 1)).alias("scheme"),
+        F.when(mt == "url", F.regexp_extract(surface, r"^[a-z]+://([^/]+)", 1)).alias("host"),
+        F.when(mt == "error", F.regexp_extract(surface, r"^(E[0-9]+)", 1)).alias("error_code"),
+        F.when(mt == "tool", F.regexp_extract(surface, r"^([A-Za-z]+)_?", 1)).alias("tool_base"),
+        F.when(mt == "tool", F.regexp_extract(surface, r"_([0-9]+)$", 1)).alias("tool_num"),
+        F.when(mt == "config", F.regexp_extract(surface, r"^([A-Z]+)_", 1)).alias("cfg_ns"),
+    )
+
+
+def enrich_mention_attrs_cte() -> str:
+    def when(mt: str, expr: str) -> str:
+        return f"CASE WHEN mtype = '{mt}' THEN {expr} END"
+
+    return f"""mention_attrs AS (
+  SELECT conv_id, turn_idx, mtype, surface, norm, ord,
+         {when('url', "regexp_extract(surface, '^([a-z]+)://', 1)")} AS scheme,
+         {when('url', "regexp_extract(surface, '^[a-z]+://([^/]+)', 1)")} AS host,
+         {when('error', "regexp_extract(surface, '^(E[0-9]+)', 1)")} AS error_code,
+         {when('tool', "regexp_extract(surface, '^([A-Za-z]+)_?', 1)")} AS tool_base,
+         {when('tool', "regexp_extract(surface, '_([0-9]+)$', 1)")} AS tool_num,
+         {when('config', "regexp_extract(surface, '^([A-Z]+)_', 1)")} AS cfg_ns
+  FROM mentions
+)"""
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracle: identical extraction, relationally.
 # --------------------------------------------------------------------------

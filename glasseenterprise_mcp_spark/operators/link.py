@@ -193,6 +193,44 @@ def calls_tool_cte() -> str:
 )"""
 
 
+def span_containment_join(mentions: DataFrame) -> DataFrame:
+    """J2/J8/J11 analogue — the span-nesting range join: within one turn,
+    mention A *contains* mention B when A.span ⊇ B.span (strictly larger).
+
+    Physical shape: equi join on (conv_id, turn_idx) — the blocking key that
+    keeps the range predicate a cheap residual — plus BETWEEN conditions.
+    This is exactly how the reference scopes HAS_FUNCTION/EMITS_ERROR to a
+    file then checks span containment (relationshipBuilder.ts:100-111,
+    292-301). Never a full theta join: the equi component shuffles both
+    sides on the turn key, the range part evaluates in-partition; AQE
+    handles residual skew from mega-turns.
+
+    Output: (conv_id, turn_idx, container_mtype, container_norm,
+    contained_mtype, contained_norm, container_ord, contained_ord)."""
+    a = mentions.alias("a")
+    b = mentions.alias("b")
+    return a.join(
+        b,
+        (F.col("a.conv_id") == F.col("b.conv_id"))
+        & (F.col("a.turn_idx") == F.col("b.turn_idx"))
+        & (F.col("a.span_start") <= F.col("b.span_start"))
+        & (F.col("b.span_end") <= F.col("a.span_end"))
+        & (
+            (F.col("a.span_end") - F.col("a.span_start"))
+            > (F.col("b.span_end") - F.col("b.span_start"))
+        ),
+    ).select(
+        F.col("a.conv_id").alias("conv_id"),
+        F.col("a.turn_idx").alias("turn_idx"),
+        F.col("a.mtype").alias("container_mtype"),
+        F.col("a.norm").alias("container_norm"),
+        F.col("b.mtype").alias("contained_mtype"),
+        F.col("b.norm").alias("contained_norm"),
+        F.col("a.ord").alias("container_ord"),
+        F.col("b.ord").alias("contained_ord"),
+    )
+
+
 def refers_to_edges(mentions: DataFrame) -> DataFrame:
     """J20 analogue — the tiered, similarity-scored cross-corpus linking join.
 

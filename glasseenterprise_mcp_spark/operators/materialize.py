@@ -200,6 +200,46 @@ def build_edges(
     return union.withColumn("snapshot_version", F.lit(snapshot_version))
 
 
+def merge_node_attrs(nodes_with_attrs: DataFrame, key: str = "id") -> DataFrame:
+    """A2 analogue (saveNodes.ts:86-104): dedup-merge rows sharing an id —
+    scalar fields take the first non-null (by deterministic ``_prio``
+    ordering if present, else min), attrs maps are merged with
+    earlier-row-wins on key collisions.
+
+    Input: (id, *scalar cols, attrs map). One hash shuffle on the id."""
+    scalar = [
+        c for c in nodes_with_attrs.columns if c not in (key, "attrs", "_prio")
+    ]
+    has_prio = "_prio" in nodes_with_attrs.columns
+    df = nodes_with_attrs if has_prio else nodes_with_attrs.withColumn(
+        "_prio", F.lit(0)
+    )
+    # first-non-null by priority: min_by with nulls pushed to +inf priority;
+    # priority ties fall back to the value itself (fully deterministic,
+    # unlike first(ignorenulls) which is row-order dependent)
+    big = 2**62
+    aggs = [
+        F.expr(
+            f"min_by({c}, struct(CASE WHEN {c} IS NULL THEN {big} ELSE _prio END, {c}))"
+        ).alias(c)
+        for c in scalar
+    ]
+    exploded = df.select(key, "_prio", F.explode_outer("attrs").alias("k", "v"))
+    merged_maps = (
+        exploded.filter(F.col("k").isNotNull())
+        .groupBy(key, "k")
+        .agg(F.expr("min_by(v, struct(_prio, v))").alias("v"))
+        .groupBy(key)
+        .agg(
+            F.map_from_arrays(
+                F.expr("transform(array_sort(collect_list(struct(k, v))), x -> x.k)"),
+                F.expr("transform(array_sort(collect_list(struct(k, v))), x -> x.v)"),
+            ).alias("attrs")
+        )
+    )
+    return df.groupBy(key).agg(*aggs).join(merged_maps, key, "left")
+
+
 # --------------------------------------------------------------------------
 # Sink interface: Iceberg MERGE when available, parquet MoR fallback.
 # --------------------------------------------------------------------------

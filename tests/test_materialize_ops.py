@@ -1,0 +1,57 @@
+"""Span-containment range join (J2/J8/J11) and node attrs dedup-merge (A2)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from glasseenterprise_mcp_spark.operators.link import span_containment_join
+from glasseenterprise_mcp_spark.operators.materialize import merge_node_attrs
+from glasseenterprise_mcp_spark.schemas import MENTIONS_SCHEMA
+
+
+def test_span_containment(spark):
+    rows = [
+        # error span [10, 40] contains entity [15, 22] and config [30, 38]
+        ("c1", 0, "error", "E1 failed badly", "e1 failed badly", 1, 10, 40, None),
+        ("c1", 0, "entity", "agent_1", "agent_1", 1, 15, 22, None),
+        ("c1", 0, "config", "CFG_X", "CFG_X", 1, 30, 38, None),
+        # outside the error span
+        ("c1", 0, "entity", "agent_2", "agent_2", 2, 50, 57, None),
+        # same spans in a DIFFERENT turn — must not join across turns
+        ("c1", 1, "entity", "agent_3", "agent_3", 1, 15, 22, None),
+        # equal spans: not containment (strictly larger required)
+        ("c2", 0, "url", "http://h/x", "/x", 1, 0, 10, "/x"),
+        ("c2", 0, "entity", "samespan", "samespan", 1, 0, 10, None),
+    ]
+    m = spark.createDataFrame(rows, MENTIONS_SCHEMA)
+    got = {
+        (r.container_mtype, r.container_norm, r.contained_mtype, r.contained_norm)
+        for r in span_containment_join(m).collect()
+    }
+    assert got == {
+        ("error", "e1 failed badly", "entity", "agent_1"),
+        ("error", "e1 failed badly", "config", "CFG_X"),
+    }
+
+
+def test_merge_node_attrs_prio(spark):
+    rows = [
+        ("n1", None, "keep", 1, {"a": "1", "b": "x"}),
+        ("n1", "name1", None, 0, {"b": "y", "c": "3"}),  # prio 0 wins on 'b'
+        ("n2", "solo", "s", 0, {}),
+    ]
+    df = spark.createDataFrame(rows, "id string, name string, note string, _prio int, attrs map<string,string>")
+    got = {r.id: (r.name, r.note, dict(r.attrs or {})) for r in merge_node_attrs(df).collect()}
+    assert got["n1"] == ("name1", "keep", {"a": "1", "b": "y", "c": "3"})
+    assert got["n2"] == ("solo", "s", {})
+
+
+def test_merge_node_attrs_no_prio_deterministic(spark):
+    rows = [
+        ("n1", "bbb", {"k": "2"}),
+        ("n1", "aaa", {"k": "1"}),
+    ]
+    df = spark.createDataFrame(rows, "id string, name string, attrs map<string,string>")
+    r = merge_node_attrs(df).collect()[0]
+    # ties resolve by value min — repeatable regardless of partitioning
+    assert r.name == "aaa" and dict(r.attrs) == {"k": "1"}
