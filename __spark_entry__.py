@@ -239,6 +239,25 @@ def q_new_entities(spark, sf_dir):
     return A.new_entities_second_half(extract_mentions(t), t)
 
 
+def q_tumbling_counts(spark, sf_dir):
+    return A.tumbling_event_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_queries_table(spark, sf_dir):
+    import pyspark.sql.functions as FF
+
+    m = _m(spark, sf_dir)
+    return (
+        m.filter(FF.col("mtype") == "table")
+        .select("conv_id", "turn_idx", FF.split("norm", r"\.").getItem(0).alias("tbl"))
+        .groupBy("tbl")
+        .agg(
+            FF.countDistinct("conv_id", "turn_idx").cast("long").alias("n_turns"),
+            FF.count(FF.lit(1)).cast("long").alias("n_mentions"),
+        )
+    )
+
+
 def q_mention_attrs(spark, sf_dir):
     from glasseenterprise_mcp_spark.operators.extract import enrich_mention_attrs
 
@@ -279,6 +298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_top_entities": q_top_entities,
         "u5_new_entities": q_new_entities,
         "e8_mention_attrs": q_mention_attrs,
+        "j6_queries_table": q_queries_table,
+        "ev2_tumbling_counts": q_tumbling_counts,
     }
 
 
@@ -395,6 +416,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "u5_new_entities": O.oracle(
             "SELECT norm FROM new_entities", A.new_entities_cte()
+        ),
+        "ev2_tumbling_counts": A.tumbling_event_counts_sql(),
+        "j6_queries_table": O.oracle(
+            "SELECT split_part(norm, '.', 1) AS tbl, "
+            "CAST(COUNT(DISTINCT (conv_id, turn_idx)) AS BIGINT) AS n_turns, "
+            "CAST(COUNT(*) AS BIGINT) AS n_mentions "
+            "FROM mentions WHERE mtype = 'table' GROUP BY 1"
         ),
         "e8_mention_attrs": O.oracle(
             "SELECT conv_id, turn_idx, mtype, surface, norm, ord, scheme, host, "

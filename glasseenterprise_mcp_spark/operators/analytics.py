@@ -319,6 +319,35 @@ SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
 FROM sessions GROUP BY user_id"""
 
 
+def tumbling_event_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation over the events table —
+    the batch form of the streaming windowed-agg operator (idiomatic
+    ``F.window``; with readStream + withWatermark the same expression is the
+    late-data-tolerant streaming plan). Output keyed by window-start epoch."""
+    w = F.window("ts", "1 hour")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def tumbling_event_counts_sql() -> str:
+    return """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       round(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
 def top_entities(mentions: DataFrame, k: int = 10) -> DataFrame:
     """W1/L: global top-k most-mentioned entities with deterministic rank
     (count desc, norm asc)."""

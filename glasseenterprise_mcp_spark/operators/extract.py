@@ -59,9 +59,29 @@ PATTERNS: list[tuple[str, str]] = [
     ("reply", r"re:#([0-9]+)"),
     ("url", r"(https?://[^ ]+)"),
     ("endpoint", r"(?:GET|POST|PUT|DELETE) (/[A-Za-z0-9_/.-]*)"),
+    # structured resource mention: table.column (DatabaseTable/Column
+    # analogue, reference types.ts:161-174 + JPQL mini-parser E12)
+    ("table", r"tbl:([a-z_]+\.[a-z_0-9]+)"),
 ]
 
+# Necessary-literal prefilter per detector: a C-speed substring probe that
+# skips the (much costlier) regex scan for turns that cannot match. Each
+# hint MUST be a substring of every possible match of its pattern
+# (semantics-preserving; the E6-cascade cheap-first idea,
+# astExtractor.ts:1109-1153, applied to scan cost). None ⇒ always scan.
+_LITERAL_HINTS: dict[str, str | None] = {
+    "entity": "@",
+    "tool": "call:",
+    "config": "env:",
+    "error": 'error:"',
+    "reply": "re:#",
+    "url": "http",
+    "endpoint": None,  # verb alternation has no single necessary literal
+    "table": "tbl:",
+}
+
 _NORM_PY: dict[str, Callable[[str], str]] = {
+    "table": lambda s: s.lower(),
     "entity": norm_name_py,
     "tool": norm_name_py,
     "config": lambda s: s,  # config keys are case-significant (env var names)
@@ -72,6 +92,7 @@ _NORM_PY: dict[str, Callable[[str], str]] = {
 }
 
 _NORM_SQL: dict[str, Callable[[str], str]] = {
+    "table": lambda e: f"lower({e})",
     "entity": norm_name_sql,
     "tool": norm_name_sql,
     "config": lambda e: e,
@@ -87,7 +108,7 @@ _PATH_PY: dict[str, Callable[[str], str]] = {
     "endpoint": norm_path_py,
 }
 
-_COMPILED = [(m, re.compile(p)) for m, p in PATTERNS]
+_COMPILED = [(m, re.compile(p), _LITERAL_HINTS.get(m)) for m, p in PATTERNS]
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -103,7 +124,9 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             if len(text) > MAX_TEXT_BYTES:
                 text = text[:MAX_TEXT_BYTES]
-            for mtype, rx in _COMPILED:
+            for mtype, rx, hint in _COMPILED:
+                if hint is not None and hint not in text:
+                    continue
                 norm_fn = _NORM_PY[mtype]
                 path_fn = _PATH_PY.get(mtype)
                 for ord_, m in enumerate(rx.finditer(text), start=1):

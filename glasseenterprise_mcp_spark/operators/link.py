@@ -34,6 +34,7 @@ MENTION_NODE_KIND: dict[str, tuple[str, str]] = {
     "error": ("error", "norm"),
     "url": ("url", "path"),
     "endpoint": ("resource", "norm"),
+    "table": ("table", "norm"),
 }
 
 

@@ -76,6 +76,16 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("?q=1"),
         ),
         marker(d % 6 == 3, F.lit(" GET /api/r"), s(d % 17)),
+        marker(
+            d % 9 == 0,
+            F.lit(" tbl:"),
+            F.element_at(
+                F.array(F.lit("orders"), F.lit("lineitem"), F.lit("customer"), F.lit("part")),
+                (d % 4 + 1).cast("int"),
+            ),
+            F.lit(".c"),
+            s(d % 6),
+        ),
     )
 
     return docs.select(
@@ -139,6 +149,10 @@ transcripts AS (
       || CASE WHEN doc_id % 6 = 0 THEN ' http://svc-' || CAST(doc_id % 5 AS VARCHAR)
               || '.example.com/api/v1/r' || CAST(doc_id % 17 AS VARCHAR) || '?q=1' ELSE '' END
       || CASE WHEN doc_id % 6 = 3 THEN ' GET /api/r' || CAST(doc_id % 17 AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 9 = 0 THEN ' tbl:' ||
+              (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'orders' WHEN 1 THEN 'lineitem'
+                    WHEN 2 THEN 'customer' ELSE 'part' END) || '.c' || CAST(doc_id % 6 AS VARCHAR)
+         ELSE '' END
                                                                   AS text,
     CASE WHEN doc_id % 4 = 2 THEN 'tool_' || CAST(doc_id % 7 AS VARCHAR) END AS tool,
     CAST({EPOCH0} + doc_id * 60 AS BIGINT)                        AS ts_epoch
