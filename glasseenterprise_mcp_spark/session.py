@@ -26,6 +26,10 @@ ENGINE_CONFS: dict[str, str] = {
     # Broadcast threshold: small dims (tool/config/resource registries) are
     # broadcast; 32MB is conservative for 100TB-scale fact sides.
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    # Bound scan-partition size so blob/text-heavy tables split into
+    # executor-memory-sized tasks at any input scale (spill-aware sizing,
+    # SURVEY.md "Optimize for scale").
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
     # In local mode the driver heap IS the executor heap: size it for the

@@ -1,0 +1,60 @@
+"""Salted-join / salted-repartition semantics + placement determinism."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from glasseenterprise_mcp_spark.functions.skew import (
+    salted_join,
+    salted_repartition,
+    two_phase_count,
+)
+
+
+def _hot_df(spark, n_hot=5000, n_cold=200):
+    rows = [("hot", i) for i in range(n_hot)] + [
+        (f"k{i % 50}", i) for i in range(n_cold)
+    ]
+    return spark.createDataFrame(rows, "k string, v int")
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = _hot_df(spark)
+    small = spark.createDataFrame(
+        [("hot", "H"), ("k1", "A"), ("k2", "B"), ("absent", "Z")], "k string, tag string"
+    )
+    plain = {(r.k, r.v, r.tag) for r in big.join(small, "k").collect()}
+    salted = {(r.k, r.v, r.tag) for r in salted_join(big, small, ["k"]).collect()}
+    assert salted == plain and len(plain) == 5000 + 4 + 4
+
+    plain_l = {(r.k, r.v, r.tag) for r in big.join(small, "k", "left").collect()}
+    salted_l = {
+        (r.k, r.v, r.tag) for r in salted_join(big, small, ["k"], how="left").collect()
+    }
+    assert salted_l == plain_l
+
+
+def test_salt_is_deterministic(spark):
+    big = _hot_df(spark)
+    small = spark.createDataFrame([("hot", "H")], "k string, tag string")
+    a = salted_join(big, small, ["k"]).count()
+    b = salted_join(big.repartition(7), small, ["k"]).count()
+    assert a == b == 5000
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    df = salted_repartition(_hot_df(spark), "k", salt_buckets=8)
+    per_part = (
+        df.filter(F.col("k") == "hot")
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    assert len(per_part) > 1  # the hot key no longer lives in one partition
+    assert sum(r["count"] for r in per_part) == 5000
+
+
+def test_two_phase_count(spark):
+    got = {r.k: r.n for r in two_phase_count(_hot_df(spark), "k").collect()}
+    assert got["hot"] == 5000
+    assert got["k1"] == 4
