@@ -15,6 +15,8 @@ analogue of the reference's scan summary, src/index.ts:230-238).
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
@@ -61,21 +63,50 @@ class PipelineResult:
     metrics: list[DataFrame] = field(default_factory=list)
 
 
+def _stage_checkpoint(
+    spark: SparkSession,
+    df: DataFrame,
+    stage_dir: str | None,
+    name: str,
+    timings: dict[str, float],
+) -> DataFrame:
+    """Mid-run resumability (north rule: resumable DAG): when ``stage_dir``
+    is set, each stage's output is materialized to
+    ``<stage_dir>/<name>``; a rerun finds the completed stage on disk and
+    skips its recomputation entirely (the batch analogue of the streaming
+    checkpoint — on a cluster this is an Iceberg snapshot per stage).
+    Also records the stage's wall-clock."""
+    if stage_dir is None:
+        return df
+    path = os.path.join(stage_dir, name)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        timings[name] = 0.0  # resumed, not recomputed
+        return spark.read.parquet(path)
+    t0 = time.time()
+    df.write.mode("overwrite").parquet(path)
+    timings[name] = round(time.time() - t0, 3)
+    return spark.read.parquet(path)
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,
     sink: GraphSink | None = None,
     snapshot_version: str | None = None,
     with_components: bool = True,
+    stage_dir: str | None = None,
 ) -> PipelineResult:
     snap = snapshot_version or snapshot_stamp(spark)
+    timings: dict[str, float] = {}
 
     # transcripts feeds four consumers (extract, replies, calls, nodes) —
     # cache so a synthesized/amplified source isn't recomputed per consumer.
     transcripts = transcripts.cache()
 
     # Stage A — narrow; cache because four linking joins consume it.
-    mentions = extract_mentions(transcripts).cache()
+    mentions = _stage_checkpoint(
+        spark, extract_mentions(transcripts), stage_dir, "A_mentions", timings
+    ).cache()
 
     # Stage B
     e_mentions_in = mentions_in_edges(mentions).drop("subj_kind")
@@ -87,7 +118,13 @@ def run_pipeline(
     # single materialization everything downstream (CC, metrics, sink) reads
     # — no edge family is ever computed twice.
     nodes = build_nodes(transcripts, mentions, snap)
-    edges = build_edges([e_mentions_in, e_replies, e_calls, e_refers], snap).cache()
+    edges = _stage_checkpoint(
+        spark,
+        build_edges([e_mentions_in, e_replies, e_calls, e_refers], snap),
+        stage_dir,
+        "D_edges",
+        timings,
+    ).cache()
 
     # Stage C — canonicalization over the cross-corpus linking graph.
     if with_components:
@@ -103,6 +140,16 @@ def run_pipeline(
         partition_metrics(edges, "D_edges", snap),
         partition_metrics(nodes, "D_nodes", snap),
     ]
+    if timings:
+        metrics.append(
+            spark.createDataFrame(
+                [
+                    (snap, stage, -1, int(sec * 1000), "stage_wall_ms")
+                    for stage, sec in timings.items()
+                ],
+                "snapshot_version string, stage string, partition_id int, rows long, metric string",
+            )
+        )
 
     if sink is not None:
         write_graph(sink, nodes, edges)
