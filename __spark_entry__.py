@@ -26,6 +26,7 @@ from glasseenterprise_mcp_spark.operators import graph as G
 from glasseenterprise_mcp_spark.operators import similarity as S
 from glasseenterprise_mcp_spark.operators import textstats as T
 from glasseenterprise_mcp_spark.operators.canonicalize import (
+    canonicalize_edges,
     connected_components,
     resolve_identities,
 )
@@ -258,6 +259,41 @@ def q_queries_table(spark, sf_dir):
     )
 
 
+def q_all_triples(spark, sf_dir):
+    """Full-pipeline triple set: the CORRECTNESS entry that mirrors the
+    P/R target directly."""
+    t = _t(spark, sf_dir)
+    m = extract_mentions(t)
+    return build_edges(
+        [
+            mentions_in_edges(m).drop("subj_kind"),
+            replies_to_edges(t, m),
+            calls_tool_edges(t, m),
+            refers_to_edges(m),
+        ],
+        SNAP,
+    ).select("subj", "pred", "obj")
+
+
+def q_canonical_triples(spark, sf_dir):
+    """Triples after CC canonicalization rewrites endpoints to cluster
+    representatives (min id in component)."""
+    t = _t(spark, sf_dir)
+    m = extract_mentions(t).cache()
+    e_refers = refers_to_edges(m)
+    comps = connected_components(e_refers.select("subj", "obj"), "subj", "obj")
+    edges = build_edges(
+        [
+            mentions_in_edges(m).drop("subj_kind"),
+            replies_to_edges(t, m),
+            calls_tool_edges(t, m),
+            e_refers,
+        ],
+        SNAP,
+    )
+    return canonicalize_edges(edges, comps)
+
+
 def q_mention_attrs(spark, sf_dir):
     from glasseenterprise_mcp_spark.operators.extract import enrich_mention_attrs
 
@@ -299,6 +335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u5_new_entities": q_new_entities,
         "e8_mention_attrs": q_mention_attrs,
         "j6_queries_table": q_queries_table,
+        "pipeline_all_triples": q_all_triples,
+        "g4b_canonical_triples": q_canonical_triples,
         "ev2_tumbling_counts": q_tumbling_counts,
     }
 
@@ -416,6 +454,36 @@ def oracle_sql() -> dict[str, str]:
         ),
         "u5_new_entities": O.oracle(
             "SELECT norm FROM new_entities", A.new_entities_cte()
+        ),
+        "pipeline_all_triples": O.oracle(
+            "SELECT subj, pred, obj FROM all_edges",
+            O.mentions_in_cte(),
+            O.replies_to_cte(),
+            O.calls_tool_cte(),
+            O.refers_to_cte(),
+            """all_edges AS (
+  SELECT subj, pred, obj FROM mentions_in
+  UNION ALL SELECT subj, pred, obj FROM replies_to
+  UNION ALL SELECT subj, pred, obj FROM calls_tool
+  UNION ALL SELECT subj, pred, obj FROM refers_to
+)""",
+        ),
+        "g4b_canonical_triples": O.oracle(
+            "SELECT subj, pred, obj FROM canonical_edges",
+            O.mentions_in_cte(),
+            O.replies_to_cte(),
+            O.calls_tool_cte(),
+            O.refers_to_cte(),
+            """all_edges AS (
+  SELECT subj, pred, obj FROM mentions_in
+  UNION ALL SELECT subj, pred, obj FROM replies_to
+  UNION ALL SELECT subj, pred, obj FROM calls_tool
+  UNION ALL SELECT subj, pred, obj FROM refers_to
+)""",
+            O.connected_components_cte("refers_to"),
+            __import__(
+                "glasseenterprise_mcp_spark.operators.canonicalize", fromlist=["x"]
+            ).canonicalize_edges_cte("all_edges"),
         ),
         "ev2_tumbling_counts": A.tumbling_event_counts_sql(),
         "j6_queries_table": O.oracle(

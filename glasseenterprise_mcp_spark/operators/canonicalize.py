@@ -104,6 +104,42 @@ def connected_components_cte(edges_cte: str) -> str:
 )"""
 
 
+def canonicalize_edges(edges: DataFrame, components: DataFrame) -> DataFrame:
+    """Rewrite triple endpoints to their canonical cluster representatives
+    (the materialize-stage step of the north star: after CC, alias nodes
+    collapse and their edges re-point at the canonical id).
+
+    ``components``: (id, comp). Non-clustered ids pass through. Dedup after
+    rewrite (two aliases' edges may collapse onto one canonical triple).
+    Two broadcast-sized hash joins — the component map is a small dim
+    (distinct linked nodes, not occurrences)."""
+    cs = components.select(
+        F.col("id").alias("subj"), F.col("comp").alias("_subj_c")
+    )
+    co = components.select(F.col("id").alias("obj"), F.col("comp").alias("_obj_c"))
+    return (
+        edges.join(F.broadcast(cs), "subj", "left")
+        .join(F.broadcast(co), "obj", "left")
+        .select(
+            F.coalesce(F.col("_subj_c"), F.col("subj")).alias("subj"),
+            F.col("pred"),
+            F.coalesce(F.col("_obj_c"), F.col("obj")).alias("obj"),
+        )
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+
+
+def canonicalize_edges_cte(edges_cte: str) -> str:
+    """DuckDB twin over an edge CTE (subj, pred, obj) + the ``cc`` CTE."""
+    return f"""canonical_edges AS (
+  SELECT DISTINCT COALESCE(cs.comp, e.subj) AS subj, e.pred,
+                  COALESCE(co.comp, e.obj) AS obj
+  FROM {edges_cte} e
+  LEFT JOIN cc cs ON cs.id = e.subj
+  LEFT JOIN cc co ON co.id = e.obj
+)"""
+
+
 def resolve_identities(mentions: DataFrame, mtype: str = "entity") -> DataFrame:
     """A4 analogue: canonical display identity per normalized key.
 
