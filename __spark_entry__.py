@@ -198,6 +198,10 @@ def q_simhash(spark, sf_dir):
     return D.simhash(D.shingles(_docs(spark, sf_dir)))
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    return S.embedding_near_dup_pairs(_emb(spark, sf_dir))
+
+
 def q_fingerprints(spark, sf_dir):
     return T.fingerprints(D.shingles(_docs(spark, sf_dir)))
 
@@ -328,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd2_lsh_candidates": q_lsh_candidates,
         "dd3_near_dup_jaccard": q_near_dup_jaccard,
         "dd4_simhash": q_simhash,
+        "dd5_embedding_near_dups": q_embedding_near_dups,
         "tx1_lang_scores": q_lang_scores,
         "tx2_token_stats": q_token_stats,
         "tx3_fingerprints": q_fingerprints,
@@ -434,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "dd4_simhash": "WITH "
         + ",\n".join([D.shingles_cte(), D.simhash_cte()])
         + "\nSELECT doc_id, simhash FROM simhash",
+        "dd5_embedding_near_dups": S.embedding_near_dup_pairs_sql(),
         "tx1_lang_scores": T.lang_scores_sql(),
         "tx2_token_stats": T.token_stats_sql(),
         "tx3_fingerprints": "WITH "

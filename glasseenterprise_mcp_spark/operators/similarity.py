@@ -132,6 +132,78 @@ def lsh_topk(embeddings: DataFrame, query_filter: Column, k: int = 5) -> DataFra
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, min_cos_pct: int = 35, bits: int = LSH_BITS
+) -> DataFrame:
+    """Embedding-cosine near-duplicate candidate pairs (the dedup-family
+    member over vectors): LSH-bucketed self-join → integer cosine test.
+
+    Exactness trick: with qv = round(x*1000) and d2 = floor(dot/1000),
+    cos(a,b) ≥ t  ⇔  d2 > 0 ∧ d2²·10⁴ ≥ t_pct²·(naa/1000)·(nbb/1000)
+    (na a = self-dot) — all int64 arithmetic, no sqrt, no floats, identical
+    in Spark and DuckDB, overflow-safe for |x| ≤ ~30 at 64 dims.
+
+    Output: (a, b, cos_pct_floor) with a < b; cos_pct_floor is the integer
+    floor of 100·cos for reporting."""
+    q = quantized(embeddings).withColumn("bucket", lsh_bucket_col("qv", bits))
+    q = q.withColumn("self_dot", _dot("qv", "qv"))
+    l = q.select(
+        "bucket", F.col("vec_id").alias("a"), F.col("qv").alias("qa"),
+        F.col("self_dot").alias("naa"),
+    )
+    r = q.select(
+        "bucket", F.col("vec_id").alias("b"), F.col("qv").alias("qb"),
+        F.col("self_dot").alias("nbb"),
+    )
+    pairs = l.join(r, "bucket").filter(F.col("a") < F.col("b"))
+    d2 = F.floor(_dot("qa", "qb") / 1000).cast("long")
+    na2 = F.floor(F.col("naa") / 1000).cast("long")
+    nb2 = F.floor(F.col("nbb") / 1000).cast("long")
+    scored = pairs.select(
+        "a", "b", d2.alias("d2"), na2.alias("na2"), nb2.alias("nb2")
+    ).filter(
+        (F.col("d2") > 0)
+        & (F.col("d2") * F.col("d2") * 10000
+           >= F.lit(min_cos_pct * min_cos_pct) * F.col("na2") * F.col("nb2"))
+    )
+    cos_pct = F.floor(
+        F.col("d2") * 100 / F.sqrt((F.col("na2") * F.col("nb2")).cast("double"))
+    ).cast("int")
+    return scored.select("a", "b", cos_pct.alias("cos_pct_floor"))
+
+
+def embedding_near_dup_pairs_sql(min_cos_pct: int = 35, bits: int = LSH_BITS) -> str:
+    bucket_parts = []
+    for b in range(bits):
+        weights = ", ".join(str(_hyperplane_weight(b, d)) for d in range(DIM))
+        bucket_parts.append(
+            f"(CASE WHEN CAST(list_dot_product(qv, [{weights}]) AS BIGINT) >= 0"
+            " THEN '1' ELSE '0' END)"
+        )
+    bucket = " || ".join(bucket_parts)
+    t2 = min_cos_pct * min_cos_pct
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), qb AS (
+  SELECT vec_id, qv, {bucket} AS bucket,
+         CAST(list_dot_product(qv, qv) AS BIGINT) AS self_dot
+  FROM q
+), scored AS (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         CAST(floor(CAST(list_dot_product(l.qv, r.qv) AS BIGINT) / 1000) AS BIGINT) AS d2,
+         CAST(floor(l.self_dot / 1000) AS BIGINT) AS na2,
+         CAST(floor(r.self_dot / 1000) AS BIGINT) AS nb2
+  FROM qb l JOIN qb r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT a, b,
+       CAST(floor(d2 * 100 / sqrt(CAST(na2 * nb2 AS DOUBLE))) AS INT) AS cos_pct_floor
+FROM scored
+WHERE d2 > 0 AND d2 * d2 * 10000 >= {t2} * na2 * nb2"""
+
+
 def lsh_topk_sql(query_where: str, k: int = 5, bits: int = LSH_BITS) -> str:
     bucket_parts = []
     for b in range(bits):
