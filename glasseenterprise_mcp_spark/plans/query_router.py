@@ -45,8 +45,42 @@ class QueryRouter:
         self.limit = limit
         nodes.createOrReplaceTempView("nodes")
         edges.createOrReplaceTempView("edges")
-        # precedence-ordered templates (regex, handler) — Q2
+        # precedence-ordered templates (regex, handler) — Q2. The advanced
+        # templates mirror the reference's set (queryCommand.ts:29-192):
+        # cycle detection, impact-of-seed, provided/consumed listings,
+        # configs-per-container, who-calls.
         self.templates: list[tuple[str, re.Pattern, Callable[[re.Match], DataFrame]]] = [
+            (
+                "tool_cycles",
+                re.compile(r"(?:circular|cycle|cyclic).*tool", re.I),
+                self._tool_cycles,
+            ),
+            (
+                "impact_of_turn",
+                re.compile(
+                    r"impact.*turn\s+['\"]?([A-Za-z0-9_\-]+)#(\d+)['\"]?(?:.*depth\s+(\d+))?",
+                    re.I,
+                ),
+                self._impact_of_turn,
+            ),
+            (
+                "list_provided",
+                re.compile(r"(?:list|show).*provided\s+(?:resources|apis|endpoints)", re.I),
+                lambda m: self._list_kind("resource"),
+            ),
+            (
+                "list_consumed",
+                re.compile(r"(?:list|show).*consumed\s+(?:urls|apis|resources)", re.I),
+                lambda m: self._list_kind("url"),
+            ),
+            (
+                "configs_in_conversation",
+                re.compile(
+                    r"(?:what|which).*configs?.*conversation\s+['\"]?([A-Za-z0-9_\-]+)['\"]?",
+                    re.I,
+                ),
+                self._configs_in_conversation,
+            ),
             (
                 "calls_of_tool",
                 re.compile(r"(?:what|which).*(?:calls?|uses?)\s+tool\s+([A-Za-z0-9_.\-]+)", re.I),
@@ -153,6 +187,52 @@ class QueryRouter:
             )
             .select("from_turn", "to_turn")
             .orderBy("from_turn")
+        )
+
+    def _tool_cycles(self, m: re.Match) -> DataFrame:
+        from ..operators.graph import find_cycles
+
+        calls = self.edges.filter(F.col("pred") == "calls-tool")
+        # turn→tool edges form a bipartite graph; derive tool→tool via
+        # shared turns is conversation-order dependent, so cycle-check the
+        # refers-to graph too — union both directed slices
+        refers = self.edges.filter(F.col("pred") == "refers-to")
+        g = calls.select("subj", "obj").unionByName(refers.select("subj", "obj"))
+        return find_cycles(g, "subj", "obj", max_len=8)
+
+    def _impact_of_turn(self, m: re.Match) -> DataFrame:
+        from ..operators.graph import impact
+        from ..operators.link import turn_id_col
+
+        conv, turn = m.group(1), int(m.group(2))
+        depth = int(m.group(3)) if m.group(3) else 3
+        seeds = self.spark.createDataFrame(
+            [(conv, turn)], "conv_id string, turn_idx int"
+        ).select(turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("id"))
+        return impact(self.edges, self.nodes, seeds, depth=depth)
+
+    def _list_kind(self, kind: str) -> DataFrame:
+        return (
+            self.nodes.filter(F.col("type") == kind)
+            .select("name", "norm")
+            .orderBy("norm", "name")
+        )
+
+    def _configs_in_conversation(self, m: re.Match) -> DataFrame:
+        conv = m.group(1)
+        conv_turns = self.nodes.filter(
+            (F.col("type") == "turn") & (F.col("first_conv") == conv)
+        ).select(F.col("id").alias("obj"))
+        cfg = self.nodes.filter(F.col("type") == "config").select(
+            F.col("id").alias("subj"), F.col("name").alias("config")
+        )
+        return (
+            self.edges.filter(F.col("pred") == "mentions-in")
+            .join(conv_turns, "obj")
+            .join(cfg, "subj")
+            .select("config")
+            .distinct()
+            .orderBy("config")
         )
 
     # --- Q3: tokenized fallback ----------------------------------------

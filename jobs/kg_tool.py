@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""User-facing tool surface mirroring the reference MCP server's four tools
+(src/index.ts:59-138): ``scan``, ``impact``, ``query``, ``learn`` — plus
+``reset`` (S11, src/commands/resetCommand.ts). A user of the reference can
+run the same operations against this engine:
+
+    python jobs/kg_tool.py scan   --input synth:/root/testdata/sf0.001 --graph /tmp/kg
+    python jobs/kg_tool.py learn  --graph /tmp/kg
+    python jobs/kg_tool.py query  --graph /tmp/kg "which turns call tool tool_1"
+    python jobs/kg_tool.py query  --graph /tmp/kg "SQL: SELECT pred, count(*) n FROM edges GROUP BY pred"
+    python jobs/kg_tool.py impact --graph /tmp/kg --conv c3 --turn 2 --depth 3
+    python jobs/kg_tool.py reset  --graph /tmp/kg --conv-prefix c3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _spark(master=None):
+    from glasseenterprise_mcp_spark.session import get_spark
+
+    s = get_spark(app_name="kg-tool", master=master)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def cmd_scan(args):
+    from glasseenterprise_mcp_spark.operators.materialize import GraphSink
+    from glasseenterprise_mcp_spark.pipeline import run_pipeline
+    from glasseenterprise_mcp_spark.sources.transcripts import derive_transcripts
+
+    spark = _spark(args.master)
+    if args.input.startswith("synth:"):
+        t = derive_transcripts(spark, args.input[len("synth:"):])
+    else:
+        t = spark.read.parquet(args.input)
+    sink = GraphSink(spark, args.graph)
+    res = run_pipeline(spark, t, sink=sink, snapshot_version=args.snapshot)
+    summary = {
+        "snapshot": res.snapshot_version,
+        "nodes": sink.read("nodes").count(),
+        "edges": sink.read("edges").count(),
+    }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+def cmd_learn(args):
+    """Post-ingest validation (learnCommand.ts:60-97): count-by-label +
+    sample edges per predicate."""
+    import pyspark.sql.functions as F
+
+    from glasseenterprise_mcp_spark.operators.materialize import GraphSink
+
+    spark = _spark(args.master)
+    sink = GraphSink(spark, args.graph)
+    nodes, edges = sink.read("nodes"), sink.read("edges")
+    by_label = {
+        r.type: r.n
+        for r in nodes.groupBy("type").agg(F.count("*").alias("n")).collect()
+    }
+    samples = {
+        r.pred: r.n
+        for r in edges.groupBy("pred").agg(F.count("*").alias("n")).collect()
+    }
+    print(json.dumps({"nodes_by_type": by_label, "edges_by_pred": samples}))
+    spark.stop()
+
+
+def cmd_query(args):
+    from glasseenterprise_mcp_spark.operators.materialize import GraphSink
+    from glasseenterprise_mcp_spark.plans.query_router import QueryRouter
+
+    spark = _spark(args.master)
+    sink = GraphSink(spark, args.graph)
+    router = QueryRouter(spark, sink.read("nodes"), sink.read("edges"))
+    routed = router.route(args.prompt)
+    rows = [r.asDict() for r in routed.df.collect()]
+    print(json.dumps({"template": routed.template, "rows": rows[:100]}, default=str))
+    spark.stop()
+
+
+def cmd_impact(args):
+    import pyspark.sql.functions as F
+
+    from glasseenterprise_mcp_spark.operators.graph import impact
+    from glasseenterprise_mcp_spark.operators.link import turn_id_col
+    from glasseenterprise_mcp_spark.operators.materialize import GraphSink
+
+    spark = _spark(args.master)
+    sink = GraphSink(spark, args.graph)
+    nodes, edges = sink.read("nodes"), sink.read("edges")
+    seeds = spark.createDataFrame(
+        [(args.conv, args.turn)], "conv_id string, turn_idx int"
+    ).select(turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("id"))
+    out = impact(edges, nodes, seeds, depth=args.depth)
+    print(json.dumps({"seed": f"{args.conv}#{args.turn}", "depth": args.depth,
+                      "reached": [r.asDict() for r in out.collect()]}))
+    spark.stop()
+
+
+def cmd_reset(args):
+    """S11: delete by conversation prefix (reference deletes by repoRoot)
+    or everything. Parquet fallback = read-filter-rewrite (MoR delete)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from glasseenterprise_mcp_spark.operators.materialize import GraphSink
+
+    spark = _spark(args.master)
+    sink = GraphSink(spark, args.graph)
+    if args.conv_prefix is None:
+        for t in ("nodes", "edges", "metrics"):
+            shutil.rmtree(Path(args.graph) / t, ignore_errors=True)
+        print(json.dumps({"reset": "all"}))
+        spark.stop()
+        return
+    nodes = sink.read("nodes")
+    keep_nodes = nodes.filter(
+        ~(F.col("first_conv").startswith(args.conv_prefix))
+    ).localCheckpoint(eager=True)
+    kept_ids = keep_nodes.select("id").localCheckpoint(eager=True)
+    edges = sink.read("edges")
+    keep_edges = (
+        edges.join(kept_ids.withColumnRenamed("id", "subj"), "subj", "left_semi")
+        .join(kept_ids.withColumnRenamed("id", "obj"), "obj", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    for t in ("nodes", "edges"):
+        shutil.rmtree(Path(args.graph) / t, ignore_errors=True)
+    keep_nodes.write.mode("overwrite").partitionBy("type").parquet(
+        str(Path(args.graph) / "nodes")
+    )
+    keep_edges.write.mode("overwrite").partitionBy("pred").parquet(
+        str(Path(args.graph) / "edges")
+    )
+    print(json.dumps({"reset_prefix": args.conv_prefix,
+                      "nodes_left": keep_nodes.count(),
+                      "edges_left": keep_edges.count()}))
+    spark.stop()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--master", default="local[8]")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("scan")
+    p.add_argument("--input", required=True)
+    p.add_argument("--graph", required=True)
+    p.add_argument("--snapshot", default=None)
+    p.set_defaults(fn=cmd_scan)
+
+    p = sub.add_parser("learn")
+    p.add_argument("--graph", required=True)
+    p.set_defaults(fn=cmd_learn)
+
+    p = sub.add_parser("query")
+    p.add_argument("--graph", required=True)
+    p.add_argument("prompt")
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("impact")
+    p.add_argument("--graph", required=True)
+    p.add_argument("--conv", required=True)
+    p.add_argument("--turn", type=int, required=True)
+    p.add_argument("--depth", type=int, default=3)
+    p.set_defaults(fn=cmd_impact)
+
+    p = sub.add_parser("reset")
+    p.add_argument("--graph", required=True)
+    p.add_argument("--conv-prefix", default=None)
+    p.set_defaults(fn=cmd_reset)
+
+    args = ap.parse_args()
+    # parse global --master even when placed before subcommand
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -238,3 +238,50 @@ def test_query_router(spark):
 
     r = router.route("hot_entity somewhere")
     assert r.template == "fallback_search" and r.df.count() > 0
+
+
+def test_query_router_advanced_templates(spark):
+    from glasseenterprise_mcp_spark.operators.extract import extract_mentions
+    from glasseenterprise_mcp_spark.operators.link import (
+        calls_tool_edges,
+        mentions_in_edges,
+        refers_to_edges,
+        replies_to_edges,
+    )
+    from glasseenterprise_mcp_spark.operators.materialize import build_edges, build_nodes
+    from glasseenterprise_mcp_spark.plans.query_router import QueryRouter
+    from glasseenterprise_mcp_spark.sources.transcripts import derive_transcripts
+
+    t = derive_transcripts(spark, "/root/testdata/sf0.001")
+    m = extract_mentions(t).cache()
+    nodes = build_nodes(t, m, "s")
+    edges = build_edges(
+        [
+            mentions_in_edges(m).drop("subj_kind"),
+            replies_to_edges(t, m),
+            calls_tool_edges(t, m),
+            refers_to_edges(m),
+        ],
+        "s",
+    ).cache()
+    router = QueryRouter(spark, nodes, edges)
+
+    r = router.route("show provided resources")
+    assert r.template == "list_provided" and r.df.count() > 0
+
+    r = router.route("list consumed urls")
+    assert r.template == "list_consumed" and r.df.count() > 0
+
+    r = router.route("which configs appear in conversation c0?")
+    assert r.template == "configs_in_conversation" and r.df.count() > 0
+
+    r = router.route("impact of turn c3#2 with depth 2")
+    assert r.template == "impact_of_turn"
+    reached = {row.type for row in r.df.collect()}
+    assert "turn" in reached and len(reached) >= 2
+
+    r = router.route("are there circular tool dependencies?")
+    assert r.template == "tool_cycles"
+    r.df.count()  # bipartite graph: no cycles expected, must run clean
+    m.unpersist()
+    edges.unpersist()
