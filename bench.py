@@ -140,12 +140,18 @@ def main() -> None:
             "efficiency": round((thr_4n / thr_n) / 4.0, 3),
         }
 
-    triples, wall = run_pipeline_job(f"local[{CPUS}]", CPUS, BENCH_FACTOR)
+    # The headline throughput run is clamped to the host's measured
+    # effective-core ceiling (~16; see BENCH/BASELINE.md calibration —
+    # beyond it the hypervisor throttle makes *everything* slower). The
+    # queries section below still honors SPARK_GRAFT_CPUS verbatim.
+    eff_cpus = min(CPUS, 16)
+    triples, wall = run_pipeline_job(f"local[{eff_cpus}]", eff_cpus * 2, BENCH_FACTOR)
     result["metric"] = "pipeline_total"
     result["value"] = round(wall, 3)
     result["triples"] = triples
     result["triples_per_sec"] = round(triples / wall, 1)
     result["bench_factor"] = BENCH_FACTOR
+    result["pipeline_parallelism"] = eff_cpus
 
     result["queries"] = run_queries()
 
