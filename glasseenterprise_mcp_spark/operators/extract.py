@@ -124,6 +124,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             if len(text) > MAX_TEXT_BYTES:
                 text = text[:MAX_TEXT_BYTES]
+            seen: set[tuple[str, str]] = set()
             for mtype, rx, hint in _COMPILED:
                 if hint is not None and hint not in text:
                     continue
@@ -133,15 +134,21 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     if ord_ > MAX_MATCHES_PER_KIND:
                         break
                     surface = m.group(1)
+                    norm = norm_fn(surface)
+                    path = path_fn(surface) if path_fn else None
+                    node_key = (mtype, path if mtype == "url" else norm)
+                    first = node_key not in seen
+                    seen.add(node_key)
                     out["conv_id"].append(conv_ids[i])
                     out["turn_idx"].append(turn_idxs[i])
                     out["mtype"].append(mtype)
                     out["surface"].append(surface)
-                    out["norm"].append(norm_fn(surface))
+                    out["norm"].append(norm)
                     out["ord"].append(ord_)
                     out["span_start"].append(m.start(1))
                     out["span_end"].append(m.end(1))
-                    out["path"].append(path_fn(surface) if path_fn else None)
+                    out["path"].append(path)
+                    out["first_in_turn"].append(first)
         yield pd.DataFrame(out)
 
 

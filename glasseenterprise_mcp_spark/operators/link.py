@@ -64,6 +64,18 @@ def mentions_in_edges(mentions: DataFrame) -> DataFrame:
     the triple itself (uniform) so no skew.
     """
     m = mentions.filter(F.col("mtype") != "reply")
+    if "first_in_turn" in mentions.columns:
+        # the extraction kernel already flags the first occurrence of each
+        # node key per turn → (subj, obj) pairs are unique by construction,
+        # no dedup shuffle at all (this stage becomes fully narrow)
+        m = m.filter(F.col("first_in_turn"))
+        key = F.when(F.col("mtype") == "url", F.col("path")).otherwise(F.col("norm"))
+        return m.select(
+            F.md5(F.concat_ws("|", _kind_case_col(), key)).alias("subj"),
+            F.lit("mentions-in").alias("pred"),
+            turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("obj"),
+            _kind_case_col().alias("subj_kind"),
+        )
     key = F.when(F.col("mtype") == "url", F.col("path")).otherwise(F.col("norm"))
     return (
         m.select(

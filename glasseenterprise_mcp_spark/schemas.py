@@ -10,6 +10,7 @@ src/neo4j/saveNodes.ts / saveRelationships.ts).
 from __future__ import annotations
 
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     LongType,
     MapType,
@@ -45,6 +46,11 @@ MENTIONS_SCHEMA = StructType(
         StructField("span_start", IntegerType()),
         StructField("span_end", IntegerType()),
         StructField("path", StringType()),  # pre-api-strip path for url/endpoint
+        # True for the first occurrence of this mention's NODE KEY within the
+        # turn (key = path for urls, norm otherwise). Lets mentions-in skip
+        # its global dedup shuffle: (node, turn) pairs are unique by
+        # construction when filtered on this flag.
+        StructField("first_in_turn", BooleanType()),
     ]
 )
 

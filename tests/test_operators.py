@@ -76,26 +76,57 @@ def test_norm_three_dialects(spark, duck_small):
 # --------------------------------------------------------------------------
 # connected components — chains, forests, convergence
 # --------------------------------------------------------------------------
-def test_cc_chain_and_forest(spark):
+@pytest.mark.parametrize("threshold", [500_000, 0])  # driver-side / distributed
+def test_cc_chain_and_forest(spark, threshold):
     # chain a-b-c-d-e (diameter 4) + separate pair x-y + isolated star
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y"),
          ("s", "t1"), ("s", "t2"), ("s", "t3")],
         ["src", "dst"],
     )
-    got = {r.id: r.comp for r in connected_components(edges).collect()}
+    got = {
+        r.id: r.comp
+        for r in connected_components(
+            edges, distributed_threshold=threshold
+        ).collect()
+    }
     assert {got[k] for k in "abcde"} == {"a"}
     assert got["x"] == got["y"] == "x"
     assert got["s"] == got["t1"] == got["t2"] == got["t3"] == "s"
 
 
-def test_cc_converges_on_long_chain(spark):
+@pytest.mark.parametrize("threshold", [500_000, 0])
+def test_cc_converges_on_long_chain(spark, threshold):
     n = 40  # diameter > typical iteration counts; label ids sort lexicographically
     edges = spark.createDataFrame(
         [(f"v{i:03d}", f"v{i + 1:03d}") for i in range(n)], ["src", "dst"]
     )
-    got = {r.id: r.comp for r in connected_components(edges, max_iter=60).collect()}
+    got = {
+        r.id: r.comp
+        for r in connected_components(
+            edges, max_iter=60, distributed_threshold=threshold
+        ).collect()
+    }
     assert set(got.values()) == {"v000"}
+
+
+def test_cc_paths_agree(spark):
+    import random
+
+    rnd = random.Random(7)
+    edges = spark.createDataFrame(
+        [(f"n{rnd.randrange(60)}", f"n{rnd.randrange(60)}") for _ in range(80)],
+        ["src", "dst"],
+    )
+    a = {
+        (r.id, r.comp)
+        for r in connected_components(edges, distributed_threshold=10**6).collect()
+    }
+    b = {
+        (r.id, r.comp)
+        for r in connected_components(edges, distributed_threshold=0).collect()
+    }
+    assert a == b
 
 
 # --------------------------------------------------------------------------
@@ -106,13 +137,13 @@ def test_refers_to_tier2_residual(spark):
 
     rows = [
         # tier-1 pair: same fully-normalized key
-        ("c1", 0, "url", "http://h/api/v1/r9", "/r9", 1, 0, 1, "/api/v1/r9"),
-        ("c2", 0, "endpoint", "/api/r9", "/r9", 1, 0, 1, "/api/r9"),
+        ("c1", 0, "url", "http://h/api/v1/r9", "/r9", 1, 0, 1, "/api/v1/r9", True),
+        ("c2", 0, "endpoint", "/api/r9", "/r9", 1, 0, 1, "/api/r9", True),
         # tier-2: consumed path contains provided norm, but norms differ
-        ("c1", 1, "url", "http://h/legacy/r7/extra", "/legacy/r7/extra", 1, 0, 1, "/legacy/r7/extra"),
-        ("c2", 1, "endpoint", "/api/r7/extra", "/r7/extra", 1, 0, 1, "/api/r7/extra"),
+        ("c1", 1, "url", "http://h/legacy/r7/extra", "/legacy/r7/extra", 1, 0, 1, "/legacy/r7/extra", True),
+        ("c2", 1, "endpoint", "/api/r7/extra", "/r7/extra", 1, 0, 1, "/api/r7/extra", True),
         # no match at all
-        ("c1", 2, "url", "http://h/nothing", "/nothing", 1, 0, 1, "/nothing"),
+        ("c1", 2, "url", "http://h/nothing", "/nothing", 1, 0, 1, "/nothing", True),
     ]
     m = spark.createDataFrame(rows, MENTIONS_SCHEMA)
     got = {(r.subj, r.obj): (r.confidence, r.tier) for r in refers_to_edges(m).collect()}
