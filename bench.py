@@ -111,15 +111,19 @@ def main() -> None:
     # cluster would show. Raw times are reported for transparency.
     if RUN_SCALING:
         n, n4 = SCALING_N, SCALING_N * 4
-        # single run per leg (the legs total ~6 min at factor 1200); host
-        # steal noise is ±20-50% in bursts — BENCH/BASELINE.md records the
-        # controlled study
+        # Host steal noise is ±20-50% in bursts and can hit either leg, so
+        # both legs run SCALING_REPS times interleaved and each takes its
+        # best — the symmetric estimator of what a calm dedicated cluster
+        # would show; raw times are reported for transparency.
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
         raw: dict[str, list[float]] = {f"local[{n}]": [], f"local[{n4}]": []}
-        tm, wm = run_pipeline_job(f"local[{n4}]", n4 * 2, SCALING_FACTOR)
-        raw[f"local[{n4}]"].append(round(wm, 3))
-        tn, wn = run_pipeline_job(f"local[{n}]", n * 2, SCALING_FACTOR)
-        raw[f"local[{n}]"].append(round(wn, 3))
-        triples_scal = tn
+        triples_scal = 0
+        for _ in range(reps):
+            tm, wm = run_pipeline_job(f"local[{n4}]", n4 * 2, SCALING_FACTOR)
+            raw[f"local[{n4}]"].append(round(wm, 3))
+            tn, wn = run_pipeline_job(f"local[{n}]", n * 2, SCALING_FACTOR)
+            raw[f"local[{n}]"].append(round(wn, 3))
+            triples_scal = tn
         wn_best = min(raw[f"local[{n}]"])
         wm_best = min(raw[f"local[{n4}]"])
         thr_n, thr_4n = triples_scal / wn_best, triples_scal / wm_best
