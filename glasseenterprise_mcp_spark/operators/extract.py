@@ -154,6 +154,9 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def extract_mentions(transcripts: DataFrame) -> DataFrame:
     """transcripts → mentions (MENTIONS_SCHEMA). Narrow stage, no shuffle."""
+    from ..functions.shipping import ensure_package_shipped
+
+    ensure_package_shipped(transcripts.sparkSession)
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         _extract_batches, schema=MENTIONS_SCHEMA
     )

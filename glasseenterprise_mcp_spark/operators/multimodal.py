@@ -113,6 +113,9 @@ def extract_features(
             )
             yield out
 
+    from ..functions.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
     return media.select("media_id", "modality", "content").mapInPandas(
         _batches, schema=FEATURES_SCHEMA
     )
