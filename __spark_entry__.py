@@ -30,14 +30,23 @@ from glasseenterprise_mcp_spark.operators.canonicalize import (
     connected_components,
     resolve_identities,
 )
+from glasseenterprise_mcp_spark.operators import lineage as LN
+from glasseenterprise_mcp_spark.operators import stateful as ST
 from glasseenterprise_mcp_spark.operators.extract import extract_mentions
 from glasseenterprise_mcp_spark.operators.link import (
     calls_tool_edges,
     mentions_in_edges,
     refers_to_edges,
     replies_to_edges,
+    span_containment_cte,
+    span_containment_join,
 )
-from glasseenterprise_mcp_spark.operators.materialize import build_edges, build_nodes
+from glasseenterprise_mcp_spark.operators.materialize import (
+    build_edges,
+    build_nodes,
+    build_nodes_with_attrs,
+    node_attrs_cte,
+)
 from glasseenterprise_mcp_spark.pipeline import run_pipeline
 from glasseenterprise_mcp_spark.sources.transcripts import derive_transcripts
 
@@ -89,7 +98,9 @@ def q_transcripts(spark, sf_dir):
 
 
 def q_mentions(spark, sf_dir):
-    return _m(spark, sf_dir).select("conv_id", "turn_idx", "mtype", "surface", "norm", "ord", "path")
+    return _m(spark, sf_dir).select(
+        "conv_id", "turn_idx", "mtype", "surface", "norm", "ord", "path", "method", "extra"
+    )
 
 
 def q_mentions_by_type(spark, sf_dir):
@@ -311,6 +322,64 @@ def q_mention_attrs(spark, sf_dir):
     return enrich_mention_attrs(_m(spark, sf_dir))
 
 
+# --- round-2 additions: previously test-only / missing operators -----------
+def q_span_containment(spark, sf_dir):
+    """J2/J8/J11: span-nesting range join on the probe fixture subset
+    (error spans wrapping @probe_ entities)."""
+    m = _m(spark, sf_dir)
+    probe = m.filter(
+        ((F.col("mtype") == "error") & F.col("norm").startswith("e9 with "))
+        | ((F.col("mtype") == "entity") & F.col("norm").startswith("probe_"))
+    )
+    return span_containment_join(probe)
+
+
+def q_alias_identity(spark, sf_dir):
+    """J23: disjunctive identity join (exact OR underscore-stripped norm)."""
+    return A.entity_alias_match(_m(spark, sf_dir))
+
+
+def q_node_attrs(spark, sf_dir):
+    """A2 + §1.4: merged node attrs (multi-source), exploded to rows."""
+    n = build_nodes_with_attrs(_t(spark, sf_dir), _m(spark, sf_dir), SNAP)
+    return n.select("id", "type", F.explode("attrs").alias("k", "v"))
+
+
+def q_secures_api(spark, sf_dir):
+    """J17/N5: ant-pattern regex theta join, first-match-wins."""
+    return LN.secures_api(_m(spark, sf_dir))
+
+
+def q_lineage_triples(spark, sf_dir):
+    """J9/J10: nested-lineage explode + chained registry joins."""
+    return LN.lineage_triples(_m(spark, sf_dir))
+
+
+def q_impact_nodes(spark, sf_dir):
+    """G1b: touched node listing, top-50 per category, deterministic."""
+    t = _t(spark, sf_dir)
+    m = _m(spark, sf_dir)
+    edges = build_edges(
+        [
+            mentions_in_edges(m).drop("subj_kind"),
+            replies_to_edges(t, m),
+            calls_tool_edges(t, m),
+            refers_to_edges(m),
+        ],
+        SNAP,
+    )
+    nodes = build_nodes(t, m, SNAP)
+    seeds = nodes.filter(
+        (F.col("type") == "entity") & (F.col("norm") == "hot_entity")
+    ).select("id")
+    return G.impact_nodes(edges, nodes, seeds, depth=2)
+
+
+def q_stateful_scan(spark, sf_dir):
+    """S6: group-carry stateful scan (code-fence state per conversation)."""
+    return ST.stateful_block_scan(_t(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_transcripts_scan": q_transcripts,
@@ -350,6 +419,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_all_triples": q_all_triples,
         "g4b_canonical_triples": q_canonical_triples,
         "ev2_tumbling_counts": q_tumbling_counts,
+        "j2_span_containment": q_span_containment,
+        "j23_alias_identity": q_alias_identity,
+        "a2_node_attrs": q_node_attrs,
+        "j17_secures_api": q_secures_api,
+        "j9_lineage_triples": q_lineage_triples,
+        "g1b_impact_nodes": q_impact_nodes,
+        "s6_stateful_scan": q_stateful_scan,
     }
 
 
@@ -359,7 +435,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, role, text, tool, ts_epoch FROM transcripts"
         ),
         "e1_extract_mentions": O.oracle(
-            "SELECT conv_id, turn_idx, mtype, surface, norm, ord, path FROM mentions"
+            "SELECT conv_id, turn_idx, mtype, surface, norm, ord, path, method, extra "
+            "FROM mentions"
         ),
         "a8_mentions_by_type": O.oracle(
             "SELECT mtype, CAST(COUNT(*) AS BIGINT) AS n FROM mentions GROUP BY mtype"
@@ -374,7 +451,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT subj, pred, obj, via FROM calls_tool", O.calls_tool_cte()
         ),
         "j20_refers_to_tiered": O.oracle(
-            "SELECT subj, pred, obj, confidence, tier FROM refers_to", O.refers_to_cte()
+            "SELECT subj, pred, obj, confidence, tier, method FROM refers_to",
+            O.refers_to_cte(),
         ),
         "g4_connected_components": O.oracle(
             "SELECT id, comp FROM cc",
@@ -511,5 +589,43 @@ def oracle_sql() -> dict[str, str]:
             __import__(
                 "glasseenterprise_mcp_spark.operators.extract", fromlist=["x"]
             ).enrich_mention_attrs_cte(),
+        ),
+        "j2_span_containment": O.oracle(
+            "SELECT conv_id, turn_idx, container_mtype, container_norm, "
+            "contained_mtype, contained_norm, container_ord, contained_ord "
+            "FROM span_contain",
+            span_containment_cte(),
+        ),
+        "j23_alias_identity": O.oracle(
+            "SELECT lid, rid, via FROM alias_match", A.entity_alias_match_cte()
+        ),
+        "a2_node_attrs": O.oracle(
+            "SELECT id, type, k, v FROM node_attrs", node_attrs_cte()
+        ),
+        "j17_secures_api": O.oracle(
+            "SELECT res_path, pattern, rule_rank FROM secures", LN.secures_api_cte()
+        ),
+        "j9_lineage_triples": O.oracle(
+            "SELECT subj, pred, obj, arg_idx, n FROM lineage", LN.lineage_triples_cte()
+        ),
+        "g1b_impact_nodes": O.oracle(
+            "SELECT type, rank, id, dist, name FROM impact_nodes",
+            O.mentions_in_cte(),
+            O.replies_to_cte(),
+            O.calls_tool_cte(),
+            O.refers_to_cte(),
+            """all_edges AS (
+  SELECT subj, obj FROM mentions_in
+  UNION ALL SELECT subj, obj FROM replies_to
+  UNION ALL SELECT subj, obj FROM calls_tool
+  UNION ALL SELECT subj, obj FROM refers_to
+)""",
+            O.nodes_cte(),
+            G.bfs_cte(2, "type = 'entity' AND norm = 'hot_entity'"),
+            G.impact_nodes_cte(),
+        ),
+        "s6_stateful_scan": O.oracle(
+            "SELECT conv_id, turn_idx, fences, in_block FROM block_scan",
+            ST.stateful_block_scan_cte(),
         ),
     }

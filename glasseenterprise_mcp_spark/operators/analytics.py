@@ -209,6 +209,51 @@ def disjunctive_match(
     )
 
 
+def entity_alias_match(mentions: DataFrame) -> DataFrame:
+    """J23 wired: resolve entity mentions against the derive-target registry
+    on (exact norm) OR (underscore-stripped norm) — precedence-ordered
+    disjunctive identity join (developerAnalyzer.ts:214-245 matches on
+    email OR alias OR name the same way)."""
+    left = (
+        mentions.filter(F.col("mtype") == "entity")
+        .select(F.col("norm").alias("lid"))
+        .distinct()
+        .select(
+            "lid",
+            F.col("lid").alias("l1"),
+            F.replace(F.col("lid"), F.lit("_"), F.lit("")).alias("l2"),
+        )
+    )
+    right = (
+        mentions.filter(F.col("mtype") == "derive")
+        .select(F.col("norm").alias("rid"))
+        .distinct()
+        .select(
+            "rid",
+            F.col("rid").alias("r1"),
+            F.replace(F.col("rid"), F.lit("_"), F.lit("")).alias("r2"),
+        )
+    )
+    return disjunctive_match(left, right, [("l1", "r1"), ("l2", "r2")])
+
+
+def entity_alias_match_cte() -> str:
+    return """alias_match AS (
+  WITH l AS (SELECT DISTINCT norm AS lid FROM mentions WHERE mtype = 'entity'),
+  r AS (SELECT DISTINCT norm AS rid FROM mentions WHERE mtype = 'derive'),
+  u AS (
+    SELECT l.lid, r.rid, 1 AS via FROM l JOIN r ON l.lid = r.rid
+    UNION ALL
+    SELECT l.lid, r.rid, 2 AS via FROM l JOIN r
+      ON replace(l.lid, '_', '') = replace(r.rid, '_', '')
+  )
+  SELECT lid, rid, CAST(via AS INT) AS via FROM (
+    SELECT *, row_number() OVER (PARTITION BY lid ORDER BY via ASC, rid ASC) AS rn
+    FROM u
+  ) WHERE rn = 1
+)"""
+
+
 def entity_stats(transcripts: DataFrame, mentions: DataFrame, top_k: int = 3) -> DataFrame:
     """A5/W2/W3: per-entity stats — mention count, conversations, first/last
     ts_epoch, top-k roles by frequency (count desc, role asc)."""
@@ -350,11 +395,25 @@ FROM events GROUP BY 1, 2"""
 
 def top_entities(mentions: DataFrame, k: int = 10) -> DataFrame:
     """W1/L: global top-k most-mentioned entities with deterministic rank
-    (count desc, norm asc)."""
-    counts = (
-        mentions.filter(F.col("mtype") == "entity")
-        .groupBy("norm")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    (count desc, norm asc).
+
+    The count runs through the salted two-phase kernel (functions/skew.py):
+    the hot entity holds ~50% of all mention rows, and the partial count on
+    (norm, salt) bounds any single reducer's share of the hot key to
+    1/salt_buckets before the final sum — the north rule's "skew from hot
+    entities handled with salted repartitioning", wired into the real
+    counting stage (same result as a plain groupBy; the salt only shapes the
+    physical exchange)."""
+    from ..functions.skew import two_phase_count
+
+    # conv_id/turn_idx ride along as the deterministic salt basis (the salt
+    # is a hash of non-key columns — a norm-only frame would salt the hot
+    # key into a single bucket)
+    counts = two_phase_count(
+        mentions.filter(F.col("mtype") == "entity").select(
+            "norm", "conv_id", "turn_idx"
+        ),
+        "norm",
     )
     w = Window.orderBy(F.desc("n"), F.asc("norm"))
     return (

@@ -99,6 +99,14 @@ def connected_components(
         labels = new_labels.select("id", "comp")
         if changed == 0:
             break
+    else:
+        # loop exhausted max_iter with labels still changing: the component
+        # diameter exceeds the bound and the labels are NOT converged —
+        # silent wrong answers are worse than a loud failure.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "(component diameter exceeds the bound); raise max_iter"
+        )
     return labels
 
 

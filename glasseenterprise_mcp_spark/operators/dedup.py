@@ -150,10 +150,17 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     (a, b, inter, union_n, jaccard_pct). Integer percentage (0-100) avoids
     float-format divergence; the verify join touches candidates only."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # the shingle equality is part of the JOIN CONDITION, not a post-join
+    # filter: (b, sh) are hash-join keys by construction, so the
+    # intermediate is |A∩B| rows per pair — a post-join filter would be
+    # correct only as long as Catalyst folded it into the keys, and
+    # |A|x|B| rows per pair if it ever didn't.
     inter = (
         pairs.join(sh.select(F.col("doc_id").alias("a"), "sh"), "a")
-        .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
-        .filter(F.col("sh") == F.col("sh_b"))
+        .join(
+            sh.select(F.col("doc_id").alias("b2"), F.col("sh").alias("sh_b")),
+            (F.col("b") == F.col("b2")) & (F.col("sh") == F.col("sh_b")),
+        )
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -6,9 +6,8 @@ stage that cannot be expressed relationally. Implemented as a single
 ``mapInPandas`` over Arrow batches — one Python invocation per batch of
 turns, never per-row Spark UDFs (input_hint: "no per-row Python").
 
-Detector families (all share group-1-as-surface regex shape, restricted to
-the RE2 ∩ Java ∩ Python regex subset so the DuckDB oracle extracts the exact
-same surfaces):
+Detector families (regexes restricted to the RE2 ∩ Java ∩ Python subset so
+the DuckDB oracle extracts the exact same surfaces):
 
   entity    @Name            analogue of Function/Class/Variable detection
   tool      call:name(       tool-call detection (consumed API analogue,
@@ -16,21 +15,34 @@ same surfaces):
   config    env:KEY          process.env.X analogue (astExtractor.ts:1160-1166)
   error     error:"..."      throw/raise/logger.error analogue
   reply     re:#N            reply reference (drives replies-to)
-  url       http(s)://...    consumed full-URL mention (astExtractor.ts:1959-1973
-                             full-URL ⇒ consumed correction)
-  endpoint  GET /path        provided endpoint (Spring @GetMapping analogue)
+  url       [VERB] http://.. consumed full-URL mention with optional HTTP
+                             method (astExtractor.ts:1959-1973 full-URL ⇒
+                             consumed correction; method feeds N6 gating)
+  endpoint  GET /path        provided endpoint incl. template segments
+                             ``{id}`` / ``:id`` (Spring @GetMapping analogue;
+                             the verb is group 1 — N6, relationshipBuilder.ts:
+                             595-602 methodsMatch)
+  table     tbl:t.c          structured resource mention (JPQL mini-parser
+                             E12 analogue, reference types.ts:161-174)
+  secpat    secure:/a/**     security ant-pattern rule (N5/J17 analogue,
+                             relationshipBuilder.ts:720-739)
+  derive    derive:t<s1,s2   data-lineage directive: target derived from
+                             sources (J9/J10 analogue, relationshipBuilder.ts:
+                             246-281); sources land in ``extra`` (csv)
 
 Per-turn work caps replicate the reference's bounded AST walk
 (astExtractor.ts:496-498,573: depth 500 / 10k nodes / ≤50 children): we cap
-matches per (turn, mtype) and bytes scanned per turn — the skew guard for
-mega-turns.
+matches per (turn, mtype) and chars scanned per turn — the skew guard for
+mega-turns. BOTH caps are mirrored in the DuckDB oracle CTE (left(text, N)
+pre-truncation + least(len(ms), K) ordinal bound) so engine and oracle agree
+even on cap-exceeding turns.
 """
 
 from __future__ import annotations
 
 import re
 from collections.abc import Iterator
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -43,25 +55,40 @@ from ..functions.normalize import (
     norm_path_sql,
     norm_resource_py,
     norm_resource_sql,
+    strip_template_py,
+    strip_template_sql,
 )
 from ..schemas import MENTIONS_SCHEMA
 
-# Work caps (reference: astExtractor.ts:496-498,573)
-MAX_TEXT_BYTES = 1_000_000  # scan at most 1MB of a mega-turn
+# Work caps (reference: astExtractor.ts:496-498,573). Mirrored in
+# mentions_cte() — keep the two in lockstep.
+MAX_TEXT_CHARS = 1_000_000  # scan at most 1M chars of a mega-turn
 MAX_MATCHES_PER_KIND = 200  # ≤N matches per (turn, detector)
 
-# (mtype, pattern, norm_dialects). Patterns MUST keep surface = group(1).
-PATTERNS: list[tuple[str, str]] = [
-    ("entity", r"@([A-Za-z_][A-Za-z0-9_]*)"),
-    ("tool", r"call:([A-Za-z_][A-Za-z0-9_]*)\("),
-    ("config", r"env:([A-Z][A-Z0-9_]*)"),
-    ("error", r'error:"([^"]+)"'),
-    ("reply", r"re:#([0-9]+)"),
-    ("url", r"(https?://[^ ]+)"),
-    ("endpoint", r"(?:GET|POST|PUT|DELETE) (/[A-Za-z0-9_/.-]*)"),
-    # structured resource mention: table.column (DatabaseTable/Column
-    # analogue, reference types.ts:161-174 + JPQL mini-parser E12)
-    ("table", r"tbl:([a-z_]+\.[a-z_0-9]+)"),
+
+class Detector(NamedTuple):
+    mtype: str
+    pattern: str
+    surface_g: int = 1
+    method_g: int | None = None  # HTTP verb group (url/endpoint)
+    extra_g: int | None = None  # auxiliary payload group (derive sources)
+
+
+_VERBS = "GET|POST|PUT|DELETE"
+
+PATTERNS: list[Detector] = [
+    Detector("entity", r"@([A-Za-z_][A-Za-z0-9_]*)"),
+    Detector("tool", r"call:([A-Za-z_][A-Za-z0-9_]*)\("),
+    Detector("config", r"env:([A-Z][A-Z0-9_]*)"),
+    Detector("error", r'error:"([^"]+)"'),
+    Detector("reply", r"re:#([0-9]+)"),
+    Detector("url", rf"(?:({_VERBS}) )?(https?://[^ ]+)", surface_g=2, method_g=1),
+    Detector(
+        "endpoint", rf"({_VERBS}) (/[A-Za-z0-9_/.{{}}:-]*)", surface_g=2, method_g=1
+    ),
+    Detector("table", r"tbl:([a-z_]+\.[a-z_0-9]+)"),
+    Detector("secpat", r"secure:([A-Za-z0-9_/.*-]+)"),
+    Detector("derive", r"derive:([a-z0-9_]+)<([a-z0-9_,]+)", surface_g=1, extra_g=2),
 ]
 
 # Necessary-literal prefilter per detector: a C-speed substring probe that
@@ -78,7 +105,20 @@ _LITERAL_HINTS: dict[str, str | None] = {
     "url": "http",
     "endpoint": None,  # verb alternation has no single necessary literal
     "table": "tbl:",
+    "secpat": "secure:",
+    "derive": "derive:",
 }
+
+
+def _norm_url_py(s: str) -> str:
+    # N2 template strip wired ahead of N1+N3 (astExtractor.ts:119-125 strips
+    # ${...} placeholders before identity normalization)
+    return norm_resource_py(strip_template_py(s))
+
+
+def _path_url_py(s: str) -> str:
+    return norm_path_py(strip_template_py(s))
+
 
 _NORM_PY: dict[str, Callable[[str], str]] = {
     "table": lambda s: s.lower(),
@@ -87,8 +127,10 @@ _NORM_PY: dict[str, Callable[[str], str]] = {
     "config": lambda s: s,  # config keys are case-significant (env var names)
     "error": norm_name_py,
     "reply": lambda s: s,
-    "url": norm_resource_py,
+    "url": _norm_url_py,
     "endpoint": norm_resource_py,
+    "secpat": lambda s: s.lower(),
+    "derive": lambda s: s.lower(),
 }
 
 _NORM_SQL: dict[str, Callable[[str], str]] = {
@@ -98,57 +140,133 @@ _NORM_SQL: dict[str, Callable[[str], str]] = {
     "config": lambda e: e,
     "error": norm_name_sql,
     "reply": lambda e: e,
-    "url": norm_resource_sql,
+    "url": lambda e: norm_resource_sql(strip_template_sql(e)),
     "endpoint": norm_resource_sql,
+    "secpat": lambda e: f"lower({e})",
+    "derive": lambda e: f"lower({e})",
 }
 
-# url/endpoint keep the pre-api-strip path for tier-2 linking + url node ids
+# url/endpoint keep the pre-api-strip path for tier-1 linking + url node ids
 _PATH_PY: dict[str, Callable[[str], str]] = {
-    "url": norm_path_py,
+    "url": _path_url_py,
     "endpoint": norm_path_py,
 }
 
-_COMPILED = [(m, re.compile(p), _LITERAL_HINTS.get(m)) for m, p in PATTERNS]
+_PATH_SQL: dict[str, Callable[[str], str]] = {
+    "url": lambda e: norm_path_sql(strip_template_sql(e)),
+    "endpoint": norm_path_sql,
+}
+
+# mtype → node kind for the first_in_turn key. Mirrors
+# link.MENTION_NODE_KIND (defined there to keep the node-id contract in one
+# place); duplicated literal here to avoid an operators-internal import cycle
+# guard — test_operators pins the two in sync.
+_NODE_KIND: dict[str, str] = {
+    "entity": "entity",
+    "tool": "tool",
+    "config": "config",
+    "error": "error",
+    "url": "url",
+    "endpoint": "resource",
+    "table": "table",
+    "secpat": "secrule",
+    "derive": "entity",  # a derive directive mentions its target entity
+}
+
+_COMPILED = [
+    (d, re.compile(d.pattern), _LITERAL_HINTS.get(d.mtype)) for d in PATTERNS
+]
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: one call per Arrow batch of turns."""
+    """mapInPandas kernel: one call per Arrow batch of turns.
+
+    Vectorization strategy (the Tree-sitter-analogue hot loop):
+      * detector-outer iteration with a pandas ``str.contains`` candidate
+        mask per detector — the regex engine only ever sees rows whose text
+        can match (C-speed substring probe, vectorized);
+      * surface→(norm, path) memo: normalization regexes run once per
+        DISTINCT surface, not per occurrence — mention surfaces are heavily
+        repeated in any real corpus, so the per-match cost collapses to
+        dict lookups;
+      * flat list appends + a per-row ``seen`` dict for the first_in_turn
+        flag (keyed on the NODE key — kind + norm/path — so downstream
+        mentions-in is unique by construction across detector families).
+    """
+    norm_memo: dict[tuple[str, str], tuple[str, str | None]] = {}
     for pdf in batches:
+        n = len(pdf)
+        conv_ids = pdf["conv_id"].tolist()
+        turn_idxs = pdf["turn_idx"].tolist()
+        texts = pdf["text"]
+        # mega-turn cap (chars): truncate once, up front
+        lens = texts.str.len()
+        if (lens > MAX_TEXT_CHARS).any():
+            texts = texts.str.slice(0, MAX_TEXT_CHARS)
+        text_list = texts.tolist()
+
         out: dict[str, list] = {f.name: [] for f in MENTIONS_SCHEMA.fields}
-        conv_ids = pdf["conv_id"].to_numpy()
-        turn_idxs = pdf["turn_idx"].to_numpy()
-        texts = pdf["text"].to_numpy()
-        for i in range(len(pdf)):
-            text = texts[i]
-            if text is None:
-                continue
-            if len(text) > MAX_TEXT_BYTES:
-                text = text[:MAX_TEXT_BYTES]
-            seen: set[tuple[str, str]] = set()
-            for mtype, rx, hint in _COMPILED:
-                if hint is not None and hint not in text:
+        o_conv = out["conv_id"].append
+        o_turn = out["turn_idx"].append
+        o_mtype = out["mtype"].append
+        o_surface = out["surface"].append
+        o_norm = out["norm"].append
+        o_ord = out["ord"].append
+        o_ss = out["span_start"].append
+        o_se = out["span_end"].append
+        o_path = out["path"].append
+        o_first = out["first_in_turn"].append
+        o_method = out["method"].append
+        o_extra = out["extra"].append
+
+        seen: dict[int, set] = {}
+        for det, rx, hint in _COMPILED:
+            mtype = det.mtype
+            kind = _NODE_KIND.get(mtype, mtype)
+            sg, mg, xg = det.surface_g, det.method_g, det.extra_g
+            norm_fn = _NORM_PY[mtype]
+            path_fn = _PATH_PY.get(mtype)
+            if hint is not None:
+                mask = texts.str.contains(hint, regex=False)
+                rows = mask.to_numpy().nonzero()[0]
+            else:
+                rows = range(n)
+            for i in rows:
+                text = text_list[i]
+                if text is None:
                     continue
-                norm_fn = _NORM_PY[mtype]
-                path_fn = _PATH_PY.get(mtype)
+                row_seen = seen.get(i)
+                if row_seen is None:
+                    row_seen = seen[i] = set()
                 for ord_, m in enumerate(rx.finditer(text), start=1):
                     if ord_ > MAX_MATCHES_PER_KIND:
                         break
-                    surface = m.group(1)
-                    norm = norm_fn(surface)
-                    path = path_fn(surface) if path_fn else None
-                    node_key = (mtype, path if mtype == "url" else norm)
-                    first = node_key not in seen
-                    seen.add(node_key)
-                    out["conv_id"].append(conv_ids[i])
-                    out["turn_idx"].append(turn_idxs[i])
-                    out["mtype"].append(mtype)
-                    out["surface"].append(surface)
-                    out["norm"].append(norm)
-                    out["ord"].append(ord_)
-                    out["span_start"].append(m.start(1))
-                    out["span_end"].append(m.end(1))
-                    out["path"].append(path)
-                    out["first_in_turn"].append(first)
+                    surface = m.group(sg)
+                    memo_k = (mtype, surface)
+                    np_ = norm_memo.get(memo_k)
+                    if np_ is None:
+                        np_ = (
+                            norm_fn(surface),
+                            path_fn(surface) if path_fn else None,
+                        )
+                        if len(norm_memo) < 1_000_000:
+                            norm_memo[memo_k] = np_
+                    norm, path = np_
+                    node_key = (kind, path if mtype == "url" else norm)
+                    first = node_key not in row_seen
+                    row_seen.add(node_key)
+                    o_conv(conv_ids[i])
+                    o_turn(turn_idxs[i])
+                    o_mtype(mtype)
+                    o_surface(surface)
+                    o_norm(norm)
+                    o_ord(ord_)
+                    o_ss(m.start(sg))
+                    o_se(m.end(sg))
+                    o_path(path)
+                    o_first(first)
+                    o_method(m.group(mg) if mg else None)
+                    o_extra(m.group(xg) if xg else None)
         yield pd.DataFrame(out)
 
 
@@ -213,26 +331,47 @@ def enrich_mention_attrs_cte() -> str:
 def mentions_cte() -> str:
     """DuckDB CTE body ``mentions`` over a ``transcripts`` CTE.
 
-    Surfaces come from regexp_extract_all(group 1); the 1-based ordinal uses
-    the zip-unnest(range) idiom. Span offsets are engine-only (oracle emits
-    NULLs are avoided — columns omitted)."""
+    Surfaces come from regexp_extract_all(group surface_g); the 1-based
+    ordinal uses the zip-unnest(range) idiom, bounded by
+    MAX_MATCHES_PER_KIND; text is pre-truncated to MAX_TEXT_CHARS — both
+    caps mirror the engine kernel exactly. Optional groups (method) yield
+    NULL for non-participating matches in both engines. Span offsets are
+    engine-only (columns omitted here)."""
     per_kind = []
-    for mtype, pattern in PATTERNS:
-        pat_sql = pattern.replace("'", "''")
+    for det in PATTERNS:
+        mtype = det.mtype
+        pat_sql = det.pattern.replace("'", "''")
         norm = _NORM_SQL[mtype]("ms[ord]")
         path = (
-            norm_path_sql("ms[ord]") if mtype in _PATH_PY else "CAST(NULL AS VARCHAR)"
+            _PATH_SQL[mtype]("ms[ord]") if mtype in _PATH_SQL else "CAST(NULL AS VARCHAR)"
         )
+        inner_cols = [f"regexp_extract_all(tx, '{pat_sql}', {det.surface_g}) AS ms"]
+        if det.method_g:
+            inner_cols.append(
+                f"regexp_extract_all(tx, '{pat_sql}', {det.method_g}) AS mm"
+            )
+        if det.extra_g:
+            inner_cols.append(
+                f"regexp_extract_all(tx, '{pat_sql}', {det.extra_g}) AS xx"
+            )
+        method = "mm[ord]" if det.method_g else "CAST(NULL AS VARCHAR)"
+        extra = "xx[ord]" if det.extra_g else "CAST(NULL AS VARCHAR)"
+        carry = "ms" + (", mm" if det.method_g else "") + (", xx" if det.extra_g else "")
         per_kind.append(
             f"""
   SELECT conv_id, turn_idx, '{mtype}' AS mtype, ms[ord] AS surface,
-         {norm} AS norm, CAST(ord AS INT) AS ord, {path} AS path
+         {norm} AS norm, CAST(ord AS INT) AS ord, {path} AS path,
+         {method} AS method, {extra} AS extra
   FROM (
-    SELECT conv_id, turn_idx, ms, unnest(range(1, len(ms)+1)) AS ord
-    FROM (SELECT conv_id, turn_idx,
-                 regexp_extract_all(text, '{pat_sql}', 1) AS ms
-          FROM transcripts)
+    SELECT conv_id, turn_idx, {carry},
+           unnest(range(1, least(len(ms), {MAX_MATCHES_PER_KIND})+1)) AS ord
+    FROM (SELECT conv_id, turn_idx, {', '.join(inner_cols)}
+          FROM capped)
   )"""
         )
     union = "\n  UNION ALL".join(per_kind)
-    return f"mentions AS ({union}\n)"
+    return (
+        "mentions AS (\n  WITH capped AS "
+        f"(SELECT conv_id, turn_idx, left(text, {MAX_TEXT_CHARS}) AS tx FROM transcripts)"
+        f"{union}\n)"
+    )

@@ -103,6 +103,45 @@ def impact(
     )
 
 
+def impact_nodes(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    depth: int = 3,
+    per_type: int = 50,
+) -> DataFrame:
+    """G1b: the actual touched entities, top-``per_type`` per category
+    (reference impactCommand.ts:104-180 returns the node lists, not just
+    counts). Deterministic ordering: distance first, then id. Output:
+    (type, rank, id, dist, name)."""
+    reached = bfs_expand(edges, seeds, depth)
+    joined = reached.join(nodes.select("id", "type", "name"), "id")
+    w = Window.partitionBy("type").orderBy(F.asc("dist"), F.asc("id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_type)
+        .select(
+            "type",
+            F.col("rank").cast("int").alias("rank"),
+            "id",
+            F.col("dist").cast("int").alias("dist"),
+            "name",
+        )
+    )
+
+
+def impact_nodes_cte(per_type: int = 50) -> str:
+    """DuckDB twin over the ``bfs`` + ``nodes`` CTEs."""
+    return f"""impact_nodes AS (
+  SELECT type, CAST(rank AS INT) AS rank, id, CAST(dist AS INT) AS dist, name
+  FROM (
+    SELECT n.type, n.name, b.id, b.dist,
+           row_number() OVER (PARTITION BY n.type ORDER BY b.dist ASC, b.id ASC) AS rank
+    FROM bfs b JOIN nodes n USING (id)
+  ) WHERE rank <= {per_type}
+)"""
+
+
 def tool_transitions(transcripts: DataFrame) -> DataFrame:
     """Derived directed graph for cycle analysis: within each conversation,
     consecutive tool-bearing turns produce a (from_tool, to_tool) edge with
@@ -131,7 +170,11 @@ def tool_transitions_cte() -> str:
 
 
 def find_cycles(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_len: int = 8
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_len: int = 8,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """G2: bounded directed cycle detection via iterative path extension.
 
@@ -140,9 +183,18 @@ def find_cycles(
     is reported once, by its canonical start) and carry their node set for
     the revisit guard (``array_contains``), exactly the bounded
     variable-length-path semantics of the reference's CALLS*1..8 query.
+
+    Combinatorics guard: the distributed path-extension frontier can blow up
+    on dense graphs (all simple paths up to ``max_len``). Graphs under
+    ``driver_threshold`` edges short-circuit to a driver-side per-start BFS
+    (the CC small-graph pattern, canonicalize.py) — O(V·E·max_len) instead
+    of exponential path enumeration, identical results. The distributed loop
+    remains the >threshold path, where real edge dims are sparse.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
     e = e.localCheckpoint(eager=True)
+    if e.count() <= driver_threshold:
+        return _find_cycles_driver_side(edges.sparkSession, e, max_len)
 
     # start paths only from nodes that can canonically lead a cycle
     paths = e.select(
@@ -183,6 +235,41 @@ def find_cycles(
         if paths.limit(1).count() == 0:
             break
     return cycles.groupBy("start").agg(F.min("cycle_len").cast("int").alias("cycle_len"))
+
+
+def _find_cycles_driver_side(spark, e: DataFrame, max_len: int) -> DataFrame:
+    """Per-start bounded BFS on the collected edge list. A cycle is reported
+    by its minimal node s: shortest closed walk s→s inside the subgraph
+    {v : v >= s} (BFS paths are simple, so this equals the minimal simple
+    cycle the distributed enumeration finds)."""
+    from collections import defaultdict, deque
+
+    adj: dict[str, list[str]] = defaultdict(list)
+    for row in e.collect():
+        adj[row[0]].append(row[1])
+
+    out_rows = []
+    for s in sorted(adj):
+        # BFS from s over nodes >= s, looking for the first return to s
+        best = None
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            du = dist[u]
+            if du >= max_len:
+                continue
+            for v in adj.get(u, ()):
+                if v == s:
+                    best = du + 1
+                    q.clear()
+                    break
+                if v > s and v not in dist:
+                    dist[v] = du + 1
+                    q.append(v)
+        if best is not None and best <= max_len:
+            out_rows.append((s, best))
+    return spark.createDataFrame(out_rows, "start string, cycle_len int")
 
 
 def find_cycles_cte(edges_cte: str, src: str, dst: str, max_len: int = 8) -> str:

@@ -35,6 +35,10 @@ MENTION_NODE_KIND: dict[str, tuple[str, str]] = {
     "url": ("url", "path"),
     "endpoint": ("resource", "norm"),
     "table": ("table", "norm"),
+    "secpat": ("secrule", "norm"),
+    # a derive directive mentions its target entity — same node key space as
+    # @-mentions so lineage targets collapse onto existing entity nodes
+    "derive": ("entity", "norm"),
 }
 
 
@@ -244,83 +248,253 @@ def span_containment_join(mentions: DataFrame) -> DataFrame:
     )
 
 
+# is-template predicate: a '{param}' or '/:param' segment in the path
+_TEMPLATE_RX = "[{}]|/:"
+
+
+def _method_code_col(c: F.Column) -> F.Column:
+    """HTTP verb → int code (agg-friendly: min keeps HashAggregate, W4-style
+    int-code trick; decode after the agg)."""
+    return (
+        F.when(c == "GET", 1)
+        .when(c == "POST", 2)
+        .when(c == "PUT", 3)
+        .otherwise(4)
+    )
+
+
+_METHOD_CODE_SQL = "CASE {c} WHEN 'GET' THEN 1 WHEN 'POST' THEN 2 WHEN 'PUT' THEN 3 ELSE 4 END"
+_METHOD_DECODE_SQL = "CASE {c} WHEN 1 THEN 'GET' WHEN 2 THEN 'POST' WHEN 3 THEN 'PUT' ELSE 'DELETE' END"
+
+# tier → (code, label): codes order the min() preference, labels match the
+# reference's tier taxonomy (exact, /api-variant, contains, template)
+_TIERS = [("1", 10), ("1b", 15), ("2", 20), ("3", 30)]
+_TIER_DECODE_SQL = "CASE {c} WHEN 10 THEN '1' WHEN 15 THEN '1b' WHEN 20 THEN '2' ELSE '3' END"
+
+
+def _template_rx_col(p: F.Column) -> F.Column:
+    """N4: path template → anchored regex ('{id}' and ':id' segments become
+    '[^/]+', dots escaped). Built identically in the DuckDB oracle."""
+    # plain (non-regex) replace: the replacement is the literal 2-char '\.'
+    x = F.replace(p, F.lit("."), F.lit("\\."))
+    x = F.regexp_replace(x, r"\{[^}]+\}", "[^/]+")
+    x = F.regexp_replace(x, "/:[a-z0-9_]+", "/[^/]+")
+    return F.concat(F.lit("^"), x, F.lit("$"))
+
+
+def _template_rx_sql(e: str) -> str:
+    x = rf"replace({e}, '.', '\.')"
+    x = rf"regexp_replace({x}, '\{{[^}}]+\}}', '[^/]+', 'g')"
+    x = rf"regexp_replace({x}, '/:[a-z0-9_]+', '/[^/]+', 'g')"
+    return f"'^' || {x} || '$'"
+
+
+def span_containment_cte() -> str:
+    """DuckDB twin of span_containment_join for the span-probe fixture
+    subset (error spans wrapping @probe_ entities). The oracle has no char
+    offsets in its mentions CTE, so spans are reconstructed via strpos over
+    the unique probe marker strings: for an entity surface, strpos of
+    '@'||surface is exactly the 0-based group offset the kernel records
+    (1-based '@' position == 0-based position of the char after it); for an
+    error surface the group starts 7 chars after the 1-based position of
+    'error:"'||surface, i.e. strpos + 6."""
+    return """span_contain AS (
+  WITH probe_spans AS (
+    SELECT m.conv_id, m.turn_idx, m.mtype, m.norm, m.ord,
+           CASE WHEN m.mtype = 'entity' THEN strpos(t.text, '@' || m.surface)
+                ELSE strpos(t.text, 'error:"' || m.surface) + 6 END AS span_start,
+           len(m.surface) AS slen
+    FROM mentions m JOIN transcripts t USING (conv_id, turn_idx)
+    WHERE (m.mtype = 'entity' AND starts_with(m.norm, 'probe_'))
+       OR (m.mtype = 'error' AND starts_with(m.norm, 'e9 with '))
+  )
+  SELECT a.conv_id, a.turn_idx,
+         a.mtype AS container_mtype, a.norm AS container_norm,
+         b.mtype AS contained_mtype, b.norm AS contained_norm,
+         CAST(a.ord AS INT) AS container_ord, CAST(b.ord AS INT) AS contained_ord
+  FROM probe_spans a JOIN probe_spans b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.span_start <= b.span_start
+   AND b.span_start + b.slen <= a.span_start + a.slen
+   AND a.slen > b.slen
+)"""
+
+
 def refers_to_edges(mentions: DataFrame) -> DataFrame:
-    """J20 analogue — the tiered, similarity-scored cross-corpus linking join.
+    """J20 analogue — the tiered, similarity-scored cross-corpus linking join
+    (reference isAPIMatch cascade, relationshipBuilder.ts:547-605).
 
     consumed side: distinct url mentions (id on pre-api-strip ``path``);
     provided side: distinct endpoint resources (id on fully-normalized key).
+    EVERY tier is gated on HTTP-method equality with GET defaulting (N6,
+    relationshipBuilder.ts:595-602) — a POST consumer never links to a
+    GET-only endpoint.
 
-    Tier 1 (fast path): equi join on the fully-normalized resource key —
-      exact-match confidence 50 + path-length bonus (N15 scorecard analog,
-      integer 0-100).
-    Tier 2 (residual): left-anti remainder of consumed, broadcast theta join
-      on consumed.path CONTAINS provided.norm — confidence 30.
+    Tier 1  (exact): equi join on the non-api-stripped normalized path —
+            confidence 60 + path-length bonus (N15 integer scorecard).
+    Tier 1b (api variants): left-anti residual, equi join on the
+            api-stripped key (the '/api'-prefix candidate expansion,
+            relationshipBuilder.ts:559-571) — confidence 55.
+    Tier 2  (contains): residual, broadcast theta join on consumed.path
+            CONTAINS provided.norm (non-template providers) — confidence 30.
+    Tier 3  (template, N4): residual, broadcast regex join on the anchored
+            template regex built from '{{id}}'/':id' segments
+            (relationshipBuilder.ts:579-587,651-665) — confidence 45.
+
     Never a cross join; the provided side is a small dim (distinct resource
-    registry), always broadcast-able even at 100TB fact scale.
+    registry), always broadcast-able even at 100TB fact scale; the method
+    equality rides along every tier's join keys.
     """
     consumed = (
-        mentions.filter(F.col("mtype") == "url").select("path", "norm").distinct()
+        mentions.filter(F.col("mtype") == "url")
+        .select(
+            "path",
+            "norm",
+            F.upper(F.coalesce(F.col("method"), F.lit("GET"))).alias("c_method"),
+        )
+        .distinct()
     )
     provided = (
         mentions.filter(F.col("mtype") == "endpoint")
-        .select(F.col("norm").alias("p_norm"))
+        .select(
+            F.col("path").alias("p_path"),
+            F.col("norm").alias("p_norm"),
+            F.upper(F.coalesce(F.col("method"), F.lit("GET"))).alias("p_method"),
+        )
         .distinct()
     )
-
-    conf1 = (F.lit(50) + F.least(F.length("norm"), F.lit(20))).cast("int")
-    tier1 = consumed.join(
-        F.broadcast(provided), consumed["norm"] == provided["p_norm"], "inner"
-    ).select(
-        node_id_col("url", F.col("path")).alias("subj"),
-        node_id_col("resource", F.col("p_norm")).alias("obj"),
-        conf1.alias("confidence"),
-        F.lit(1).alias("tier"),
+    prov_plain = provided.filter(~F.col("p_path").rlike(_TEMPLATE_RX))
+    prov_tmpl = provided.filter(F.col("p_path").rlike(_TEMPLATE_RX)).withColumn(
+        "p_rx", _template_rx_col(F.col("p_norm"))
     )
 
-    residual = consumed.join(
-        provided, consumed["norm"] == provided["p_norm"], "left_anti"
-    )
-    tier2 = residual.join(
-        F.broadcast(provided),
-        (F.length("p_norm") > 1) & F.col("path").contains(F.col("p_norm")),
-        "inner",
-    ).select(
-        node_id_col("url", F.col("path")).alias("subj"),
-        node_id_col("resource", F.col("p_norm")).alias("obj"),
-        F.lit(30).cast("int").alias("confidence"),
-        F.lit(2).alias("tier"),
-    )
+    def emit(df: DataFrame, conf: F.Column, tier_code: int) -> DataFrame:
+        return df.select(
+            node_id_col("url", F.col("path")).alias("subj"),
+            node_id_col("resource", F.col("p_norm")).alias("obj"),
+            conf.cast("int").alias("confidence"),
+            F.lit(tier_code).alias("tier_code"),
+            _method_code_col(F.col("c_method")).alias("method_code"),
+        )
 
+    method_eq = F.col("c_method") == F.col("p_method")
+
+    cond1 = (F.col("path") == F.col("p_path")) & method_eq
+    t1 = emit(
+        consumed.join(F.broadcast(provided), cond1),
+        F.lit(60) + F.least(F.length("norm"), F.lit(20)),
+        10,
+    )
+    r1 = consumed.join(F.broadcast(provided), cond1, "left_anti")
+
+    cond1b = (F.col("norm") == F.col("p_norm")) & method_eq
+    t1b = emit(r1.join(F.broadcast(provided), cond1b), F.lit(55), 15)
+    r2 = r1.join(F.broadcast(provided), cond1b, "left_anti")
+
+    cond2 = (
+        (F.length("p_norm") > 1)
+        & F.col("path").contains(F.col("p_norm"))
+        & method_eq
+    )
+    t2 = emit(r2.join(F.broadcast(prov_plain), cond2), F.lit(30), 20)
+    r3 = r2.join(F.broadcast(prov_plain), cond2, "left_anti")
+
+    cond3 = F.regexp_like(F.col("norm"), F.col("p_rx")) & method_eq
+    t3 = emit(r3.join(F.broadcast(prov_tmpl), cond3), F.lit(45), 30)
+
+    tier_decode = (
+        F.when(F.col("tier_code") == 10, "1")
+        .when(F.col("tier_code") == 15, "1b")
+        .when(F.col("tier_code") == 20, "2")
+        .otherwise("3")
+    )
+    method_decode = (
+        F.when(F.col("method_code") == 1, "GET")
+        .when(F.col("method_code") == 2, "POST")
+        .when(F.col("method_code") == 3, "PUT")
+        .otherwise("DELETE")
+    )
     return (
-        tier1.unionByName(tier2)
+        t1.unionByName(t1b)
+        .unionByName(t2)
+        .unionByName(t3)
         .groupBy("subj", "obj")
-        .agg(F.max("confidence").alias("confidence"), F.min("tier").alias("tier"))
-        .select("subj", F.lit("refers-to").alias("pred"), "obj", "confidence", "tier")
+        .agg(
+            F.max("confidence").alias("confidence"),
+            F.min("tier_code").alias("tier_code"),
+            F.min("method_code").alias("method_code"),
+        )
+        .select(
+            "subj",
+            F.lit("refers-to").alias("pred"),
+            "obj",
+            "confidence",
+            tier_decode.alias("tier"),
+            method_decode.alias("method"),
+        )
     )
 
 
 def refers_to_cte() -> str:
+    mcode_c = _METHOD_CODE_SQL.format(c="c.c_method")
     return f"""refers_to AS (
   WITH consumed AS (
-    SELECT DISTINCT path, norm FROM mentions WHERE mtype = 'url'
+    SELECT DISTINCT path, norm, upper(COALESCE(method, 'GET')) AS c_method
+    FROM mentions WHERE mtype = 'url'
   ), provided AS (
-    SELECT DISTINCT norm AS p_norm FROM mentions WHERE mtype = 'endpoint'
-  ), tier1 AS (
+    SELECT DISTINCT path AS p_path, norm AS p_norm,
+           upper(COALESCE(method, 'GET')) AS p_method
+    FROM mentions WHERE mtype = 'endpoint'
+  ), prov_plain AS (
+    SELECT * FROM provided WHERE NOT regexp_matches(p_path, '{_TEMPLATE_RX}')
+  ), prov_tmpl AS (
+    SELECT *, {_template_rx_sql('p_norm')} AS p_rx
+    FROM provided WHERE regexp_matches(p_path, '{_TEMPLATE_RX}')
+  ), t1 AS (
     SELECT {node_id_sql('url', 'c.path')} AS subj,
            {node_id_sql('resource', 'p.p_norm')} AS obj,
-           CAST(50 + LEAST(len(c.norm), 20) AS INT) AS confidence, 1 AS tier
-    FROM consumed c JOIN provided p ON c.norm = p.p_norm
-  ), residual AS (
-    SELECT c.* FROM consumed c ANTI JOIN provided p ON c.norm = p.p_norm
-  ), tier2 AS (
+           CAST(60 + LEAST(len(c.norm), 20) AS INT) AS confidence,
+           10 AS tier_code, {mcode_c} AS method_code
+    FROM consumed c JOIN provided p
+      ON c.path = p.p_path AND c.c_method = p.p_method
+  ), r1 AS (
+    SELECT c.* FROM consumed c ANTI JOIN provided p
+      ON c.path = p.p_path AND c.c_method = p.p_method
+  ), t1b AS (
     SELECT {node_id_sql('url', 'c.path')} AS subj,
            {node_id_sql('resource', 'p.p_norm')} AS obj,
-           CAST(30 AS INT) AS confidence, 2 AS tier
-    FROM residual c JOIN provided p
+           CAST(55 AS INT) AS confidence, 15 AS tier_code,
+           {mcode_c} AS method_code
+    FROM r1 c JOIN provided p
+      ON c.norm = p.p_norm AND c.c_method = p.p_method
+  ), r2 AS (
+    SELECT c.* FROM r1 c ANTI JOIN provided p
+      ON c.norm = p.p_norm AND c.c_method = p.p_method
+  ), t2 AS (
+    SELECT {node_id_sql('url', 'c.path')} AS subj,
+           {node_id_sql('resource', 'p.p_norm')} AS obj,
+           CAST(30 AS INT) AS confidence, 20 AS tier_code,
+           {mcode_c} AS method_code
+    FROM r2 c JOIN prov_plain p
       ON len(p.p_norm) > 1 AND contains(c.path, p.p_norm)
+     AND c.c_method = p.p_method
+  ), r3 AS (
+    SELECT c.* FROM r2 c ANTI JOIN prov_plain p
+      ON len(p.p_norm) > 1 AND contains(c.path, p.p_norm)
+     AND c.c_method = p.p_method
+  ), t3 AS (
+    SELECT {node_id_sql('url', 'c.path')} AS subj,
+           {node_id_sql('resource', 'p.p_norm')} AS obj,
+           CAST(45 AS INT) AS confidence, 30 AS tier_code,
+           {mcode_c} AS method_code
+    FROM r3 c JOIN prov_tmpl p
+      ON regexp_matches(c.norm, p.p_rx) AND c.c_method = p.p_method
   )
   SELECT subj, 'refers-to' AS pred, obj,
-         MAX(confidence) AS confidence, MIN(tier) AS tier
-  FROM (SELECT * FROM tier1 UNION ALL SELECT * FROM tier2)
+         MAX(confidence) AS confidence,
+         {_TIER_DECODE_SQL.format(c='MIN(tier_code)')} AS tier,
+         {_METHOD_DECODE_SQL.format(c='MIN(method_code)')} AS method
+  FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t1b
+        UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3)
   GROUP BY subj, obj
 )"""

@@ -53,10 +53,20 @@ def build_nodes(
         F.concat_ws("|", "conv_id", F.col("turn_idx").cast("string")).alias("key"),
         F.col("conv_id").alias("first_conv"),
         F.col("turn_idx").alias("first_turn"),
+        # §1.4 attrs MAP<STRING,STRING> (reference meta, saveNodes.ts:11-30)
+        F.expr(
+            "map_from_entries(filter("
+            "array(named_struct('k', 'role', 'v', role),"
+            "      named_struct('k', 'tool', 'v', tool)),"
+            " x -> x.v IS NOT NULL))"
+        ).alias("attrs"),
     )
     convs = (
         transcripts.groupBy("conv_id")
-        .agg(F.min("turn_idx").alias("first_turn"))
+        .agg(
+            F.min("turn_idx").alias("first_turn"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
         .select(
             node_id_col("conv", F.col("conv_id")).alias("id"),
             F.lit("conversation").alias("type"),
@@ -65,6 +75,9 @@ def build_nodes(
             F.col("conv_id").alias("key"),
             F.col("conv_id").alias("first_conv"),
             F.col("first_turn"),
+            F.create_map(
+                F.lit("n_turns"), F.col("n_turns").cast("string")
+            ).alias("attrs"),
         )
     )
 
@@ -100,6 +113,8 @@ def build_nodes(
             F.max(F.when(F.col("rn") == 1, F.col("surface"))).alias("name"),
             F.min("norm").alias("norm"),
             F.min("first_k").alias("first_k"),
+            F.sum("cnt").alias("n_mentions"),
+            F.count(F.lit(1)).alias("n_surfaces"),
         )
         .select(
             F.md5(F.concat_ws("|", "type", "key")).alias("id"),
@@ -109,6 +124,12 @@ def build_nodes(
             "key",
             F.split(F.col("first_k"), r"\|").getItem(0).alias("first_conv"),
             F.split(F.col("first_k"), r"\|").getItem(1).cast("int").alias("first_turn"),
+            F.create_map(
+                F.lit("n_mentions"),
+                F.col("n_mentions").cast("string"),
+                F.lit("n_surfaces"),
+                F.col("n_surfaces").cast("string"),
+            ).alias("attrs"),
         )
     )
 
@@ -117,6 +138,81 @@ def build_nodes(
         .unionByName(mention_nodes)
         .withColumn("snapshot_version", F.lit(snapshot_version))
     )
+
+
+def build_nodes_with_attrs(
+    transcripts: DataFrame, mentions: DataFrame, snapshot_version: str
+) -> DataFrame:
+    """build_nodes + A2 dedup-merge (saveNodes.ts:86-104): a second node
+    source — per-entity lineage stats from derive directives — carries attrs
+    for ids the mention scan also produces; ``merge_node_attrs`` merges the
+    two sources (scalars first-non-null by priority, attrs maps unioned).
+
+    The lineage side is a tiny dim; the merge is one hash shuffle on id over
+    the node table (orders of magnitude smaller than the edge table)."""
+    base = build_nodes(transcripts, mentions, snapshot_version).withColumn(
+        "_prio", F.lit(0)
+    )
+    derive_stats = (
+        mentions.filter(F.col("mtype") == "derive")
+        .groupBy("norm")
+        .agg(F.count(F.lit(1)).alias("n_derives"))
+        .select(
+            node_id_col("entity", F.col("norm")).alias("id"),
+            F.lit(None).cast("string").alias("type"),
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("string").alias("norm"),
+            F.lit(None).cast("string").alias("key"),
+            F.lit(None).cast("string").alias("first_conv"),
+            F.lit(None).cast("int").alias("first_turn"),
+            F.create_map(
+                F.lit("n_derives"), F.col("n_derives").cast("string")
+            ).alias("attrs"),
+            F.lit(None).cast("string").alias("snapshot_version"),
+            F.lit(1).alias("_prio"),
+        )
+    )
+    return merge_node_attrs(base.unionByName(derive_stats), key="id")
+
+
+def node_attrs_cte() -> str:
+    """DuckDB twin of the merged node attrs, in exploded (id, type, k, v)
+    row form (map columns don't hash portably across engines; the exploded
+    rows are the oracle-stable projection)."""
+    kind_case = " ".join(
+        f"WHEN '{mt}' THEN '{k}'" for mt, (k, _key) in MENTION_NODE_KIND.items()
+    )
+    return f"""node_attrs AS (
+  WITH mstats AS (
+    SELECT md5(concat_ws('|', type, key)) AS id, type,
+           CAST(SUM(cnt) AS VARCHAR) AS n_mentions,
+           CAST(COUNT(*) AS VARCHAR) AS n_surfaces
+    FROM (
+      SELECT CASE mtype {kind_case} END AS type,
+             CASE WHEN mtype = 'url' THEN path ELSE norm END AS key,
+             surface, COUNT(*) AS cnt
+      FROM mentions WHERE mtype <> 'reply'
+      GROUP BY 1, 2, 3
+    ) GROUP BY type, key
+  )
+  SELECT {turn_id_sql('conv_id', 'turn_idx')} AS id, 'turn' AS type,
+         'role' AS k, role AS v FROM transcripts
+  UNION ALL
+  SELECT {turn_id_sql('conv_id', 'turn_idx')}, 'turn', 'tool', tool
+  FROM transcripts WHERE tool IS NOT NULL
+  UNION ALL
+  SELECT {node_id_sql('conv', 'conv_id')}, 'conversation', 'n_turns',
+         CAST(COUNT(*) AS VARCHAR)
+  FROM transcripts GROUP BY conv_id
+  UNION ALL
+  SELECT id, type, 'n_mentions', n_mentions FROM mstats
+  UNION ALL
+  SELECT id, type, 'n_surfaces', n_surfaces FROM mstats
+  UNION ALL
+  SELECT {node_id_sql('entity', 'norm')}, 'entity', 'n_derives',
+         CAST(COUNT(*) AS VARCHAR)
+  FROM mentions WHERE mtype = 'derive' GROUP BY norm
+)"""
 
 
 def nodes_cte() -> str:
@@ -263,7 +359,18 @@ class GraphSink:
         if self.use_iceberg:
             self._merge_iceberg(df, table, keys)
             return
+        import shutil
+
         path = self._path(table)
+        tmp, old = path + "__tmp", path + "__old"
+        # recover from a previous crashed swap: a leftover __old with no live
+        # table means the crash hit between the two renames — restore it;
+        # stale __tmp/__old dirs from killed runs are removed either way.
+        if os.path.exists(old) and not os.path.exists(path):
+            os.rename(old, path)
+        for stale in (tmp, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
         existing_files = os.path.exists(path) and any(
             f.endswith(".parquet") or f.startswith(partition_by[0] + "=")
             for f in os.listdir(path)
@@ -276,18 +383,28 @@ class GraphSink:
         else:
             merged = df
         # Write via temp dir then swap, since we read from the same path.
-        tmp = path + "__tmp"
+        # NOTE: this fallback is local-FS only (os.rename swap); an Iceberg
+        # catalog (use_iceberg) is the cluster path — on HDFS/S3 the MERGE
+        # branch must be used, so fail loudly rather than corrupt.
+        if "://" in path and not path.startswith("file:"):
+            raise ValueError(
+                f"GraphSink parquet fallback requires a local path, got {path}; "
+                "configure an Iceberg catalog (spark.sql.catalog.kg) for object stores"
+            )
         merged.repartition(*partition_by).write.mode("overwrite").partitionBy(
             *partition_by
         ).parquet(tmp)
-        final_tmp = path + "__old"
         if os.path.exists(path):
-            os.rename(path, final_tmp)
-        os.rename(tmp, path)
-        if os.path.exists(final_tmp):
-            import shutil
-
-            shutil.rmtree(final_tmp)
+            os.rename(path, old)
+        try:
+            os.rename(tmp, path)
+        except BaseException:
+            # restore the previous table so a failed swap is recoverable
+            if os.path.exists(old) and not os.path.exists(path):
+                os.rename(old, path)
+            raise
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     def _merge_iceberg(self, df: DataFrame, table: str, keys: list[str]):
         df.createOrReplaceTempView("_updates")

@@ -33,7 +33,7 @@ from .operators.link import (
 from .operators.materialize import (
     GraphSink,
     build_edges,
-    build_nodes,
+    build_nodes_with_attrs,
     snapshot_stamp,
     write_graph,
 )
@@ -117,7 +117,9 @@ def run_pipeline(
     # Stage D edges built before stage C so the (cached) triple table is the
     # single materialization everything downstream (CC, metrics, sink) reads
     # — no edge family is ever computed twice.
-    nodes = build_nodes(transcripts, mentions, snap)
+    # nodes carry merged attrs maps (A2 + §1.4) — the merge is over the node
+    # dim only, never the edge table
+    nodes = build_nodes_with_attrs(transcripts, mentions, snap)
     edges = _stage_checkpoint(
         spark,
         build_edges([e_mentions_in, e_replies, e_calls, e_refers], snap),

@@ -47,10 +47,15 @@ MENTIONS_SCHEMA = StructType(
         StructField("span_end", IntegerType()),
         StructField("path", StringType()),  # pre-api-strip path for url/endpoint
         # True for the first occurrence of this mention's NODE KEY within the
-        # turn (key = path for urls, norm otherwise). Lets mentions-in skip
-        # its global dedup shuffle: (node, turn) pairs are unique by
-        # construction when filtered on this flag.
+        # turn (key = kind + path for urls, kind + norm otherwise). Lets
+        # mentions-in skip its global dedup shuffle: (node, turn) pairs are
+        # unique by construction when filtered on this flag.
         StructField("first_in_turn", BooleanType()),
+        # HTTP verb for url (optional, NULL ⇒ defaulted to GET at link time)
+        # and endpoint mentions (N6 method gating, relationshipBuilder.ts:595-602)
+        StructField("method", StringType()),
+        # auxiliary payload: derive-directive sources csv (J9/J10 lineage)
+        StructField("extra", StringType()),
     ]
 )
 

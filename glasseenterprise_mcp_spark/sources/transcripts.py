@@ -69,13 +69,25 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         marker(
             d % 6 == 0,
-            F.lit(" http://svc-"),
+            # consumed URL; every other one carries an explicit HTTP verb
+            # (method gating fixture — N6): POST urls must NOT link to the
+            # GET-provided endpoints below.
+            F.when(d % 12 == 0, F.lit(" POST http://svc-")).otherwise(
+                F.lit(" http://svc-")
+            ),
             s(d % 5),
             F.lit(".example.com/api/v1/r"),
             s(d % 17),
             F.lit("?q=1"),
         ),
-        marker(d % 6 == 3, F.lit(" GET /api/r"), s(d % 17)),
+        marker(
+            d % 6 == 3,
+            # provided endpoint with verb split GET/POST (method gate fixture)
+            F.when(d % 12 == 3, F.lit(" POST /api/r")).otherwise(
+                F.lit(" GET /api/r")
+            ),
+            s(d % 17),
+        ),
         marker(
             d % 9 == 0,
             F.lit(" tbl:"),
@@ -86,6 +98,55 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".c"),
             s(d % 6),
         ),
+        # --- tiered-linking fixtures (J20 tiers 1/1b/2/3, N2, N4-N6) -------
+        # tier-1 exact-path consumer: path == provided /api/r<k> verbatim
+        marker(d % 15 == 2, F.lit(" http://edge.example.com/api/r"), s(d % 17)),
+        # POST consumer (distinct path): method gate routes it to the POST
+        # providers only, via the api-variant tier
+        marker(d % 30 == 17, F.lit(" POST http://edge2.example.com/api/v9/r"), s(d % 17)),
+        # tier-2 consumer: no exact/variant provider, but path CONTAINS /r<k>
+        marker(d % 25 == 21, F.lit(" http://svc.example.com/api/v1/r"), s(d % 17), F.lit("/extra")),
+        # template-path providers (N4): '{id}' and ':id' placeholder styles
+        marker(d % 16 == 5, F.lit(" GET /api/it"), s(d % 3), F.lit("/{id}/x")),
+        marker(d % 16 == 13, F.lit(" GET /api/obj"), s(d % 3), F.lit("/:oid")),
+        # consumers whose concrete paths only match through the template tier
+        marker(
+            d % 10 == 7,
+            F.lit(" http://tsvc.example.com/api/it"),
+            s(d % 3),
+            F.lit("/"),
+            s(d % 23),
+            F.lit("/x?z=1"),
+        ),
+        marker(
+            d % 20 == 9,
+            F.lit(" http://tsvc.example.com/api/obj"),
+            s(d % 3),
+            F.lit("/o"),
+            s(d % 7),
+        ),
+        # N2 template-placeholder URL (host is a ${VAR}) + its plain provider
+        marker(d % 14 == 8, F.lit(" http://${HOST}/api/cfg/"), s(d % 9)),
+        marker(d % 14 == 1, F.lit(" GET /cfg/"), s(d % 9)),
+        # security ant-pattern rules (N5/J17)
+        marker(d % 26 == 6, F.lit(" secure:/api/r1*")),
+        marker(d % 26 == 19, F.lit(" secure:/api/**")),
+        # data-lineage directive (J9/J10); every other target drops the
+        # underscore — the fuzzy disjunct of the identity join (J23)
+        marker(
+            d % 17 == 11,
+            F.lit(" derive:"),
+            F.when(d % 34 == 11, F.concat(F.lit("agent"), s((d + 1) % 23))).otherwise(
+                F.concat(F.lit("agent_"), s((d + 1) % 23))
+            ),
+            F.lit("<agent_"),
+            s(d % 23),
+            F.lit(",hot_entity"),
+        ),
+        # span-nesting probe (J2/J11): an entity mention inside an error span
+        marker(d % 11 == 4, F.lit(' error:"E9 with @probe_'), s(d % 13), F.lit(' inner"')),
+        # code-fence toggle (S6 stateful group-carry scan)
+        marker(d % 21 == 13, F.lit(" ```")),
     )
 
     return docs.select(
@@ -146,13 +207,36 @@ transcripts AS (
       || CASE WHEN doc_id % 7 = 0 THEN ' error:"E' || CAST(doc_id % 13 AS VARCHAR) || ' failed"' ELSE '' END
       || CASE WHEN doc_id % 4 = 1 AND doc_id >= n_conv
               THEN ' re:#' || CAST(doc_id // n_conv - 1 AS VARCHAR) ELSE '' END
-      || CASE WHEN doc_id % 6 = 0 THEN ' http://svc-' || CAST(doc_id % 5 AS VARCHAR)
+      || CASE WHEN doc_id % 6 = 0 THEN
+           (CASE WHEN doc_id % 12 = 0 THEN ' POST http://svc-' ELSE ' http://svc-' END)
+              || CAST(doc_id % 5 AS VARCHAR)
               || '.example.com/api/v1/r' || CAST(doc_id % 17 AS VARCHAR) || '?q=1' ELSE '' END
-      || CASE WHEN doc_id % 6 = 3 THEN ' GET /api/r' || CAST(doc_id % 17 AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 6 = 3 THEN
+           (CASE WHEN doc_id % 12 = 3 THEN ' POST /api/r' ELSE ' GET /api/r' END)
+              || CAST(doc_id % 17 AS VARCHAR) ELSE '' END
       || CASE WHEN doc_id % 9 = 0 THEN ' tbl:' ||
               (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'orders' WHEN 1 THEN 'lineitem'
                     WHEN 2 THEN 'customer' ELSE 'part' END) || '.c' || CAST(doc_id % 6 AS VARCHAR)
          ELSE '' END
+      || CASE WHEN doc_id % 15 = 2 THEN ' http://edge.example.com/api/r' || CAST(doc_id % 17 AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 30 = 17 THEN ' POST http://edge2.example.com/api/v9/r' || CAST(doc_id % 17 AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 25 = 21 THEN ' http://svc.example.com/api/v1/r' || CAST(doc_id % 17 AS VARCHAR) || '/extra' ELSE '' END
+      || CASE WHEN doc_id % 16 = 5 THEN ' GET /api/it' || CAST(doc_id % 3 AS VARCHAR) || '/{{id}}/x' ELSE '' END
+      || CASE WHEN doc_id % 16 = 13 THEN ' GET /api/obj' || CAST(doc_id % 3 AS VARCHAR) || '/:oid' ELSE '' END
+      || CASE WHEN doc_id % 10 = 7 THEN ' http://tsvc.example.com/api/it' || CAST(doc_id % 3 AS VARCHAR)
+              || '/' || CAST(doc_id % 23 AS VARCHAR) || '/x?z=1' ELSE '' END
+      || CASE WHEN doc_id % 20 = 9 THEN ' http://tsvc.example.com/api/obj' || CAST(doc_id % 3 AS VARCHAR)
+              || '/o' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 14 = 8 THEN ' http://${{HOST}}/api/cfg/' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 14 = 1 THEN ' GET /cfg/' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 26 = 6 THEN ' secure:/api/r1*' ELSE '' END
+      || CASE WHEN doc_id % 26 = 19 THEN ' secure:/api/**' ELSE '' END
+      || CASE WHEN doc_id % 17 = 11 THEN ' derive:' ||
+              (CASE WHEN doc_id % 34 = 11 THEN 'agent' ELSE 'agent_' END)
+              || CAST((doc_id + 1) % 23 AS VARCHAR)
+              || '<agent_' || CAST(doc_id % 23 AS VARCHAR) || ',hot_entity' ELSE '' END
+      || CASE WHEN doc_id % 11 = 4 THEN ' error:"E9 with @probe_' || CAST(doc_id % 13 AS VARCHAR) || ' inner"' ELSE '' END
+      || CASE WHEN doc_id % 21 = 13 THEN ' ```' ELSE '' END
                                                                   AS text,
     CASE WHEN doc_id % 4 = 2 THEN 'tool_' || CAST(doc_id % 7 AS VARCHAR) END AS tool,
     CAST({EPOCH0} + doc_id * 60 AS BIGINT)                        AS ts_epoch

@@ -69,7 +69,8 @@ def incremental_update(
     # Cross-batch linking: widen the tiered join's sides with the persisted
     # url/resource registries so delta↔history links form.
     link_input = mentions.select("conv_id", "turn_idx", "mtype", "surface",
-                                 "norm", "ord", "span_start", "span_end", "path")
+                                 "norm", "ord", "span_start", "span_end", "path",
+                                 "method")
     stored_urls = _stored_registry(sink, "url")
     stored_resources = _stored_registry(sink, "resource")
     extras = []
@@ -82,6 +83,9 @@ def incremental_update(
                 F.lit(-1).alias("span_start"), F.lit(-1).alias("span_end"),
                 # url nodes are keyed on the pre-api-strip path = their id key
                 F.col("key").alias("path"),
+                # history rows carry no verb (node keys are method-less);
+                # NULL defaults to GET in the tiered join's method gate
+                F.lit(None).cast("string").alias("method"),
             )
         )
     if stored_resources is not None:
@@ -92,6 +96,7 @@ def incremental_update(
                 F.col("norm"), F.lit(0).alias("ord"),
                 F.lit(-1).alias("span_start"), F.lit(-1).alias("span_end"),
                 F.col("norm").alias("path"),
+                F.lit(None).cast("string").alias("method"),
             )
         )
     for x in extras:

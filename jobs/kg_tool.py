@@ -123,9 +123,13 @@ def cmd_reset(args):
         spark.stop()
         return
     nodes = sink.read("nodes")
-    keep_nodes = nodes.filter(
-        ~(F.col("first_conv").startswith(args.conv_prefix))
-    ).localCheckpoint(eager=True)
+    # Delimiter-anchored family match: 'c3' deletes c3 and its replica
+    # family c3_r0, c3_r1... but NEVER c30/c31 (bare startswith over-matched;
+    # reference resets by repoRoot, a separator-anchored path prefix).
+    drop = (F.col("first_conv") == args.conv_prefix) | F.col(
+        "first_conv"
+    ).startswith(args.conv_prefix + "_r")
+    keep_nodes = nodes.filter(~drop).localCheckpoint(eager=True)
     kept_ids = keep_nodes.select("id").localCheckpoint(eager=True)
     edges = sink.read("edges")
     keep_edges = (

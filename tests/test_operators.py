@@ -14,7 +14,7 @@ from glasseenterprise_mcp_spark.functions.normalize import (
 from glasseenterprise_mcp_spark.operators.canonicalize import connected_components
 from glasseenterprise_mcp_spark.operators.extract import (
     MAX_MATCHES_PER_KIND,
-    MAX_TEXT_BYTES,
+    MAX_TEXT_CHARS,
     extract_mentions,
 )
 from glasseenterprise_mcp_spark.operators.graph import find_cycles
@@ -130,30 +130,52 @@ def test_cc_paths_agree(spark):
 
 
 # --------------------------------------------------------------------------
-# tiered linking — tier 2 residual path (not exercised by the testdata)
+# tiered linking — all four tiers + HTTP-method gating on crafted mentions
 # --------------------------------------------------------------------------
-def test_refers_to_tier2_residual(spark):
+def test_refers_to_tiers_and_method_gate(spark):
     from glasseenterprise_mcp_spark.schemas import MENTIONS_SCHEMA
 
+    def u(conv, turn, surface, path, norm, method=None):
+        return (conv, turn, "url", surface, norm, 1, 0, 1, path, True, method, None)
+
+    def ep(conv, turn, path, norm, method="GET"):
+        return (conv, turn, "endpoint", path, norm, 1, 0, 1, path, True, method, None)
+
     rows = [
-        # tier-1 pair: same fully-normalized key
-        ("c1", 0, "url", "http://h/api/v1/r9", "/r9", 1, 0, 1, "/api/v1/r9", True),
-        ("c2", 0, "endpoint", "/api/r9", "/r9", 1, 0, 1, "/api/r9", True),
-        # tier-2: consumed path contains provided norm, but norms differ
-        ("c1", 1, "url", "http://h/legacy/r7/extra", "/legacy/r7/extra", 1, 0, 1, "/legacy/r7/extra", True),
-        ("c2", 1, "endpoint", "/api/r7/extra", "/r7/extra", 1, 0, 1, "/api/r7/extra", True),
+        # tier 1: exact non-stripped path match
+        u("c1", 0, "http://h/api/r1", "/api/r1", "/r1"),
+        ep("c2", 0, "/api/r1", "/r1"),
+        # tier 1b: api-variant key match (paths differ, stripped keys equal)
+        u("c1", 1, "http://h/api/v1/r9", "/api/v1/r9", "/r9"),
+        ep("c2", 1, "/api/r9", "/r9"),
+        # tier 2: consumed path contains provided norm, keys differ
+        u("c1", 2, "http://h/legacy/r7/extra", "/legacy/r7/extra", "/legacy/r7/extra"),
+        ep("c2", 2, "/api/r7/extra", "/r7/extra"),
+        # tier 3: template provider matches the concrete consumer path
+        u("c1", 3, "http://h/api/items/42/tags", "/api/items/42/tags", "/items/42/tags"),
+        ep("c2", 3, "/api/items/{id}/tags", "/items/{id}/tags"),
+        # method gate: POST consumer vs GET-only provider — must NOT link
+        u("c1", 4, "POSTed http://h/api/only/get", "/api/only/get", "/only/get", "POST"),
+        ep("c2", 4, "/api/only/get", "/only/get", "GET"),
         # no match at all
-        ("c1", 2, "url", "http://h/nothing", "/nothing", 1, 0, 1, "/nothing", True),
+        u("c1", 5, "http://h/nothing", "/nothing", "/nothing"),
     ]
     m = spark.createDataFrame(rows, MENTIONS_SCHEMA)
-    got = {(r.subj, r.obj): (r.confidence, r.tier) for r in refers_to_edges(m).collect()}
+    got = {
+        (r.subj, r.obj): (r.confidence, r.tier, r.method)
+        for r in refers_to_edges(m).collect()
+    }
     from glasseenterprise_mcp_spark.functions.ids import stable_id_py
 
-    t1 = (stable_id_py("url", "/api/v1/r9"), stable_id_py("resource", "/r9"))
-    t2 = (stable_id_py("url", "/legacy/r7/extra"), stable_id_py("resource", "/r7/extra"))
-    assert t1 in got and got[t1][1] == 1 and got[t1][0] > 50
-    assert t2 in got and got[t2] == (30, 2)
-    assert len(got) == 2  # /nothing linked to nothing
+    def pair(cp, pn):
+        return (stable_id_py("url", cp), stable_id_py("resource", pn))
+
+    assert got[pair("/api/r1", "/r1")] == (63, "1", "GET")  # 60 + len('/r1')
+    assert got[pair("/api/v1/r9", "/r9")] == (55, "1b", "GET")
+    assert got[pair("/legacy/r7/extra", "/r7/extra")] == (30, "2", "GET")
+    assert got[pair("/api/items/42/tags", "/items/{id}/tags")] == (45, "3", "GET")
+    assert pair("/api/only/get", "/only/get") not in got  # method-blocked
+    assert len(got) == 4
 
 
 # --------------------------------------------------------------------------
@@ -161,7 +183,7 @@ def test_refers_to_tier2_residual(spark):
 # --------------------------------------------------------------------------
 def test_extraction_caps(spark):
     mega = " ".join(f"@e{i}" for i in range(MAX_MATCHES_PER_KIND + 50))
-    huge = "@first " + ("x" * MAX_TEXT_BYTES) + " @beyond_the_cap"
+    huge = "@first " + ("x" * MAX_TEXT_CHARS) + " @beyond_the_cap"
     df = spark.createDataFrame(
         [("c1", 0, mega), ("c1", 1, huge)], ["conv_id", "turn_idx", "text"]
     )
@@ -178,7 +200,8 @@ def test_extraction_caps(spark):
 # --------------------------------------------------------------------------
 # cycle detection on crafted graphs
 # --------------------------------------------------------------------------
-def test_find_cycles_crafted(spark):
+@pytest.mark.parametrize("threshold", [100_000, 0])  # driver-side / distributed
+def test_find_cycles_crafted(spark, threshold):
     edges = spark.createDataFrame(
         [
             ("a", "b"), ("b", "a"),          # 2-cycle
@@ -188,8 +211,22 @@ def test_find_cycles_crafted(spark):
         ],
         ["src", "dst"],
     )
-    got = {r.start: r.cycle_len for r in find_cycles(edges, max_len=5).collect()}
+    got = {
+        r.start: r.cycle_len
+        for r in find_cycles(edges, max_len=5, driver_threshold=threshold).collect()
+    }
     assert got == {"a": 2, "p": 3, "s": 1}
+
+
+def test_find_cycles_dense_bounded(spark):
+    # complete digraph on 12 nodes: the naive path enumeration is ~12! paths;
+    # the driver short-circuit must return instantly with all 2-cycles
+    nodes = [f"n{i:02d}" for i in range(12)]
+    edges = spark.createDataFrame(
+        [(a, b) for a in nodes for b in nodes if a != b], ["src", "dst"]
+    )
+    got = {r.start: r.cycle_len for r in find_cycles(edges, max_len=8).collect()}
+    assert got == {n: 2 for n in nodes[:-1]}  # max node can't lead a cycle
 
 
 # --------------------------------------------------------------------------
