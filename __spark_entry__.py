@@ -380,6 +380,41 @@ def q_stateful_scan(spark, sf_dir):
     return ST.stateful_block_scan(_t(spark, sf_dir))
 
 
+# --- multimodal plumbing (deterministic fake-media table; codec stays a
+# disclosed engine-only stub — these gate the schema/metadata/Arrow paths) --
+def q_media_metadata(spark, sf_dir):
+    from glasseenterprise_mcp_spark.operators.multimodal import synthesize_media
+
+    return synthesize_media(_docs(spark, sf_dir)).drop("content")
+
+
+def q_frame_plan(spark, sf_dir):
+    from glasseenterprise_mcp_spark.operators.multimodal import (
+        frame_sample,
+        synthesize_media,
+    )
+
+    return frame_sample(synthesize_media(_docs(spark, sf_dir)))
+
+
+def q_resize_plan(spark, sf_dir):
+    from glasseenterprise_mcp_spark.operators.multimodal import (
+        resize_plan,
+        synthesize_media,
+    )
+
+    return resize_plan(synthesize_media(_docs(spark, sf_dir)))
+
+
+def q_media_features(spark, sf_dir):
+    from glasseenterprise_mcp_spark.operators.multimodal import (
+        media_features_int,
+        synthesize_media,
+    )
+
+    return media_features_int(synthesize_media(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_transcripts_scan": q_transcripts,
@@ -426,6 +461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j9_lineage_triples": q_lineage_triples,
         "g1b_impact_nodes": q_impact_nodes,
         "s6_stateful_scan": q_stateful_scan,
+        "mm1_media_metadata": q_media_metadata,
+        "mm2_frame_plan": q_frame_plan,
+        "mm3_resize_plan": q_resize_plan,
+        "mm4_media_features": q_media_features,
     }
 
 
@@ -628,4 +667,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, fences, in_block FROM block_scan",
             ST.stateful_block_scan_cte(),
         ),
+        "mm1_media_metadata": __import__(
+            "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]
+        ).media_metadata_sql(),
+        "mm2_frame_plan": __import__(
+            "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]
+        ).frame_sample_sql(),
+        "mm3_resize_plan": __import__(
+            "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]
+        ).resize_plan_sql(),
+        "mm4_media_features": __import__(
+            "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]
+        ).media_features_int_sql(),
     }

@@ -1,0 +1,100 @@
+"""One scaling-study leg, run as a FRESH process per parallelism level.
+
+Why a subprocess per leg: the north rule's criterion is throughput scaling
+from an N-core cluster to a 4N-core cluster. In local mode the JVM is shared
+across legs and sizes its constant-parallelism services — GC worker threads,
+JIT compiler threads, netty/shuffle pools — to the HOST's 32 cores, not to
+local[N]. That gives the small leg up to ~20 free helper threads the big leg
+also gets, compressing the measured ratio far below what real N-core vs
+4N-core machines would show. ``-XX:ActiveProcessorCount=N`` makes the JVM
+size every internal pool to exactly N cores — the faithful emulation of an
+N-core executor host — and a fresh process per leg is the only way to apply
+it (JVM flags are fixed at launch).
+
+Prints one JSON line: {"triples": N, "sec": W, "master": ..., "factor": ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_leg(
+    cores: int,
+    factor: int,
+    sf_dir: str,
+    warmup: bool = True,
+    shuffle: int | None = None,
+) -> dict:
+    from glasseenterprise_mcp_spark.pipeline import run_pipeline
+    from glasseenterprise_mcp_spark.session import get_spark
+    from glasseenterprise_mcp_spark.sources.transcripts import (
+        amplify,
+        derive_transcripts,
+    )
+
+    master = f"local[{cores}]"
+    spark = get_spark(
+        app_name=f"bench-leg-{cores}",
+        master=master,
+        # IDENTICAL JOB on both legs: shuffle partitioning is a job config,
+        # not a resource; callers pass the value sized for the big leg so
+        # only the cluster size varies between legs.
+        shuffle_partitions=shuffle if shuffle is not None else cores * 2,
+        extra_confs={
+            # emulate an N-core host: GC/JIT/IO pools sized to N (see module
+            # docstring). Only effective because this process is fresh.
+            "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cores}",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if warmup:
+        # spawn the Python worker pool + JIT before the measured run (on a
+        # real cluster executors are long-lived; first-job fork cost is not
+        # steady-state throughput)
+        w = run_pipeline(
+            spark,
+            derive_transcripts(spark, sf_dir),
+            sink=None,
+            snapshot_version="warm",
+            with_components=False,
+        )
+        w.edges.count()
+        w.mentions.unpersist()
+
+    t = amplify(derive_transcripts(spark, sf_dir), factor)
+    t0 = time.time()
+    res = run_pipeline(spark, t, sink=None, snapshot_version="bench")
+    triples = res.edges.count()
+    wall = time.time() - t0
+    res.mentions.unpersist()
+    spark.stop()
+    return {
+        "triples": triples,
+        "sec": round(wall, 3),
+        "master": master,
+        "factor": factor,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--factor", type=int, required=True)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--shuffle", type=int, default=None)
+    ap.add_argument("--no-warmup", action="store_true")
+    args = ap.parse_args()
+    out = run_leg(args.cores, args.factor, args.sf_dir,
+                  warmup=not args.no_warmup, shuffle=args.shuffle)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -193,7 +193,10 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         flag (keyed on the NODE key — kind + norm/path — so downstream
         mentions-in is unique by construction across detector families).
     """
+    from hashlib import md5 as _md5
+
     norm_memo: dict[tuple[str, str], tuple[str, str | None]] = {}
+    id_memo: dict[tuple[str, str], str] = {}
     for pdf in batches:
         n = len(pdf)
         conv_ids = pdf["conv_id"].tolist()
@@ -218,7 +221,12 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         o_first = out["first_in_turn"].append
         o_method = out["method"].append
         o_extra = out["extra"].append
+        o_kind = out["kind"].append
+        o_nid = out["node_id"].append
+        o_tid = out["turn_id"].append
 
+        # turn ids: one md5 per distinct row (rows repeat across detectors)
+        tid_cache: list[str | None] = [None] * n
         seen: dict[int, set] = {}
         for det, rx, hint in _COMPILED:
             mtype = det.mtype
@@ -255,6 +263,18 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     node_key = (kind, path if mtype == "url" else norm)
                     first = node_key not in row_seen
                     row_seen.add(node_key)
+                    nid = id_memo.get(node_key)
+                    if nid is None:
+                        nid = _md5(
+                            f"{node_key[0]}|{node_key[1]}".encode()
+                        ).hexdigest()
+                        if len(id_memo) < 1_000_000:
+                            id_memo[node_key] = nid
+                    tid = tid_cache[i]
+                    if tid is None:
+                        tid = tid_cache[i] = _md5(
+                            f"turn|{conv_ids[i]}|{turn_idxs[i]}".encode()
+                        ).hexdigest()
                     o_conv(conv_ids[i])
                     o_turn(turn_idxs[i])
                     o_mtype(mtype)
@@ -267,6 +287,9 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     o_first(first)
                     o_method(m.group(mg) if mg else None)
                     o_extra(m.group(xg) if xg else None)
+                    o_kind(kind)
+                    o_nid(nid)
+                    o_tid(tid)
         yield pd.DataFrame(out)
 
 

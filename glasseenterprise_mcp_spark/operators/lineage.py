@@ -129,7 +129,7 @@ def lineage_triples(mentions: DataFrame) -> DataFrame:
         "turn_idx",
         F.col("norm").alias("target"),
         # nested array<struct<src,arg_idx>> — the reference's
-        # derives{{target, sources[]}} shape — then exploded
+        # derives{target, sources[]} shape — then exploded
         F.posexplode(F.split(F.col("extra"), ",")).alias("pos", "src"),
     )
     resolved = (

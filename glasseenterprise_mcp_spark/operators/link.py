@@ -73,6 +73,16 @@ def mentions_in_edges(mentions: DataFrame) -> DataFrame:
         # node key per turn → (subj, obj) pairs are unique by construction,
         # no dedup shuffle at all (this stage becomes fully narrow)
         m = m.filter(F.col("first_in_turn"))
+        if "node_id" in mentions.columns:
+            # ids pre-minted (and memoized per distinct key) in the kernel —
+            # the biggest edge family is a pure column select: no md5, no
+            # CASE, no concat over the corpus (E16 done once, upstream)
+            return m.select(
+                F.col("node_id").alias("subj"),
+                F.lit("mentions-in").alias("pred"),
+                F.col("turn_id").alias("obj"),
+                F.col("kind").alias("subj_kind"),
+            )
         key = F.when(F.col("mtype") == "url", F.col("path")).otherwise(F.col("norm"))
         return m.select(
             F.md5(F.concat_ws("|", _kind_case_col(), key)).alias("subj"),
@@ -168,11 +178,19 @@ def calls_tool_edges(transcripts: DataFrame, mentions: DataFrame) -> DataFrame:
     (role='tool' rows). Dedup keeps the lexicographically smallest ``via``
     (deterministic first-wins, analogue of reference dedupe keep-first,
     relationshipBuilder.ts:943-953)."""
-    from_mentions = mentions.filter(F.col("mtype") == "tool").select(
-        turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("subj"),
-        node_id_col("tool", F.col("norm")).alias("obj"),
-        F.lit(1).alias("via_code"),  # 1 = call-marker
-    )
+    tool_m = mentions.filter(F.col("mtype") == "tool")
+    if "node_id" in mentions.columns:
+        from_mentions = tool_m.select(
+            F.col("turn_id").alias("subj"),
+            F.col("node_id").alias("obj"),
+            F.lit(1).alias("via_code"),  # 1 = call-marker
+        )
+    else:
+        from_mentions = tool_m.select(
+            turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("subj"),
+            node_id_col("tool", F.col("norm")).alias("obj"),
+            F.lit(1).alias("via_code"),  # 1 = call-marker
+        )
     from_column = transcripts.filter(F.col("tool").isNotNull()).select(
         turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("subj"),
         node_id_col("tool", norm_name_col(F.col("tool"))).alias("obj"),
@@ -345,6 +363,13 @@ def refers_to_edges(mentions: DataFrame) -> DataFrame:
     registry), always broadcast-able even at 100TB fact scale; the method
     equality rides along every tier's join keys.
     """
+    # Materialize both registries ONCE (eager localCheckpoint): the tier
+    # cascade references each side up to 7 times (4 joins + 3 anti-join
+    # residuals) and without materialization every reference re-scans the
+    # full mentions table — a bandwidth-bound full pass per tier at corpus
+    # scale. The distinct registries are dims (distinct urls/endpoints, not
+    # occurrences); on a cluster this is the reference's "build the API
+    # registry, then match against it" shape (relationshipBuilder.ts:95-131).
     consumed = (
         mentions.filter(F.col("mtype") == "url")
         .select(
@@ -353,6 +378,7 @@ def refers_to_edges(mentions: DataFrame) -> DataFrame:
             F.upper(F.coalesce(F.col("method"), F.lit("GET"))).alias("c_method"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     provided = (
         mentions.filter(F.col("mtype") == "endpoint")
@@ -362,6 +388,7 @@ def refers_to_edges(mentions: DataFrame) -> DataFrame:
             F.upper(F.coalesce(F.col("method"), F.lit("GET"))).alias("p_method"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     prov_plain = provided.filter(~F.col("p_path").rlike(_TEMPLATE_RX))
     prov_tmpl = provided.filter(F.col("p_path").rlike(_TEMPLATE_RX)).withColumn(

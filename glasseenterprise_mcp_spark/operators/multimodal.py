@@ -121,6 +121,80 @@ def extract_features(
     )
 
 
+def media_features_int(media: DataFrame) -> DataFrame:
+    """Driver-gate projection of extract_features: recover the integer byte
+    histogram from the normalized float features (count = round(f * n)) so
+    the output is float-free and oracle-comparable. Gates the REAL kernel:
+    any drift in the Arrow plumbing or the feature math breaks the counts."""
+    f = extract_features(media, fake=True)
+    cols = [
+        F.round(F.element_at("features", i + 1) * F.col("n_bytes"), 0)
+        .cast("long")
+        .alias(f"c{i}")
+        for i in range(8)
+    ]
+    return f.select("media_id", "modality", F.col("n_bytes").cast("long"), *cols)
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle twins (media synthesized from documents is deterministic and
+# fully relational; the codec stub stays engine-only and disclosed)
+# --------------------------------------------------------------------------
+_MODALITY_SQL = (
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END"
+)
+
+
+def media_metadata_sql() -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       {_MODALITY_SQL} AS modality,
+       'x-fake/' || {_MODALITY_SQL} AS mime,
+       CAST(doc_id % 640 + 16 AS INT) AS width,
+       CAST(doc_id % 480 + 16 AS INT) AS height,
+       CAST(doc_id % 9000 + 1000 AS INT) AS duration_ms
+FROM documents"""
+
+
+def frame_sample_sql(every_ms: int = 1000) -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(unnest(range(0, doc_id % 9000 + 1000, {every_ms})) AS INT) AS frame_ts_ms
+FROM documents WHERE doc_id % 3 = 2"""
+
+
+def resize_plan_sql(max_side: int = 256) -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       {_MODALITY_SQL} AS modality,
+       CAST(doc_id % 640 + 16 AS INT) AS width,
+       CAST(doc_id % 480 + 16 AS INT) AS height,
+       CAST(ceil((doc_id % 640 + 16) * least(1.0, {max_side}.0 / greatest(doc_id % 640 + 16, doc_id % 480 + 16))) AS INT) AS target_w,
+       CAST(ceil((doc_id % 480 + 16) * least(1.0, {max_side}.0 / greatest(doc_id % 640 + 16, doc_id % 480 + 16))) AS INT) AS target_h
+FROM documents"""
+
+
+def media_features_int_sql() -> str:
+    """Byte-histogram twin: documents text is ASCII (verified per-sf), so
+    char code points == UTF-8 bytes and ascii(substr(...)) reproduces the
+    kernel's byte buckets exactly."""
+    buckets = ",\n       ".join(
+        f"CAST(COUNT(*) FILTER (b = {i}) AS BIGINT) AS c{i}" for i in range(8)
+    )
+    return f"""
+WITH bytes AS (
+  SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) % 8 AS b
+  FROM documents, unnest(range(1, length(text)+1)) AS t(i)
+)
+SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+       {_MODALITY_SQL.replace("doc_id", "d.doc_id")} AS modality,
+       CAST(length(d.text) AS BIGINT) AS n_bytes,
+       {buckets}
+FROM documents d JOIN bytes ON bytes.doc_id = d.doc_id
+GROUP BY d.doc_id, d.text"""
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan* plumbing: one row per sampled timestamp
     (the decode of the frame itself is the stubbed step). Pure relational

@@ -112,7 +112,10 @@ def run_pipeline(
     e_mentions_in = mentions_in_edges(mentions).drop("subj_kind")
     e_replies = replies_to_edges(transcripts, mentions)
     e_calls = calls_tool_edges(transcripts, mentions)
-    e_refers = refers_to_edges(mentions)
+    # refers is dim-sized (distinct url × endpoint matches, not occurrences)
+    # and has two consumers (triple union + CC); materialize it once instead
+    # of re-running the 4-tier broadcast cascade per consumer.
+    e_refers = refers_to_edges(mentions).localCheckpoint(eager=True)
 
     # Stage D edges built before stage C so the (cached) triple table is the
     # single materialization everything downstream (CC, metrics, sink) reads
@@ -128,11 +131,14 @@ def run_pipeline(
         timings,
     ).cache()
 
-    # Stage C — canonicalization over the cross-corpus linking graph.
+    # Stage C — canonicalization over the cross-corpus linking graph. Feeds
+    # on the refers family DIRECTLY (a dim-sized frame built from the
+    # checkpointed url/endpoint registries), never by filtering the full
+    # cached triple table — that filter would re-scan corpus-scale edges to
+    # recover a graph that is orders of magnitude smaller.
     if with_components:
-        refers = edges.filter(F.col("pred") == "refers-to")
         components = connected_components(
-            refers.select("subj", "obj"), src="subj", dst="obj"
+            e_refers.select("subj", "obj"), src="subj", dst="obj"
         )
     else:
         components = spark.createDataFrame([], "id string, comp string")

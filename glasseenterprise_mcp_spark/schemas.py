@@ -56,6 +56,13 @@ MENTIONS_SCHEMA = StructType(
         StructField("method", StringType()),
         # auxiliary payload: derive-directive sources csv (J9/J10 lineage)
         StructField("extra", StringType()),
+        # pre-minted ids (E16): node kind, md5('<kind>|<key>') and
+        # md5('turn|<conv>|<idx>') — minted IN the kernel (memoized per
+        # distinct key) so downstream edge families are pure column selects
+        # instead of re-hashing the corpus per family.
+        StructField("kind", StringType()),
+        StructField("node_id", StringType()),
+        StructField("turn_id", StringType()),
     ]
 )
 

@@ -12,16 +12,16 @@ from glasseenterprise_mcp_spark.schemas import MENTIONS_SCHEMA
 def test_span_containment(spark):
     rows = [
         # error span [10, 40] contains entity [15, 22] and config [30, 38]
-        ("c1", 0, "error", "E1 failed badly", "e1 failed badly", 1, 10, 40, None, True, None, None),
-        ("c1", 0, "entity", "agent_1", "agent_1", 1, 15, 22, None, True, None, None),
-        ("c1", 0, "config", "CFG_X", "CFG_X", 1, 30, 38, None, True, None, None),
+        ("c1", 0, "error", "E1 failed badly", "e1 failed badly", 1, 10, 40, None, True, None, None, None, None, None),
+        ("c1", 0, "entity", "agent_1", "agent_1", 1, 15, 22, None, True, None, None, None, None, None),
+        ("c1", 0, "config", "CFG_X", "CFG_X", 1, 30, 38, None, True, None, None, None, None, None),
         # outside the error span
-        ("c1", 0, "entity", "agent_2", "agent_2", 2, 50, 57, None, True, None, None),
+        ("c1", 0, "entity", "agent_2", "agent_2", 2, 50, 57, None, True, None, None, None, None, None),
         # same spans in a DIFFERENT turn — must not join across turns
-        ("c1", 1, "entity", "agent_3", "agent_3", 1, 15, 22, None, True, None, None),
+        ("c1", 1, "entity", "agent_3", "agent_3", 1, 15, 22, None, True, None, None, None, None, None),
         # equal spans: not containment (strictly larger required)
-        ("c2", 0, "url", "http://h/x", "/x", 1, 0, 10, "/x", True, None, None),
-        ("c2", 0, "entity", "samespan", "samespan", 1, 0, 10, None, True, None, None),
+        ("c2", 0, "url", "http://h/x", "/x", 1, 0, 10, "/x", True, None, None, None, None, None),
+        ("c2", 0, "entity", "samespan", "samespan", 1, 0, 10, None, True, None, None, None, None, None),
     ]
     m = spark.createDataFrame(rows, MENTIONS_SCHEMA)
     got = {

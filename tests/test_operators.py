@@ -136,10 +136,10 @@ def test_refers_to_tiers_and_method_gate(spark):
     from glasseenterprise_mcp_spark.schemas import MENTIONS_SCHEMA
 
     def u(conv, turn, surface, path, norm, method=None):
-        return (conv, turn, "url", surface, norm, 1, 0, 1, path, True, method, None)
+        return (conv, turn, "url", surface, norm, 1, 0, 1, path, True, method, None, None, None, None)
 
     def ep(conv, turn, path, norm, method="GET"):
-        return (conv, turn, "endpoint", path, norm, 1, 0, 1, path, True, method, None)
+        return (conv, turn, "endpoint", path, norm, 1, 0, 1, path, True, method, None, None, None, None)
 
     rows = [
         # tier 1: exact non-stripped path match

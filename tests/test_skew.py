@@ -58,3 +58,37 @@ def test_two_phase_count(spark):
     got = {r.k: r.n for r in two_phase_count(_hot_df(spark), "k").collect()}
     assert got["hot"] == 5000
     assert got["k1"] == 4
+
+
+def test_top_entities_is_salted_two_phase_on_real_stage(spark):
+    """The skew kernel is wired into a REAL pipeline stage: top_entities
+    counts entity mentions (the hot entity holds ~50% of rows in the
+    fixture) through the salted two-phase kernel. Assert (a) the physical
+    plan carries the salt through the partial aggregate, (b) the counts
+    equal a plain groupBy."""
+    from glasseenterprise_mcp_spark.operators.analytics import top_entities
+    from glasseenterprise_mcp_spark.operators.extract import extract_mentions
+    from glasseenterprise_mcp_spark.sources.transcripts import derive_transcripts
+
+    from .conftest import SF_SMALL
+
+    t = derive_transcripts(spark, SF_SMALL)
+    m = extract_mentions(t).cache()
+    df = top_entities(m)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "_salt" in plan  # partial agg keyed by (norm, _salt)
+
+    plain = {
+        (r[0], r[1])
+        for r in m.filter(F.col("mtype") == "entity")
+        .groupBy("norm")
+        .count()
+        .orderBy(F.desc("count"), F.asc("norm"))
+        .limit(10)
+        .collect()
+    }
+    got = {(r.norm, r.n) for r in df.collect()}
+    assert got == plain
+    m.unpersist()
