@@ -189,7 +189,8 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         DISTINCT surface, not per occurrence — mention surfaces are heavily
         repeated in any real corpus, so the per-match cost collapses to
         dict lookups;
-      * flat list appends + a per-row ``seen`` dict for the first_in_turn
+      * one tuple emit per mention (single append; from_records at the end)
+        + a per-row ``seen`` dict for the first_in_turn
         flag (keyed on the NODE key — kind + norm/path — so downstream
         mentions-in is unique by construction across detector families).
     """
@@ -208,22 +209,8 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             texts = texts.str.slice(0, MAX_TEXT_CHARS)
         text_list = texts.tolist()
 
-        out: dict[str, list] = {f.name: [] for f in MENTIONS_SCHEMA.fields}
-        o_conv = out["conv_id"].append
-        o_turn = out["turn_idx"].append
-        o_mtype = out["mtype"].append
-        o_surface = out["surface"].append
-        o_norm = out["norm"].append
-        o_ord = out["ord"].append
-        o_ss = out["span_start"].append
-        o_se = out["span_end"].append
-        o_path = out["path"].append
-        o_first = out["first_in_turn"].append
-        o_method = out["method"].append
-        o_extra = out["extra"].append
-        o_kind = out["kind"].append
-        o_nid = out["node_id"].append
-        o_tid = out["turn_id"].append
+        out_rows: list[tuple] = []
+        emit = out_rows.append
 
         # turn ids: one md5 per distinct row (rows repeat across detectors)
         tid_cache: list[str | None] = [None] * n
@@ -275,22 +262,31 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         tid = tid_cache[i] = _md5(
                             f"turn|{conv_ids[i]}|{turn_idxs[i]}".encode()
                         ).hexdigest()
-                    o_conv(conv_ids[i])
-                    o_turn(turn_idxs[i])
-                    o_mtype(mtype)
-                    o_surface(surface)
-                    o_norm(norm)
-                    o_ord(ord_)
-                    o_ss(m.start(sg))
-                    o_se(m.end(sg))
-                    o_path(path)
-                    o_first(first)
-                    o_method(m.group(mg) if mg else None)
-                    o_extra(m.group(xg) if xg else None)
-                    o_kind(kind)
-                    o_nid(nid)
-                    o_tid(tid)
-        yield pd.DataFrame(out)
+                    ss, se = m.span(sg)
+                    emit(
+                        (
+                            conv_ids[i],
+                            turn_idxs[i],
+                            mtype,
+                            surface,
+                            norm,
+                            ord_,
+                            ss,
+                            se,
+                            path,
+                            first,
+                            m.group(mg) if mg else None,
+                            m.group(xg) if xg else None,
+                            kind,
+                            nid,
+                            tid,
+                        )
+                    )
+        cols = [f.name for f in MENTIONS_SCHEMA.fields]
+        if out_rows:
+            yield pd.DataFrame.from_records(out_rows, columns=cols)
+        else:
+            yield pd.DataFrame({c: [] for c in cols})
 
 
 def extract_mentions(transcripts: DataFrame) -> DataFrame:
