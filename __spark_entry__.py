@@ -35,6 +35,8 @@ from glasseenterprise_mcp_spark.operators import stateful as ST
 from glasseenterprise_mcp_spark.operators.extract import extract_mentions
 from glasseenterprise_mcp_spark.operators.link import (
     calls_tool_edges,
+    has_column_cte,
+    has_column_edges,
     mentions_in_edges,
     refers_to_edges,
     replies_to_edges,
@@ -406,6 +408,11 @@ def q_resize_plan(spark, sf_dir):
     return resize_plan(synthesize_media(_docs(spark, sf_dir)))
 
 
+def q_has_column(spark, sf_dir):
+    """J15/J16: table → column edges parsed from structured tbl mentions."""
+    return has_column_edges(_m(spark, sf_dir))
+
+
 def q_media_features(spark, sf_dir):
     from glasseenterprise_mcp_spark.operators.multimodal import (
         media_features_int,
@@ -461,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j9_lineage_triples": q_lineage_triples,
         "g1b_impact_nodes": q_impact_nodes,
         "s6_stateful_scan": q_stateful_scan,
+        "j15_has_column": q_has_column,
         "mm1_media_metadata": q_media_metadata,
         "mm2_frame_plan": q_frame_plan,
         "mm3_resize_plan": q_resize_plan,
@@ -666,6 +674,9 @@ def oracle_sql() -> dict[str, str]:
         "s6_stateful_scan": O.oracle(
             "SELECT conv_id, turn_idx, fences, in_block FROM block_scan",
             ST.stateful_block_scan_cte(),
+        ),
+        "j15_has_column": O.oracle(
+            "SELECT subj, pred, obj, tbl, col, n FROM has_column", has_column_cte()
         ),
         "mm1_media_metadata": __import__(
             "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]

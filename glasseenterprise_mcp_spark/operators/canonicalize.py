@@ -54,14 +54,19 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)  # cut upstream lineage: each round must
-        # not recompute the whole extract+link pipeline (≡ materializing the
-        # frontier, SURVEY.md §4.2)
     )
-    n_edges = und.count()
+    # Probe + short-circuit in ONE job: collect at most threshold+1 edges.
+    # If the graph fits, those rows ARE the input to the driver union-find —
+    # no separate count job, no checkpoint, no second collect (the iterative
+    # loop's per-job scheduler latency is the whole cost at dim scale).
+    probe = und.limit(distributed_threshold + 1).collect()
+    if len(probe) <= distributed_threshold:
+        return _cc_driver_side(edges.sparkSession, probe)
 
-    if n_edges <= distributed_threshold:
-        return _cc_driver_side(edges.sparkSession, und)
+    und = und.localCheckpoint(eager=True)  # cut upstream lineage: each round
+    # must not recompute the whole extract+link pipeline (≡ materializing
+    # the frontier, SURVEY.md §4.2)
+    n_edges = und.count()
 
     # Size the loop's partitioning to the GRAPH, not the corpus: the deduped
     # linking graph is typically orders of magnitude smaller than the input,
@@ -110,11 +115,12 @@ def connected_components(
     return labels
 
 
-def _cc_driver_side(spark, und: DataFrame) -> DataFrame:
-    """Union-find on the collected edge list (only called for graphs under
-    the threshold — bounded driver memory by contract). Component label =
-    min member id (Python str ordering == Spark string ordering for the
-    ASCII ids this engine mints)."""
+def _cc_driver_side(spark, und_rows: list) -> DataFrame:
+    """Union-find on the collected (undirected, deduped) edge list — only
+    called for graphs under the threshold, so driver memory is bounded by
+    contract. Component label = min member id (Python str ordering == Spark
+    string ordering for the ASCII ids this engine mints). Vertices are
+    derived from the collected rows — no extra Spark job."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -125,18 +131,15 @@ def _cc_driver_side(spark, und: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in und.collect():
+    all_vertices: set[str] = set()
+    for row in und_rows:
         a, b = row[0], row[1]
+        all_vertices.add(a)
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    members: dict[str, str] = {}
-    for v in set(parent) | {v for v in parent.values()}:
-        members[v] = find(v)
-    # include singletons that appeared only as self-rooted vertices
-    all_vertices = {row[0] for row in und.select("a").distinct().collect()}
-    rows = [(v, members.get(v, v)) for v in sorted(all_vertices)]
+    rows = [(v, find(v)) for v in sorted(all_vertices)]
     return spark.createDataFrame(rows, "id string, comp string")
 
 

@@ -307,6 +307,48 @@ def _template_rx_sql(e: str) -> str:
     return f"'^' || {x} || '$'"
 
 
+def has_column_edges(mentions: DataFrame) -> DataFrame:
+    """J15/J16 analogue: table → column edges from structured ``tbl:t.c``
+    mentions (the reference links DatabaseTable → DatabaseColumn parsed out
+    of JPQL/SQL strings, relationshipBuilder.ts J15-J16 + the E12
+    mini-parser). Dim-sized: distinct (table, column) pairs, one count agg.
+
+    Output: (subj=table node, pred='has-column', obj=column node,
+    tbl, col, n)."""
+    t = (
+        mentions.filter(F.col("mtype") == "table")
+        .select(
+            F.split(F.col("norm"), r"\.").getItem(0).alias("tbl"),
+            F.col("norm").alias("col_key"),
+        )
+        .groupBy("tbl", "col_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return t.select(
+        node_id_col("table", F.col("tbl")).alias("subj"),
+        F.lit("has-column").alias("pred"),
+        node_id_col("column", F.col("col_key")).alias("obj"),
+        "tbl",
+        F.split(F.col("col_key"), r"\.").getItem(1).alias("col"),
+        "n",
+    )
+
+
+def has_column_cte() -> str:
+    return f"""has_column AS (
+  SELECT {node_id_sql('table', 'tbl')} AS subj,
+         'has-column' AS pred,
+         {node_id_sql('column', 'col_key')} AS obj,
+         tbl, split_part(col_key, '.', 2) AS col, n
+  FROM (
+    SELECT split_part(norm, '.', 1) AS tbl, norm AS col_key,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM mentions WHERE mtype = 'table'
+    GROUP BY 1, 2
+  )
+)"""
+
+
 def span_containment_cte() -> str:
     """DuckDB twin of span_containment_join for the span-probe fixture
     subset (error spans wrapping @probe_ entities). The oracle has no char
@@ -338,7 +380,7 @@ def span_containment_cte() -> str:
 )"""
 
 
-def refers_to_edges(mentions: DataFrame) -> DataFrame:
+def refers_to_edges(mentions: DataFrame, driver_threshold: int = 50_000) -> DataFrame:
     """J20 analogue — the tiered, similarity-scored cross-corpus linking join
     (reference isAPIMatch cascade, relationshipBuilder.ts:547-605).
 
@@ -363,11 +405,7 @@ def refers_to_edges(mentions: DataFrame) -> DataFrame:
     registry), always broadcast-able even at 100TB fact scale; the method
     equality rides along every tier's join keys.
     """
-    # Materialize both registries ONCE (eager localCheckpoint): the tier
-    # cascade references each side up to 7 times (4 joins + 3 anti-join
-    # residuals) and without materialization every reference re-scans the
-    # full mentions table — a bandwidth-bound full pass per tier at corpus
-    # scale. The distinct registries are dims (distinct urls/endpoints, not
+    # The distinct registries are dims (distinct urls/endpoints, not
     # occurrences); on a cluster this is the reference's "build the API
     # registry, then match against it" shape (relationshipBuilder.ts:95-131).
     consumed = (
@@ -378,7 +416,6 @@ def refers_to_edges(mentions: DataFrame) -> DataFrame:
             F.upper(F.coalesce(F.col("method"), F.lit("GET"))).alias("c_method"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
     provided = (
         mentions.filter(F.col("mtype") == "endpoint")
@@ -388,8 +425,27 @@ def refers_to_edges(mentions: DataFrame) -> DataFrame:
             F.upper(F.coalesce(F.col("method"), F.lit("GET"))).alias("p_method"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+
+    # Registry-sized short-circuit (the CC small-graph pattern): probe +
+    # collect in one job per side; below the threshold the 4-tier cascade
+    # runs as a driver-side match — the distributed plan pays ~7 broadcast
+    # exchanges of pure scheduler latency to join a few hundred rows.
+    # Above it, the broadcast-join cascade below is the 100TB path.
+    if driver_threshold > 0:
+        c_rows = consumed.limit(driver_threshold + 1).collect()
+        if len(c_rows) <= driver_threshold:
+            p_rows = provided.limit(driver_threshold + 1).collect()
+            if len(p_rows) <= driver_threshold:
+                return _refers_driver_side(mentions.sparkSession, c_rows, p_rows)
+
+    # Materialize both registries ONCE (eager localCheckpoint): the tier
+    # cascade references each side up to 7 times (4 joins + 3 anti-join
+    # residuals) and without materialization every reference re-scans the
+    # full mentions table — a bandwidth-bound full pass per tier at corpus
+    # scale.
+    consumed = consumed.localCheckpoint(eager=True)
+    provided = provided.localCheckpoint(eager=True)
     prov_plain = provided.filter(~F.col("p_path").rlike(_TEMPLATE_RX))
     prov_tmpl = provided.filter(F.col("p_path").rlike(_TEMPLATE_RX)).withColumn(
         "p_rx", _template_rx_col(F.col("p_norm"))
@@ -459,6 +515,100 @@ def refers_to_edges(mentions: DataFrame) -> DataFrame:
             tier_decode.alias("tier"),
             method_decode.alias("method"),
         )
+    )
+
+
+_METHOD_CODE_PY = {"GET": 1, "POST": 2, "PUT": 3, "DELETE": 4}
+_METHOD_DECODE_PY = {1: "GET", 2: "POST", 3: "PUT", 4: "DELETE"}
+_TIER_DECODE_PY = {10: "1", 15: "1b", 20: "2", 30: "3"}
+
+
+def _refers_driver_side(spark, c_rows: list, p_rows: list) -> DataFrame:
+    """Driver-side replica of the 4-tier cascade for registry-sized inputs.
+    EXACTLY the join semantics of the distributed path below (method gate on
+    every tier, residual chaining, per-(subj,obj) max-conf/min-tier/
+    min-method aggregation) — the oracle gate cross-checks both paths."""
+    import re as _re
+    from hashlib import md5 as _md5
+
+    tmpl_probe = _re.compile("[{}]|/:")
+    prov = [(r[0], r[1], r[2]) for r in p_rows]  # (p_path, p_norm, p_method)
+    prov_plain = [p for p in prov if not tmpl_probe.search(p[0])]
+    prov_tmpl = []
+    for p in prov:
+        if tmpl_probe.search(p[0]):
+            rx = p[1].replace(".", "\\.")
+            rx = _re.sub(r"\{[^}]+\}", "[^/]+", rx)
+            rx = _re.sub(r"/:[a-z0-9_]+", "/[^/]+", rx)
+            prov_tmpl.append((p, _re.compile("^" + rx + "$")))
+
+    hits: list[tuple[str, str, int, int, int]] = []
+    remaining = [(r[0], r[1], r[2]) for r in c_rows]  # (path, norm, method)
+
+    def run_tier(rows, match_fn, conf_fn, tier_code):
+        residual = []
+        for c in rows:
+            matched = False
+            for p, pn in match_fn(c):
+                matched = True
+                hits.append(
+                    (c[0], pn, conf_fn(c), tier_code, _METHOD_CODE_PY.get(c[2], 4))
+                )
+            if not matched:
+                residual.append(c)
+        return residual
+
+    remaining = run_tier(
+        remaining,
+        lambda c: ((p, p[1]) for p in prov if c[0] == p[0] and c[2] == p[2]),
+        lambda c: 60 + min(len(c[1]), 20),
+        10,
+    )
+    remaining = run_tier(
+        remaining,
+        lambda c: ((p, p[1]) for p in prov if c[1] == p[1] and c[2] == p[2]),
+        lambda c: 55,
+        15,
+    )
+    remaining = run_tier(
+        remaining,
+        lambda c: (
+            (p, p[1])
+            for p in prov_plain
+            if len(p[1]) > 1 and p[1] in c[0] and c[2] == p[2]
+        ),
+        lambda c: 30,
+        20,
+    )
+    run_tier(
+        remaining,
+        lambda c: (
+            (p, p[1])
+            for (p, rx) in prov_tmpl
+            if rx.search(c[1]) and c[2] == p[2]
+        ),
+        lambda c: 45,
+        30,
+    )
+
+    agg: dict[tuple[str, str], list[int]] = {}
+    for path, p_norm, conf, tcode, mcode in hits:
+        subj = _md5(f"url|{path}".encode()).hexdigest()
+        obj = _md5(f"resource|{p_norm}".encode()).hexdigest()
+        cur = agg.get((subj, obj))
+        if cur is None:
+            agg[(subj, obj)] = [conf, tcode, mcode]
+        else:
+            cur[0] = max(cur[0], conf)
+            cur[1] = min(cur[1], tcode)
+            cur[2] = min(cur[2], mcode)
+    rows = [
+        (s, "refers-to", o, v[0], _TIER_DECODE_PY[v[1]], _METHOD_DECODE_PY[v[2]])
+        for (s, o), v in sorted(agg.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, confidence int, tier string, method string",
     )
 
 

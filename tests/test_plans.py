@@ -31,11 +31,23 @@ def test_filter_pushdown_and_pruning(spark):
 
 
 def test_refers_to_broadcasts_provided_side(spark):
+    # distributed path (driver_threshold=0): provided side must broadcast
     t = derive_transcripts(spark, SF_SMALL)
     m = extract_mentions(t)
-    plan = _plan(refers_to_edges(m))
+    plan = _plan(refers_to_edges(m, driver_threshold=0))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_refers_to_paths_agree(spark):
+    # the registry-sized driver short-circuit must emit EXACTLY the rows of
+    # the distributed broadcast cascade
+    t = derive_transcripts(spark, SF_SMALL)
+    m = extract_mentions(t).cache()
+    a = {tuple(r) for r in refers_to_edges(m, driver_threshold=0).collect()}
+    b = {tuple(r) for r in refers_to_edges(m).collect()}
+    m.unpersist()
+    assert a == b and len(a) > 0
 
 
 def test_whole_stage_codegen_relational(spark):
