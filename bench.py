@@ -42,9 +42,12 @@ BENCH_FACTOR = int(os.environ.get("SPARK_GRAFT_BENCH_FACTOR", "200"))
 # oversubscribes CPU and >16 busy threads DEGRADE even pure-JVM shuffle
 # work (50M-row md5 groupBy: 8.2s @ local[8] vs 30.6s @ local[32]); see
 # BENCH/BASELINE.md for the calibration curve. Legs run pinned in fresh
-# subprocesses (run_scaling_leg). Measured round 2: eff 0.85.
+# subprocesses (run_scaling_leg) with IDENTICAL job config — both legs get
+# the shuffle partitioning sized for the big leg (only the core budget
+# varies between legs).
 SCALING_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALING_FACTOR", "1200"))
 SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+SCALING_SHUFFLE = SCALING_N * 4 * 2  # sized for the 4N leg, used on both
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
 
@@ -65,7 +68,7 @@ def run_scaling_leg(cores: int, factor: int) -> tuple[int, float]:
         "bench_leg.py",
     )
     cmd = [sys.executable, leg, "--cores", str(cores), "--factor", str(factor),
-           "--sf-dir", SF_DIR]
+           "--sf-dir", SF_DIR, "--shuffle", str(SCALING_SHUFFLE)]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, check=True)
@@ -117,7 +120,14 @@ def run_queries() -> dict[str, float]:
     import __spark_entry__ as E
     from glasseenterprise_mcp_spark.session import get_spark
 
-    spark = get_spark(app_name="bench-queries", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    # Clamp to the host's measured effective-core ceiling (~16), like the
+    # headline pipeline run: beyond it the hypervisor throttle makes
+    # everything slower and per-query numbers stop being comparable
+    # round-over-round (see BENCH/BASELINE.md calibration table).
+    eff_cpus = min(CPUS, 16)
+    spark = get_spark(
+        app_name="bench-queries", master=f"local[{eff_cpus}]", shuffle_partitions=eff_cpus
+    )
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, float] = {}
     for name, fn in E.queries().items():
@@ -140,7 +150,7 @@ def main() -> None:
     # reported for transparency.
     if RUN_SCALING:
         n, n4 = SCALING_N, SCALING_N * 4
-        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
         raw: dict[str, list[float]] = {f"local[{n}]": [], f"local[{n4}]": []}
         triples_scal = 0
         for _ in range(reps):

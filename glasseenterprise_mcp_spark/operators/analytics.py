@@ -143,14 +143,31 @@ def cooccurrence_cte(min_count: int = 2) -> str:
 )"""
 
 
-def conv_shared_entities(mentions: DataFrame, sample_n: int = 10) -> DataFrame:
+def conv_shared_entities(
+    mentions: DataFrame, sample_n: int = 10, max_convs_per_norm: int = 20
+) -> DataFrame:
     """J13: conversation pairs sharing entities — (conv_a, conv_b,
     shared_count, sample of ≤10 sorted shared norms). Computed by
     self-joining the distinct (conv, entity) edge list on entity, then a
-    pair groupBy — avoids the reference's O(R²) pair loop."""
+    pair groupBy — avoids the reference's O(R²) pair loop.
+
+    Hot-entity cap (the SURVEY J26 prescription, mirrored in the oracle
+    CTE): a norm appearing in M conversations generates M²/2 pairs — for a
+    corpus-wide entity that is a cartesian blow-up on one join key. Each
+    norm therefore contributes only its first ``max_convs_per_norm``
+    conversations (row_number over conv_id asc — deterministic), bounding
+    any single key's pair fan-out to K(K-1)/2 regardless of corpus size.
+    Counts for ultra-hot norms are thus computed over a deterministic
+    conversation sample; norms at or under the cap are exact."""
     ce = mentions.filter(F.col("mtype") == "entity").select(
         "conv_id", "norm"
     ).distinct()
+    w = Window.partitionBy("norm").orderBy(F.asc("conv_id"))
+    ce = (
+        ce.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_convs_per_norm)
+        .drop("_rn")
+    )
     a = ce.alias("a")
     b = ce.alias("b")
     return (
@@ -171,9 +188,16 @@ def conv_shared_entities(mentions: DataFrame, sample_n: int = 10) -> DataFrame:
     )
 
 
-def conv_shared_entities_cte(sample_n: int = 10) -> str:
+def conv_shared_entities_cte(sample_n: int = 10, max_convs_per_norm: int = 20) -> str:
     return f"""conv_pairs AS (
-  WITH ce AS (SELECT DISTINCT conv_id, norm FROM mentions WHERE mtype = 'entity')
+  WITH ce0 AS (SELECT DISTINCT conv_id, norm FROM mentions WHERE mtype = 'entity'),
+  ce AS (
+    SELECT conv_id, norm FROM (
+      SELECT conv_id, norm,
+             row_number() OVER (PARTITION BY norm ORDER BY conv_id ASC) AS rn
+      FROM ce0
+    ) WHERE rn <= {max_convs_per_norm}
+  )
   SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
          CAST(COUNT(*) AS BIGINT) AS shared_count,
          array_to_string(list_sort(list(DISTINCT a.norm))[1:{sample_n}], ',') AS sample

@@ -174,7 +174,7 @@ def find_cycles(
     src: str = "src",
     dst: str = "dst",
     max_len: int = 8,
-    driver_threshold: int = 100_000,
+    driver_threshold: int = 10_000,
 ) -> DataFrame:
     """G2: bounded directed cycle detection via iterative path extension.
 
@@ -189,7 +189,11 @@ def find_cycles(
     ``driver_threshold`` edges short-circuit to a driver-side per-start BFS
     (the CC small-graph pattern, canonicalize.py) — O(V·E·max_len) instead
     of exponential path enumeration, identical results. The distributed loop
-    remains the >threshold path, where real edge dims are sparse.
+    remains the >threshold path, where real edge dims are sparse. The
+    threshold is 10k edges: the driver BFS is O(V·E) worst case, which at
+    10k edges stays sub-second; raising it toward 100k makes the guard
+    itself a wall-clock cliff on sparse graphs the distributed loop handles
+    fine.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
     e = e.localCheckpoint(eager=True)

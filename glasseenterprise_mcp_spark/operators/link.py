@@ -380,7 +380,7 @@ def span_containment_cte() -> str:
 )"""
 
 
-def refers_to_edges(mentions: DataFrame, driver_threshold: int = 50_000) -> DataFrame:
+def refers_to_edges(mentions: DataFrame, driver_threshold: int = 5_000) -> DataFrame:
     """J20 analogue — the tiered, similarity-scored cross-corpus linking join
     (reference isAPIMatch cascade, relationshipBuilder.ts:547-605).
 
@@ -432,6 +432,10 @@ def refers_to_edges(mentions: DataFrame, driver_threshold: int = 50_000) -> Data
     # runs as a driver-side match — the distributed plan pays ~7 broadcast
     # exchanges of pure scheduler latency to join a few hundred rows.
     # Above it, the broadcast-join cascade below is the 100TB path.
+    # Threshold 5k/side: tiers 1/1b are dict lookups (O(C+P)), but tiers 2/3
+    # are linear scans of the provider side per residual row — O(C*P) worst
+    # case, which at 5k*5k = 25M short-string ops stays low-single-digit
+    # seconds on the driver (micro-benched; was 50k = a 2.5B-op cliff).
     if driver_threshold > 0:
         c_rows = consumed.limit(driver_threshold + 1).collect()
         if len(c_rows) <= driver_threshold:
@@ -542,6 +546,14 @@ def _refers_driver_side(spark, c_rows: list, p_rows: list) -> DataFrame:
             rx = _re.sub(r"/:[a-z0-9_]+", "/[^/]+", rx)
             prov_tmpl.append((p, _re.compile("^" + rx + "$")))
 
+    # equi tiers are hash-indexed (O(C+P), never a per-row provider scan):
+    # tier 1 keys on (path, method), tier 1b on (norm, method)
+    by_path: dict[tuple[str, str], list] = {}
+    by_norm: dict[tuple[str, str], list] = {}
+    for p in prov:
+        by_path.setdefault((p[0], p[2]), []).append(p)
+        by_norm.setdefault((p[1], p[2]), []).append(p)
+
     hits: list[tuple[str, str, int, int, int]] = []
     remaining = [(r[0], r[1], r[2]) for r in c_rows]  # (path, norm, method)
 
@@ -560,13 +572,13 @@ def _refers_driver_side(spark, c_rows: list, p_rows: list) -> DataFrame:
 
     remaining = run_tier(
         remaining,
-        lambda c: ((p, p[1]) for p in prov if c[0] == p[0] and c[2] == p[2]),
+        lambda c: ((p, p[1]) for p in by_path.get((c[0], c[2]), ())),
         lambda c: 60 + min(len(c[1]), 20),
         10,
     )
     remaining = run_tier(
         remaining,
-        lambda c: ((p, p[1]) for p in prov if c[1] == p[1] and c[2] == p[2]),
+        lambda c: ((p, p[1]) for p in by_norm.get((c[1], c[2]), ())),
         lambda c: 55,
         15,
     )

@@ -9,10 +9,21 @@ divergence. Ranking ties break on neighbor id.
 
 Scale notes: brute-force is a broadcast nested-loop of queries x corpus —
 correct baseline, O(Q*N). The LSH variant buckets by random-hyperplane sign
-signatures (deterministic integer pseudo-hyperplanes) so candidate
-generation is an equi join on the bucket key; recall is tunable by
-signature bits / probe multiplicity. At 100TB the corpus side stays
-partitioned; only the (small) query set broadcasts.
+signatures (deterministic integer pseudo-hyperplanes) in a **banded
+OR-construction**: N_BANDS independent BAND_BITS-bit signatures; a pair is
+a candidate when it collides in ANY band (MinHash-LSH's banding applied to
+hyperplane sketches). Candidate generation is an equi join on the
+(band, bucket) key; the corpus side stays partitioned at 100TB, only the
+(small) query set broadcasts, and the max per-band bucket is ~N/2^BAND_BITS
+in expectation — never an all-pairs blow-up (pinned by a bucket-histogram
+test).
+
+Recall (pair survives ≥1 of B bands; per-bit agreement p = 1 - θ/π):
+with BAND_BITS=8, N_BANDS=4 —  cos 0.99 → 0.99, cos 0.95 → 0.89,
+cos 0.8 → 0.50, cos 0.5 → 0.15. The sketch is sized for high-cosine
+near-duplicates (the dedup use case); for low-threshold similarity search,
+raise N_BANDS (OR-construction trades comparisons for recall) or lower
+BAND_BITS.
 """
 
 from __future__ import annotations
@@ -21,7 +32,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 DIM = 64
-LSH_BITS = 4
+BAND_BITS = 8  # hyperplanes per band → 2^8 buckets per band
+N_BANDS = 4  # independent signatures (OR-construction)
 
 
 def quantized(embeddings: DataFrame) -> DataFrame:
@@ -91,12 +103,14 @@ def _hyperplane_weight(bit: int, dim: int) -> int:
     return ((bit * 40503 + dim * 2654435761) % 1009) - 504
 
 
-def lsh_bucket_col(qv: str = "qv", bits: int = LSH_BITS) -> Column:
-    """Sign-concatenation bucket key from integer hyperplane projections."""
+def lsh_band_bucket_col(qv: str, band: int, bits: int = BAND_BITS) -> Column:
+    """Sign-concatenation bucket key of one band: ``bits`` integer
+    hyperplane projections, hyperplanes indexed globally (band*bits + j) so
+    bands are independent."""
     parts = []
-    for b in range(bits):
+    for j in range(bits):
         weights = ", ".join(
-            str(_hyperplane_weight(b, d)) for d in range(DIM)
+            str(_hyperplane_weight(band * bits + j, d)) for d in range(DIM)
         )
         proj = F.expr(
             f"aggregate(zip_with({qv}, array({weights}), (x, w) -> x * w),"
@@ -106,18 +120,42 @@ def lsh_bucket_col(qv: str = "qv", bits: int = LSH_BITS) -> Column:
     return F.concat(*parts)
 
 
+def lsh_bands_long(
+    q: DataFrame, bands: int = N_BANDS, bits: int = BAND_BITS
+) -> DataFrame:
+    """Long form (one row per vector per band): input cols + (band, bucket).
+    The explode multiplies rows by N_BANDS only — never by corpus size."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"), lsh_band_bucket_col("qv", b, bits).alias("bucket")
+            )
+            for b in range(bands)
+        ]
+    )
+    return q.withColumn("_bb", F.explode(arr)).select(
+        *q.columns, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+    )
+
+
 def lsh_topk(embeddings: DataFrame, query_filter: Column, k: int = 5) -> DataFrame:
-    """ANN via hyperplane-LSH bucketing: candidates share the bucket key
-    (equi join instead of cross product), then exact integer rerank.
-    Same output shape as brute force; recall < 1 by design."""
-    q = quantized(embeddings).withColumn("bucket", lsh_bucket_col("qv"))
+    """ANN via banded hyperplane-LSH: candidates collide with the query in
+    ANY band (equi join on (band, bucket) instead of a cross product, OR'd
+    by a distinct over pair keys), then exact integer rerank.
+    Same output shape as brute force; recall < 1 by design (see module
+    docstring for the recall curve)."""
+    q = lsh_bands_long(quantized(embeddings))
     queries = q.filter(query_filter).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),
-        F.col("bucket"),
+        "band",
+        "bucket",
     )
-    cands = q.join(F.broadcast(queries), "bucket").filter(
-        F.col("vec_id") != F.col("query_id")
+    cands = (
+        q.join(F.broadcast(queries), ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        # a pair colliding in several bands is one candidate (OR-construction)
+        .dropDuplicates(["query_id", "vec_id"])
     )
     scored = cands.select(
         "query_id",
@@ -133,10 +171,13 @@ def lsh_topk(embeddings: DataFrame, query_filter: Column, k: int = 5) -> DataFra
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, min_cos_pct: int = 35, bits: int = LSH_BITS
+    embeddings: DataFrame, min_cos_pct: int = 35
 ) -> DataFrame:
     """Embedding-cosine near-duplicate candidate pairs (the dedup-family
-    member over vectors): LSH-bucketed self-join → integer cosine test.
+    member over vectors): banded-LSH-bucketed self-join (candidate = bucket
+    collision in ANY of N_BANDS bands) → integer cosine test. Per-band
+    buckets are ~N/2^BAND_BITS so no single key ever drives an all-pairs
+    product at corpus scale.
 
     Exactness trick: with qv = round(x*1000) and d2 = floor(dot/1000),
     cos(a,b) ≥ t  ⇔  d2 > 0 ∧ d2²·10⁴ ≥ t_pct²·(naa/1000)·(nbb/1000)
@@ -145,17 +186,21 @@ def embedding_near_dup_pairs(
 
     Output: (a, b, cos_pct_floor) with a < b; cos_pct_floor is the integer
     floor of 100·cos for reporting."""
-    q = quantized(embeddings).withColumn("bucket", lsh_bucket_col("qv", bits))
-    q = q.withColumn("self_dot", _dot("qv", "qv"))
+    q = lsh_bands_long(quantized(embeddings).withColumn("self_dot", _dot("qv", "qv")))
     l = q.select(
-        "bucket", F.col("vec_id").alias("a"), F.col("qv").alias("qa"),
+        "band", "bucket", F.col("vec_id").alias("a"), F.col("qv").alias("qa"),
         F.col("self_dot").alias("naa"),
     )
     r = q.select(
-        "bucket", F.col("vec_id").alias("b"), F.col("qv").alias("qb"),
+        "band", "bucket", F.col("vec_id").alias("b"), F.col("qv").alias("qb"),
         F.col("self_dot").alias("nbb"),
     )
-    pairs = l.join(r, "bucket").filter(F.col("a") < F.col("b"))
+    pairs = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        # OR-construction: multi-band collisions collapse to one candidate
+        .dropDuplicates(["a", "b"])
+    )
     d2 = F.floor(_dot("qa", "qb") / 1000).cast("long")
     na2 = F.floor(F.col("naa") / 1000).cast("long")
     nb2 = F.floor(F.col("nbb") / 1000).cast("long")
@@ -172,31 +217,49 @@ def embedding_near_dup_pairs(
     return scored.select("a", "b", cos_pct.alias("cos_pct_floor"))
 
 
-def embedding_near_dup_pairs_sql(min_cos_pct: int = 35, bits: int = LSH_BITS) -> str:
-    bucket_parts = []
-    for b in range(bits):
-        weights = ", ".join(str(_hyperplane_weight(b, d)) for d in range(DIM))
-        bucket_parts.append(
+def _band_bucket_sql(band: int, bits: int = BAND_BITS) -> str:
+    parts = []
+    for j in range(bits):
+        weights = ", ".join(
+            str(_hyperplane_weight(band * bits + j, d)) for d in range(DIM)
+        )
+        parts.append(
             f"(CASE WHEN CAST(list_dot_product(qv, [{weights}]) AS BIGINT) >= 0"
             " THEN '1' ELSE '0' END)"
         )
-    bucket = " || ".join(bucket_parts)
+    return " || ".join(parts)
+
+
+def _bands_long_sql(src: str, cols: str, bands: int = N_BANDS) -> str:
+    """UNION ALL long-form of the banded signatures (DuckDB twin of
+    lsh_bands_long)."""
+    return "\n  UNION ALL ".join(
+        f"SELECT {cols}, {b} AS band, {_band_bucket_sql(b)} AS bucket FROM {src}"
+        for b in range(bands)
+    )
+
+
+def embedding_near_dup_pairs_sql(min_cos_pct: int = 35) -> str:
     t2 = min_cos_pct * min_cos_pct
     return f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
   FROM embeddings
-), qb AS (
-  SELECT vec_id, qv, {bucket} AS bucket,
-         CAST(list_dot_product(qv, qv) AS BIGINT) AS self_dot
-  FROM q
+), qs AS (
+  SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS self_dot FROM q
+), lb AS (
+  {_bands_long_sql('qs', 'vec_id, qv, self_dot')}
+), cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM lb l JOIN lb r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
 ), scored AS (
-  SELECT l.vec_id AS a, r.vec_id AS b,
-         CAST(floor(CAST(list_dot_product(l.qv, r.qv) AS BIGINT) / 1000) AS BIGINT) AS d2,
-         CAST(floor(l.self_dot / 1000) AS BIGINT) AS na2,
-         CAST(floor(r.self_dot / 1000) AS BIGINT) AS nb2
-  FROM qb l JOIN qb r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  SELECT c.a, c.b,
+         CAST(floor(CAST(list_dot_product(x.qv, y.qv) AS BIGINT) / 1000) AS BIGINT) AS d2,
+         CAST(floor(x.self_dot / 1000) AS BIGINT) AS na2,
+         CAST(floor(y.self_dot / 1000) AS BIGINT) AS nb2
+  FROM cand c JOIN qs x ON x.vec_id = c.a JOIN qs y ON y.vec_id = c.b
 )
 SELECT a, b,
        CAST(floor(d2 * 100 / sqrt(CAST(na2 * nb2 AS DOUBLE))) AS INT) AS cos_pct_floor
@@ -204,28 +267,23 @@ FROM scored
 WHERE d2 > 0 AND d2 * d2 * 10000 >= {t2} * na2 * nb2"""
 
 
-def lsh_topk_sql(query_where: str, k: int = 5, bits: int = LSH_BITS) -> str:
-    bucket_parts = []
-    for b in range(bits):
-        weights = ", ".join(str(_hyperplane_weight(b, d)) for d in range(DIM))
-        bucket_parts.append(
-            f"(CASE WHEN CAST(list_dot_product(qv, [{weights}]) AS BIGINT) >= 0"
-            " THEN '1' ELSE '0' END)"
-        )
-    bucket = " || ".join(bucket_parts)
+def lsh_topk_sql(query_where: str, k: int = 5) -> str:
     return f"""
 WITH q AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
   FROM embeddings
-), qb AS (
-  SELECT *, {bucket} AS bucket FROM q
+), lb AS (
+  {_bands_long_sql('q', 'vec_id, label, qv')}
 ), queries AS (
-  SELECT vec_id AS query_id, qv AS q_qv, bucket FROM qb WHERE {query_where}
+  SELECT vec_id AS query_id, qv AS q_qv, band, bucket FROM lb WHERE {query_where}
+), cand AS (
+  SELECT DISTINCT query_id, c.vec_id AS neighbor_id
+  FROM queries JOIN lb c USING (band, bucket) WHERE c.vec_id <> query_id
 ), scored AS (
-  SELECT query_id, c.vec_id AS neighbor_id,
-         CAST(list_dot_product(q_qv, c.qv) AS BIGINT) AS dot
-  FROM queries JOIN qb c USING (bucket) WHERE c.vec_id <> query_id
+  SELECT query_id, neighbor_id,
+         CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
+  FROM cand JOIN q a ON a.vec_id = cand.query_id JOIN q b ON b.vec_id = cand.neighbor_id
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
   FROM scored

@@ -99,9 +99,15 @@ def run_pipeline(
     snap = snapshot_version or snapshot_stamp(spark)
     timings: dict[str, float] = {}
 
-    # transcripts feeds four consumers (extract, replies, calls, nodes) —
-    # cache so a synthesized/amplified source isn't recomputed per consumer.
-    transcripts = transcripts.cache()
+    # transcripts feeds four consumers (extract, replies, calls, nodes) but
+    # only extraction reads the fat ``text`` column, and it reads it exactly
+    # once — so cache a SLIM projection for the narrow consumers and never
+    # cache text. Caching the full table builds a DRAM-bandwidth-bound
+    # columnar copy of the corpus's largest column for zero reuse (measured:
+    # the cache build is the dominant non-scaling component of the pipeline;
+    # at 100TB you would never cache the input table's text either — each
+    # consumer re-scans columnar storage with column pruning).
+    slim = transcripts.drop("text").cache()
 
     # Stage A — narrow; cache because four linking joins consume it.
     mentions = _stage_checkpoint(
@@ -110,8 +116,8 @@ def run_pipeline(
 
     # Stage B
     e_mentions_in = mentions_in_edges(mentions).drop("subj_kind")
-    e_replies = replies_to_edges(transcripts, mentions)
-    e_calls = calls_tool_edges(transcripts, mentions)
+    e_replies = replies_to_edges(slim, mentions)
+    e_calls = calls_tool_edges(slim, mentions)
     # refers is dim-sized (distinct url × endpoint matches, not occurrences)
     # and has two consumers (triple union + CC); materialize it once instead
     # of re-running the 4-tier broadcast cascade per consumer.
@@ -122,7 +128,7 @@ def run_pipeline(
     # — no edge family is ever computed twice.
     # nodes carry merged attrs maps (A2 + §1.4) — the merge is over the node
     # dim only, never the edge table
-    nodes = build_nodes_with_attrs(transcripts, mentions, snap)
+    nodes = build_nodes_with_attrs(slim, mentions, snap)
     edges = _stage_checkpoint(
         spark,
         build_edges([e_mentions_in, e_replies, e_calls, e_refers], snap),

@@ -39,16 +39,23 @@ from ..operators.link import (
 from ..operators.materialize import GraphSink, build_edges, build_nodes
 
 
-def _stored_registry(sink: GraphSink, node_type: str) -> DataFrame | None:
-    """Read the persisted mention registry of a node type (url/resource) —
-    a *small dim* at any scale (distinct resources, not occurrences)."""
+def _stored_registry(sink: GraphSink) -> DataFrame | None:
+    """Read the persisted linking registry (distinct url/endpoint mentions
+    with their HTTP method) — a *small dim* at any scale (distinct
+    resources, not occurrences).
+
+    The registry is a sidecar table, NOT a projection of the node table:
+    node keys are method-less, so replaying nodes would resurrect history
+    with method=NULL (→ GET default) and break the N6 method gate across
+    batches (a GET url in a new delta must not link to a POST-only
+    historical endpoint)."""
     try:
-        nodes = sink.read("nodes")
+        reg = sink.read("link_registry")
     except Exception:
         return None
     # Snapshot eagerly: the registry must be pinned BEFORE this batch's own
-    # nodes upsert swaps the table directory under the lazy plan.
-    return nodes.filter(F.col("type") == node_type).localCheckpoint(eager=True)
+    # registry upsert swaps the table directory under the lazy plan.
+    return reg.localCheckpoint(eager=True)
 
 
 def incremental_update(
@@ -71,36 +78,27 @@ def incremental_update(
     link_input = mentions.select("conv_id", "turn_idx", "mtype", "surface",
                                  "norm", "ord", "span_start", "span_end", "path",
                                  "method")
-    stored_urls = _stored_registry(sink, "url")
-    stored_resources = _stored_registry(sink, "resource")
-    extras = []
-    if stored_urls is not None:
-        extras.append(
-            stored_urls.select(
+    # this batch's registry delta: distinct url/endpoint mentions WITH their
+    # (GET-defaulted, uppercased) method, so the N6 gate holds across batches
+    reg_delta = (
+        mentions.filter(F.col("mtype").isin("url", "endpoint"))
+        .select(
+            "mtype", "path", "norm",
+            F.upper(F.coalesce(F.col("method"), F.lit("GET"))).alias("method"),
+        )
+        .distinct()
+    )
+    stored = _stored_registry(sink)
+    if stored is not None:
+        link_input = link_input.unionByName(
+            stored.select(
                 F.lit("_hist").alias("conv_id"), F.lit(-1).alias("turn_idx"),
-                F.lit("url").alias("mtype"), F.col("name").alias("surface"),
+                F.col("mtype"), F.col("norm").alias("surface"),
                 F.col("norm"), F.lit(0).alias("ord"),
                 F.lit(-1).alias("span_start"), F.lit(-1).alias("span_end"),
-                # url nodes are keyed on the pre-api-strip path = their id key
-                F.col("key").alias("path"),
-                # history rows carry no verb (node keys are method-less);
-                # NULL defaults to GET in the tiered join's method gate
-                F.lit(None).cast("string").alias("method"),
+                F.col("path"), F.col("method"),
             )
         )
-    if stored_resources is not None:
-        extras.append(
-            stored_resources.select(
-                F.lit("_hist").alias("conv_id"), F.lit(-1).alias("turn_idx"),
-                F.lit("endpoint").alias("mtype"), F.col("name").alias("surface"),
-                F.col("norm"), F.lit(0).alias("ord"),
-                F.lit(-1).alias("span_start"), F.lit(-1).alias("span_end"),
-                F.col("norm").alias("path"),
-                F.lit(None).cast("string").alias("method"),
-            )
-        )
-    for x in extras:
-        link_input = link_input.unionByName(x)
     e_refers = refers_to_edges(link_input)
 
     nodes = build_nodes(t, mentions, snapshot_version)
@@ -109,6 +107,10 @@ def incremental_update(
     )
     sink.upsert(nodes, "nodes", keys=["id"], partition_by=["type"])
     sink.upsert(edges, "edges", keys=["subj", "pred", "obj"], partition_by=["pred"])
+    sink.upsert(
+        reg_delta, "link_registry",
+        keys=["mtype", "path", "norm", "method"], partition_by=["mtype"],
+    )
     mentions.unpersist()
     t.unpersist()
 

@@ -60,6 +60,57 @@ def test_two_phase_count(spark):
     assert got["k1"] == 4
 
 
+def test_conv_shared_entities_caps_hot_key(spark):
+    """J13 hot-key cap: an entity present in 100% of conversations must not
+    generate all-pairs — its fan-out is bounded to K(K-1)/2 pairs by the
+    per-norm conversation cap (deterministic first-K by conv_id)."""
+    from glasseenterprise_mcp_spark.operators.analytics import conv_shared_entities
+
+    n_convs = 60
+    rows = []
+    for c in range(n_convs):
+        rows.append((f"c{c:03d}", 0, "entity", "omni", "omni"))  # 100%-df entity
+        if c < 3:
+            rows.append((f"c{c:03d}", 1, "entity", "rare", "rare"))
+    m = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, mtype string, surface string, norm string"
+    )
+    k = 10
+    got = conv_shared_entities(m, max_convs_per_norm=k).collect()
+    # omni contributes only K choose 2 pairs, rare all 3 of its pairs
+    pairs = {(r.conv_a, r.conv_b) for r in got}
+    assert len(pairs) == k * (k - 1) // 2  # rare's convs c000-c002 ⊂ omni's first K
+    # the capped convs are the deterministic first-K by conv_id
+    assert max(c for p in pairs for c in p) == f"c{k - 1:03d}"
+    rare_pairs = {
+        (r.conv_a, r.conv_b) for r in got if "rare" in (r.sample or "")
+    }
+    assert rare_pairs == {("c000", "c001"), ("c000", "c002"), ("c001", "c002")}
+
+
+def test_lsh_bucket_distribution_bounded(spark):
+    """Banded embedding-LSH: no (band, bucket) key may hold a corpus-scale
+    share of vectors — the property that keeps the near-dup self-join from
+    an all-pairs blow-up at 100TB (expected bucket ≈ N / 2^BAND_BITS)."""
+    from glasseenterprise_mcp_spark.operators.similarity import (
+        lsh_bands_long,
+        quantized,
+    )
+
+    from .conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    n = emb.count()
+    hist = (
+        lsh_bands_long(quantized(emb))
+        .groupBy("band", "bucket")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]
+    )
+    assert hist.mx <= max(0.15 * n, 8), f"max bucket {hist.mx} of {n} vectors"
+
+
 def test_top_entities_is_salted_two_phase_on_real_stage(spark):
     """The skew kernel is wired into a REAL pipeline stage: top_entities
     counts entity mentions (the hot entity holds ~50% of rows in the

@@ -72,6 +72,39 @@ def test_two_batch_stream_equals_one_shot(spark, split_batches):
     assert got_nodes == want_nodes
 
 
+def test_cross_batch_method_gate(spark):
+    """N6 across batches: the persisted registry carries the mention method,
+    so a GET url arriving in a later delta must link to a GET-provided
+    historical endpoint but NOT to a POST-only historical endpoint."""
+    from glasseenterprise_mcp_spark.streaming.incremental import incremental_update
+
+    rows1 = [
+        ("h1", 0, "user", "POST /api/ponly", None),
+        ("h1", 1, "user", "GET /api/gonly", None),
+    ]
+    rows2 = [
+        ("h2", 0, "user", "see http://x.example.com/api/ponly", None),
+        ("h2", 1, "user", "see http://x.example.com/api/gonly", None),
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string"
+    sink_dir = tempfile.mkdtemp()
+    sink = GraphSink(spark, sink_dir)
+    incremental_update(spark, sink, spark.createDataFrame(rows1, schema), "b1")
+    incremental_update(spark, sink, spark.createDataFrame(rows2, schema), "b2")
+    refers = (
+        sink.read("edges").filter(F.col("pred") == "refers-to").collect()
+    )
+    # GET url → GET endpoint links (cross-batch); GET url → POST-only
+    # endpoint must not (method gate holds against history)
+    assert len(refers) == 1, [r.asDict() for r in refers]
+    reg = {
+        (r.mtype, r.norm, r.method)
+        for r in sink.read("link_registry").collect()
+    }
+    assert ("endpoint", "/ponly", "POST") in reg
+    assert ("endpoint", "/gonly", "GET") in reg
+
+
 def test_replay_is_idempotent(spark, split_batches):
     """Re-processing the same delta (simulated retry) must not change the
     graph — the stable-id MERGE contract."""
