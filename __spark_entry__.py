@@ -85,6 +85,25 @@ def _m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _MEMO[k]
 
 
+def _e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized 4-family triple table (g1/g1b/pipeline/canonical queries all
+    read the same edge union; one cached build per session)."""
+    k = (id(spark), "e", sf_dir)
+    if k not in _MEMO:
+        t = _t(spark, sf_dir)
+        m = _m(spark, sf_dir)
+        _MEMO[k] = build_edges(
+            [
+                mentions_in_edges(m).drop("subj_kind"),
+                replies_to_edges(t, m),
+                calls_tool_edges(t, m),
+                refers_to_edges(m),
+            ],
+            SNAP,
+        ).cache()
+    return _MEMO[k]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full pipeline at sf0.001 → per-predicate triple counts."""
     t = derive_transcripts(spark, "/root/testdata/sf0.001")
@@ -160,15 +179,7 @@ def q_count_by_label(spark, sf_dir):
 def q_impact(spark, sf_dir):
     t = _t(spark, sf_dir)
     m = _m(spark, sf_dir)
-    edges = build_edges(
-        [
-            mentions_in_edges(m).drop("subj_kind"),
-            replies_to_edges(t, m),
-            calls_tool_edges(t, m),
-            refers_to_edges(m),
-        ],
-        SNAP,
-    )
+    edges = _e(spark, sf_dir)
     nodes = build_nodes(t, m, SNAP)
     seeds = nodes.filter(
         (F.col("type") == "entity") & (F.col("norm") == "hot_entity")
@@ -286,36 +297,16 @@ def q_queries_table(spark, sf_dir):
 def q_all_triples(spark, sf_dir):
     """Full-pipeline triple set: the CORRECTNESS entry that mirrors the
     P/R target directly."""
-    t = _t(spark, sf_dir)
-    m = _m(spark, sf_dir)
-    return build_edges(
-        [
-            mentions_in_edges(m).drop("subj_kind"),
-            replies_to_edges(t, m),
-            calls_tool_edges(t, m),
-            refers_to_edges(m),
-        ],
-        SNAP,
-    ).select("subj", "pred", "obj")
+    return _e(spark, sf_dir).select("subj", "pred", "obj")
 
 
 def q_canonical_triples(spark, sf_dir):
     """Triples after CC canonicalization rewrites endpoints to cluster
     representatives (min id in component)."""
-    t = _t(spark, sf_dir)
     m = _m(spark, sf_dir)
     e_refers = refers_to_edges(m)
     comps = connected_components(e_refers.select("subj", "obj"), "subj", "obj")
-    edges = build_edges(
-        [
-            mentions_in_edges(m).drop("subj_kind"),
-            replies_to_edges(t, m),
-            calls_tool_edges(t, m),
-            e_refers,
-        ],
-        SNAP,
-    )
-    return canonicalize_edges(edges, comps)
+    return canonicalize_edges(_e(spark, sf_dir), comps)
 
 
 def q_mention_attrs(spark, sf_dir):
@@ -361,15 +352,7 @@ def q_impact_nodes(spark, sf_dir):
     """G1b: touched node listing, top-50 per category, deterministic."""
     t = _t(spark, sf_dir)
     m = _m(spark, sf_dir)
-    edges = build_edges(
-        [
-            mentions_in_edges(m).drop("subj_kind"),
-            replies_to_edges(t, m),
-            calls_tool_edges(t, m),
-            refers_to_edges(m),
-        ],
-        SNAP,
-    )
+    edges = _e(spark, sf_dir)
     nodes = build_nodes(t, m, SNAP)
     seeds = nodes.filter(
         (F.col("type") == "entity") & (F.col("norm") == "hot_entity")
@@ -411,6 +394,35 @@ def q_resize_plan(spark, sf_dir):
 def q_has_column(spark, sf_dir):
     """J15/J16: table → column edges parsed from structured tbl mentions."""
     return has_column_edges(_m(spark, sf_dir))
+
+
+def q_direction_cascade(spark, sf_dir):
+    """E6: ordered provided/consumed classifier cascade (arm index exposed
+    so order sensitivity is oracle-checked)."""
+    from glasseenterprise_mcp_spark.operators.extract import direction_cascade
+
+    return direction_cascade(_t(spark, sf_dir), _m(spark, sf_dir))
+
+
+def q_test_turns(spark, sf_dir):
+    """E14: multi-pattern test-marker turn gate."""
+    from glasseenterprise_mcp_spark.operators.extract import test_turn_flags
+
+    return test_turn_flags(_t(spark, sf_dir))
+
+
+def q_modifies(spark, sf_dir):
+    """J25: multi-value explode + registry equi join (MODIFIED_FILE shape)."""
+    from glasseenterprise_mcp_spark.operators.link import modifies_edges
+
+    return modifies_edges(_m(spark, sf_dir))
+
+
+def q_has_member(spark, sf_dir):
+    """J27: role-column membership edges (HAS_MEMBER shape)."""
+    from glasseenterprise_mcp_spark.operators.link import has_member_edges
+
+    return has_member_edges(_t(spark, sf_dir))
 
 
 def q_media_features(spark, sf_dir):
@@ -469,6 +481,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g1b_impact_nodes": q_impact_nodes,
         "s6_stateful_scan": q_stateful_scan,
         "j15_has_column": q_has_column,
+        "e6_direction_cascade": q_direction_cascade,
+        "e14_test_turns": q_test_turns,
+        "j25_modifies": q_modifies,
+        "j27_has_member": q_has_member,
         "mm1_media_metadata": q_media_metadata,
         "mm2_frame_plan": q_frame_plan,
         "mm3_resize_plan": q_resize_plan,
@@ -677,6 +693,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         "j15_has_column": O.oracle(
             "SELECT subj, pred, obj, tbl, col, n FROM has_column", has_column_cte()
+        ),
+        "e6_direction_cascade": O.oracle(
+            "SELECT conv_id, turn_idx, mtype, norm, ord, arm, direction "
+            "FROM direction_cascade",
+            __import__(
+                "glasseenterprise_mcp_spark.operators.extract", fromlist=["x"]
+            ).direction_cascade_cte(),
+        ),
+        "e14_test_turns": O.oracle(
+            "SELECT conv_id, turn_idx, marker FROM test_turns",
+            __import__(
+                "glasseenterprise_mcp_spark.operators.extract", fromlist=["x"]
+            ).test_turn_flags_cte(),
+        ),
+        "j25_modifies": O.oracle(
+            "SELECT subj, pred, obj, src_norm, n FROM modifies",
+            __import__(
+                "glasseenterprise_mcp_spark.operators.link", fromlist=["x"]
+            ).modifies_cte(),
+        ),
+        "j27_has_member": O.oracle(
+            "SELECT subj, pred, obj, role, n_turns, first_turn FROM has_member",
+            __import__(
+                "glasseenterprise_mcp_spark.operators.link", fromlist=["x"]
+            ).has_member_cte(),
         ),
         "mm1_media_metadata": __import__(
             "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]

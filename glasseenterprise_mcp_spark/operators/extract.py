@@ -344,6 +344,83 @@ def enrich_mention_attrs_cte() -> str:
 )"""
 
 
+def direction_cascade(transcripts: DataFrame, mentions: DataFrame) -> DataFrame:
+    """E6 analogue — the provided/consumed classifier cascade
+    (astExtractor.ts:1083-1157: axios ⇒ consumed; client-lib context ⇒
+    consumed; server-context + relative path ⇒ provided; full URL ⇒
+    consumed; else skip), replayed as an ORDERED F.when chain over mention
+    attrs + turn role. Order is semantic: a mention matching two arms must
+    classify by the earlier arm (the P/R-critical property the reference's
+    cascade encodes); the matched ``arm`` index is part of the output so
+    order sensitivity is observable and oracle-gated.
+
+      arm 1  turn role = 'tool' (client execution context) ⇒ consumed
+      arm 2  url mention with an explicit HTTP verb          ⇒ consumed
+      arm 3  endpoint declaration (server verb + rel. path)  ⇒ provided
+      arm 4  full URL mention                                ⇒ consumed
+    """
+    api = mentions.filter(F.col("mtype").isin("url", "endpoint")).join(
+        transcripts.select("conv_id", "turn_idx", "role"), ["conv_id", "turn_idx"]
+    )
+    arm = (
+        F.when(F.col("role") == "tool", 1)
+        .when((F.col("mtype") == "url") & F.col("method").isNotNull(), 2)
+        .when(F.col("mtype") == "endpoint", 3)
+        .when(F.col("mtype") == "url", 4)
+    )
+    return api.select(
+        "conv_id",
+        "turn_idx",
+        "mtype",
+        "norm",
+        "ord",
+        arm.cast("int").alias("arm"),
+        F.when(arm == 3, F.lit("provided")).otherwise(F.lit("consumed")).alias(
+            "direction"
+        ),
+    )
+
+
+def direction_cascade_cte() -> str:
+    arm = (
+        "CASE WHEN t.role = 'tool' THEN 1 "
+        "WHEN m.mtype = 'url' AND m.method IS NOT NULL THEN 2 "
+        "WHEN m.mtype = 'endpoint' THEN 3 "
+        "WHEN m.mtype = 'url' THEN 4 END"
+    )
+    return f"""direction_cascade AS (
+  SELECT m.conv_id, m.turn_idx, m.mtype, m.norm, m.ord,
+         CAST({arm} AS INT) AS arm,
+         CASE WHEN {arm} = 3 THEN 'provided' ELSE 'consumed' END AS direction
+  FROM mentions m JOIN transcripts t USING (conv_id, turn_idx)
+  WHERE m.mtype IN ('url', 'endpoint')
+)"""
+
+
+# E14: the multi-pattern test gate (reference isTestFile,
+# astExtractor.ts:1992-2004: .test. | .spec. | __tests__ on the path; here
+# the equivalent marker forms on the turn text). RE2 ∩ Java ∩ Python subset.
+TEST_MARKER_RX = r"\[(test|spec)-run\]"
+
+
+def test_turn_flags(transcripts: DataFrame) -> DataFrame:
+    """E14 analogue: flag turns carrying a test marker; ``marker`` reports
+    which pattern form matched (first match)."""
+    return transcripts.filter(F.col("text").rlike(TEST_MARKER_RX)).select(
+        "conv_id",
+        "turn_idx",
+        F.regexp_extract(F.col("text"), TEST_MARKER_RX, 1).alias("marker"),
+    )
+
+
+def test_turn_flags_cte() -> str:
+    return f"""test_turns AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract(text, '{TEST_MARKER_RX}', 1) AS marker
+  FROM transcripts WHERE regexp_matches(text, '{TEST_MARKER_RX}')
+)"""
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracle: identical extraction, relationally.
 # --------------------------------------------------------------------------

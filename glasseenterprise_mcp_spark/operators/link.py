@@ -349,6 +349,91 @@ def has_column_cte() -> str:
 )"""
 
 
+def modifies_edges(mentions: DataFrame) -> DataFrame:
+    """J25 analogue — the MODIFIED_FILE explode join
+    (relationshipBuilder.ts:837-851: a commit's multi-value file list is
+    exploded and equi-joined to file nodes): a derive directive's csv source
+    list is the structured multi-value column; explode it, then equi-join
+    against the distinct known-entity registry so only sources that resolve
+    to existing entity nodes emit edges. Output: one edge per
+    (turn, source entity) with the occurrence count.
+
+    Shape at scale: the explode is narrow (bounded list per mention); the
+    registry is a broadcast-able dim (distinct norms, not occurrences)."""
+    src = mentions.filter(F.col("mtype") == "derive").select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.split(F.col("extra"), ",")).alias("src_norm"),
+    )
+    reg = (
+        mentions.filter(F.col("mtype") == "entity")
+        .select(F.col("norm").alias("src_norm"))
+        .distinct()
+    )
+    return (
+        src.join(F.broadcast(reg), "src_norm")
+        .groupBy("conv_id", "turn_idx", "src_norm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("subj"),
+            F.lit("modifies").alias("pred"),
+            node_id_col("entity", F.col("src_norm")).alias("obj"),
+            "src_norm",
+            "n",
+        )
+    )
+
+
+def modifies_cte() -> str:
+    return f"""modifies AS (
+  WITH src AS (
+    SELECT conv_id, turn_idx, unnest(string_split(extra, ',')) AS src_norm
+    FROM mentions WHERE mtype = 'derive'
+  ), reg AS (SELECT DISTINCT norm AS src_norm FROM mentions WHERE mtype = 'entity')
+  SELECT {turn_id_sql('conv_id', 'turn_idx')} AS subj,
+         'modifies' AS pred,
+         {node_id_sql('entity', 'src_norm')} AS obj,
+         src_norm, CAST(COUNT(*) AS BIGINT) AS n
+  FROM src JOIN reg USING (src_norm)
+  GROUP BY conv_id, turn_idx, src_norm
+)"""
+
+
+def has_member_edges(transcripts: DataFrame) -> DataFrame:
+    """J27 analogue — the MANAGES / HAS_MEMBER role-column membership joins
+    (relationshipBuilder.ts:905-938: team → developer membership edges from
+    a role column): conversation → role-member node, one edge per distinct
+    (conversation, role) with membership stats (turn count + first turn).
+    A pure groupBy over the slim transcript columns — one shuffle, uniform
+    keys (≤4 roles per conversation)."""
+    return (
+        transcripts.groupBy("conv_id", "role")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.min("turn_idx").cast("int").alias("first_turn"),
+        )
+        .select(
+            node_id_col("conv", F.col("conv_id")).alias("subj"),
+            F.lit("has-member").alias("pred"),
+            node_id_col("member", F.col("role")).alias("obj"),
+            "role",
+            "n_turns",
+            "first_turn",
+        )
+    )
+
+
+def has_member_cte() -> str:
+    return f"""has_member AS (
+  SELECT {node_id_sql('conv', 'conv_id')} AS subj,
+         'has-member' AS pred,
+         {node_id_sql('member', 'role')} AS obj,
+         role, CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(MIN(turn_idx) AS INT) AS first_turn
+  FROM transcripts GROUP BY conv_id, role
+)"""
+
+
 def span_containment_cte() -> str:
     """DuckDB twin of span_containment_join for the span-probe fixture
     subset (error spans wrapping @probe_ entities). The oracle has no char

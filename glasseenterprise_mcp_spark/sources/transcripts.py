@@ -145,8 +145,25 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         # span-nesting probe (J2/J11): an entity mention inside an error span
         marker(d % 11 == 4, F.lit(' error:"E9 with @probe_'), s(d % 13), F.lit(' inner"')),
+        # late-half-only entities (U5 anti-join fixture): appear only on
+        # turn_idx >= 6 (> every conversation's mid of 4.5), so the
+        # second-half anti join is non-empty at every sf
+        marker(
+            (d % 19 == 15) & (F.floor(d / n_conv) >= 6),
+            F.lit(" @late_"),
+            s(d % 8),
+        ),
         # code-fence toggle (S6 stateful group-carry scan)
         marker(d % 21 == 13, F.lit(" ```")),
+        # E6 order-sensitivity probe: an endpoint declared in a TOOL-role
+        # turn (d%12==2 ⇒ d%4==2 ⇒ role=tool) matches BOTH the client-context
+        # arm (⇒ consumed) and the server-declaration arm (⇒ provided); the
+        # cascade must classify it by the earlier arm
+        marker(d % 12 == 2, F.lit(" GET /relay/r"), s(d % 17)),
+        # E14 test-turn markers (two pattern forms, like the reference's
+        # .test./.spec./__tests__ multi-pattern file gate)
+        marker(d % 23 == 21, F.lit(" [test-run]")),
+        marker(d % 23 == 3, F.lit(" [spec-run]")),
     )
 
     return docs.select(
@@ -236,7 +253,12 @@ transcripts AS (
               || CAST((doc_id + 1) % 23 AS VARCHAR)
               || '<agent_' || CAST(doc_id % 23 AS VARCHAR) || ',hot_entity' ELSE '' END
       || CASE WHEN doc_id % 11 = 4 THEN ' error:"E9 with @probe_' || CAST(doc_id % 13 AS VARCHAR) || ' inner"' ELSE '' END
+      || CASE WHEN doc_id % 19 = 15 AND doc_id // n_conv >= 6
+              THEN ' @late_' || CAST(doc_id % 8 AS VARCHAR) ELSE '' END
       || CASE WHEN doc_id % 21 = 13 THEN ' ```' ELSE '' END
+      || CASE WHEN doc_id % 12 = 2 THEN ' GET /relay/r' || CAST(doc_id % 17 AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 23 = 21 THEN ' [test-run]' ELSE '' END
+      || CASE WHEN doc_id % 23 = 3 THEN ' [spec-run]' ELSE '' END
                                                                   AS text,
     CASE WHEN doc_id % 4 = 2 THEN 'tool_' || CAST(doc_id % 7 AS VARCHAR) END AS tool,
     CAST({EPOCH0} + doc_id * 60 AS BIGINT)                        AS ts_epoch

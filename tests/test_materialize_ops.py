@@ -55,3 +55,86 @@ def test_merge_node_attrs_no_prio_deterministic(spark):
     r = merge_node_attrs(df).collect()[0]
     # ties resolve by value min — repeatable regardless of partitioning
     assert r.name == "aaa" and dict(r.attrs) == {"k": "1"}
+
+
+def test_sink_upsert_matches_merge_semantics(spark, tmp_path):
+    """S10: the parquet-MoR fallback upsert must implement exactly Iceberg's
+    ``MERGE ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT``
+    semantics. The sandbox has no Iceberg jars, so the MERGE side is
+    simulated in DuckDB (PRIMARY KEY + INSERT ... ON CONFLICT DO UPDATE —
+    the same upsert contract) and both paths are asserted equal after two
+    overlapping batches."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.materialize import GraphSink
+
+    b1 = [("a", "t1", "v1"), ("b", "t1", "v2"), ("d", "t2", "v9")]
+    b2 = [("b", "t1", "v2-updated"), ("c", "t2", "v3")]
+    schema = "id string, type string, val string"
+
+    sink = GraphSink(spark, str(tmp_path))
+    sink.upsert(spark.createDataFrame(b1, schema), "nodes", keys=["id"], partition_by=["type"])
+    sink.upsert(spark.createDataFrame(b2, schema), "nodes", keys=["id"], partition_by=["type"])
+    got = {(r.id, r.type, r.val) for r in sink.read("nodes").collect()}
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE nodes (id VARCHAR PRIMARY KEY, type VARCHAR, val VARCHAR)")
+    for batch in (b1, b2):
+        con.executemany(
+            "INSERT INTO nodes VALUES (?, ?, ?) "
+            "ON CONFLICT (id) DO UPDATE SET type = excluded.type, val = excluded.val",
+            batch,
+        )
+    want = set(con.sql("SELECT id, type, val FROM nodes").fetchall())
+    assert got == want
+
+
+def test_sink_upsert_composite_key_merge_parity(spark, tmp_path):
+    """S10, composite (subj, pred, obj) key — the edge-table contract."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.materialize import GraphSink
+
+    b1 = [("s1", "p", "o1", "x"), ("s1", "p", "o2", "y")]
+    b2 = [("s1", "p", "o2", "y-updated"), ("s2", "q", "o1", "z")]
+    schema = "subj string, pred string, obj string, v string"
+
+    sink = GraphSink(spark, str(tmp_path))
+    for b in (b1, b2):
+        sink.upsert(
+            spark.createDataFrame(b, schema), "edges",
+            keys=["subj", "pred", "obj"], partition_by=["pred"],
+        )
+    got = {tuple(r) for r in sink.read("edges").select("subj", "pred", "obj", "v").collect()}
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE edges (subj VARCHAR, pred VARCHAR, obj VARCHAR, v VARCHAR,"
+        " PRIMARY KEY (subj, pred, obj))"
+    )
+    for batch in (b1, b2):
+        con.executemany(
+            "INSERT INTO edges VALUES (?, ?, ?, ?) "
+            "ON CONFLICT (subj, pred, obj) DO UPDATE SET v = excluded.v",
+            batch,
+        )
+    want = set(con.sql("SELECT subj, pred, obj, v FROM edges").fetchall())
+    assert got == want
+
+
+def test_iceberg_gate_raises_without_runtime(spark):
+    """S10: create_all must fail loudly (not silently no-op) when the
+    Iceberg runtime is absent, so a cluster misconfiguration can't corrupt
+    the fallback contract."""
+    import pytest
+
+    from glasseenterprise_mcp_spark.sources.iceberg_ddl import (
+        create_all,
+        iceberg_available,
+    )
+
+    if iceberg_available(spark):
+        create_all(spark)  # real catalog present: must succeed instead
+    else:
+        with pytest.raises(RuntimeError, match="Iceberg runtime"):
+            create_all(spark)
