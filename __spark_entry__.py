@@ -57,6 +57,15 @@ SNAP = "test-snapshot"
 ANN_QUERY_WHERE = "vec_id % 50 = 0"
 
 
+def _hex_ids(df: DataFrame, *cols: str) -> DataFrame:
+    """Oracle-facing projection: engine ids are BINARY(16) raw md5 digests
+    (functions/ids.py); the DuckDB twin computes md5 hex strings. Convert on
+    the final (dim-sized) projection only — lower(hex(id)) == md5 hex."""
+    for c in cols:
+        df = df.withColumn(c, F.lower(F.hex(F.col(c))))
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -133,24 +142,31 @@ def q_mentions_by_type(spark, sf_dir):
 
 
 def q_mentions_in(spark, sf_dir):
-    return mentions_in_edges(_m(spark, sf_dir))
+    return _hex_ids(mentions_in_edges(_m(spark, sf_dir)), "subj", "obj")
 
 
 def q_replies_to(spark, sf_dir):
-    return replies_to_edges(_t(spark, sf_dir), _m(spark, sf_dir))
+    return _hex_ids(
+        replies_to_edges(_t(spark, sf_dir), _m(spark, sf_dir)), "subj", "obj"
+    )
 
 
 def q_calls_tool(spark, sf_dir):
-    return calls_tool_edges(_t(spark, sf_dir), _m(spark, sf_dir))
+    return _hex_ids(
+        calls_tool_edges(_t(spark, sf_dir), _m(spark, sf_dir)), "subj", "obj"
+    )
 
 
 def q_refers_to(spark, sf_dir):
-    return refers_to_edges(_m(spark, sf_dir))
+    return _hex_ids(refers_to_edges(_m(spark, sf_dir)), "subj", "obj")
 
 
 def q_connected_components(spark, sf_dir):
     e = refers_to_edges(_m(spark, sf_dir))
-    return connected_components(e.select("subj", "obj"), src="subj", dst="obj")
+    return _hex_ids(
+        connected_components(e.select("subj", "obj"), src="subj", dst="obj"),
+        "id", "comp",
+    )
 
 
 def q_identity_resolution(spark, sf_dir):
@@ -161,8 +177,11 @@ def q_identity_resolution(spark, sf_dir):
 
 def q_nodes(spark, sf_dir):
     t = _t(spark, sf_dir)
-    return build_nodes(t, _m(spark, sf_dir), SNAP).select(
-        "id", "type", "name", "norm", "first_conv", "first_turn"
+    return _hex_ids(
+        build_nodes(t, _m(spark, sf_dir), SNAP).select(
+            "id", "type", "name", "norm", "first_conv", "first_turn"
+        ),
+        "id",
     )
 
 
@@ -297,7 +316,7 @@ def q_queries_table(spark, sf_dir):
 def q_all_triples(spark, sf_dir):
     """Full-pipeline triple set: the CORRECTNESS entry that mirrors the
     P/R target directly."""
-    return _e(spark, sf_dir).select("subj", "pred", "obj")
+    return _hex_ids(_e(spark, sf_dir).select("subj", "pred", "obj"), "subj", "obj")
 
 
 def q_canonical_triples(spark, sf_dir):
@@ -306,7 +325,7 @@ def q_canonical_triples(spark, sf_dir):
     m = _m(spark, sf_dir)
     e_refers = refers_to_edges(m)
     comps = connected_components(e_refers.select("subj", "obj"), "subj", "obj")
-    return canonicalize_edges(_e(spark, sf_dir), comps)
+    return _hex_ids(canonicalize_edges(_e(spark, sf_dir), comps), "subj", "obj")
 
 
 def q_mention_attrs(spark, sf_dir):
@@ -335,7 +354,9 @@ def q_alias_identity(spark, sf_dir):
 def q_node_attrs(spark, sf_dir):
     """A2 + §1.4: merged node attrs (multi-source), exploded to rows."""
     n = build_nodes_with_attrs(_t(spark, sf_dir), _m(spark, sf_dir), SNAP)
-    return n.select("id", "type", F.explode("attrs").alias("k", "v"))
+    return _hex_ids(
+        n.select("id", "type", F.explode("attrs").alias("k", "v")), "id"
+    )
 
 
 def q_secures_api(spark, sf_dir):
@@ -345,7 +366,7 @@ def q_secures_api(spark, sf_dir):
 
 def q_lineage_triples(spark, sf_dir):
     """J9/J10: nested-lineage explode + chained registry joins."""
-    return LN.lineage_triples(_m(spark, sf_dir))
+    return _hex_ids(LN.lineage_triples(_m(spark, sf_dir)), "subj", "obj")
 
 
 def q_impact_nodes(spark, sf_dir):
@@ -357,7 +378,7 @@ def q_impact_nodes(spark, sf_dir):
     seeds = nodes.filter(
         (F.col("type") == "entity") & (F.col("norm") == "hot_entity")
     ).select("id")
-    return G.impact_nodes(edges, nodes, seeds, depth=2)
+    return _hex_ids(G.impact_nodes(edges, nodes, seeds, depth=2), "id")
 
 
 def q_stateful_scan(spark, sf_dir):
@@ -393,7 +414,7 @@ def q_resize_plan(spark, sf_dir):
 
 def q_has_column(spark, sf_dir):
     """J15/J16: table → column edges parsed from structured tbl mentions."""
-    return has_column_edges(_m(spark, sf_dir))
+    return _hex_ids(has_column_edges(_m(spark, sf_dir)), "subj", "obj")
 
 
 def q_direction_cascade(spark, sf_dir):
@@ -415,14 +436,14 @@ def q_modifies(spark, sf_dir):
     """J25: multi-value explode + registry equi join (MODIFIED_FILE shape)."""
     from glasseenterprise_mcp_spark.operators.link import modifies_edges
 
-    return modifies_edges(_m(spark, sf_dir))
+    return _hex_ids(modifies_edges(_m(spark, sf_dir)), "subj", "obj")
 
 
 def q_has_member(spark, sf_dir):
     """J27: role-column membership edges (HAS_MEMBER shape)."""
     from glasseenterprise_mcp_spark.operators.link import has_member_edges
 
-    return has_member_edges(_t(spark, sf_dir))
+    return _hex_ids(has_member_edges(_t(spark, sf_dir)), "subj", "obj")
 
 
 def q_media_features(spark, sf_dir):

@@ -118,12 +118,15 @@ def connected_components(
 def _cc_driver_side(spark, und_rows: list) -> DataFrame:
     """Union-find on the collected (undirected, deduped) edge list — only
     called for graphs under the threshold, so driver memory is bounded by
-    contract. Component label = min member id (Python str ordering == Spark
-    string ordering for the ASCII ids this engine mints). Vertices are
-    derived from the collected rows — no extra Spark job."""
-    parent: dict[str, str] = {}
+    contract. Component label = min member id (Python bytes/str ordering ==
+    Spark binary/string ordering — unsigned lexicographic — and md5 hex is
+    order-preserving w.r.t. the digest, so the representative matches the
+    hex-side oracle's MIN). Vertices are derived from the collected rows —
+    no extra Spark job. Binary ids collect as bytearray (unhashable) →
+    normalized to bytes for the dict keys."""
+    parent: dict = {}
 
-    def find(x: str) -> str:
+    def find(x):
         r = x
         while parent.get(r, r) != r:
             r = parent[r]
@@ -131,16 +134,22 @@ def _cc_driver_side(spark, und_rows: list) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    all_vertices: set[str] = set()
+    def _k(v):
+        return bytes(v) if isinstance(v, (bytearray, memoryview)) else v
+
+    all_vertices: set = set()
+    binary = False
     for row in und_rows:
-        a, b = row[0], row[1]
+        a, b = _k(row[0]), _k(row[1])
+        binary = binary or isinstance(a, bytes)
         all_vertices.add(a)
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
     rows = [(v, find(v)) for v in sorted(all_vertices)]
-    return spark.createDataFrame(rows, "id string, comp string")
+    t = "binary" if binary else "string"
+    return spark.createDataFrame(rows, f"id {t}, comp {t}")
 
 
 def connected_components_cte(edges_cte: str) -> str:

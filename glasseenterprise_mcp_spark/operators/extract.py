@@ -197,7 +197,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from hashlib import md5 as _md5
 
     norm_memo: dict[tuple[str, str], tuple[str, str | None]] = {}
-    id_memo: dict[tuple[str, str], str] = {}
+    id_memo: dict[tuple[str, str], bytes] = {}
     for pdf in batches:
         n = len(pdf)
         conv_ids = pdf["conv_id"].tolist()
@@ -213,7 +213,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         emit = out_rows.append
 
         # turn ids: one md5 per distinct row (rows repeat across detectors)
-        tid_cache: list[str | None] = [None] * n
+        tid_cache: list[bytes | None] = [None] * n
         seen: dict[int, set] = {}
         for det, rx, hint in _COMPILED:
             mtype = det.mtype
@@ -252,16 +252,18 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     row_seen.add(node_key)
                     nid = id_memo.get(node_key)
                     if nid is None:
+                        # raw 16-byte digest (ids are BINARY(16) engine-wide;
+                        # see functions/ids.py) — also skips the hex encode
                         nid = _md5(
                             f"{node_key[0]}|{node_key[1]}".encode()
-                        ).hexdigest()
+                        ).digest()
                         if len(id_memo) < 1_000_000:
                             id_memo[node_key] = nid
                     tid = tid_cache[i]
                     if tid is None:
                         tid = tid_cache[i] = _md5(
                             f"turn|{conv_ids[i]}|{turn_idxs[i]}".encode()
-                        ).hexdigest()
+                        ).digest()
                     ss, se = m.span(sg)
                     emit(
                         (

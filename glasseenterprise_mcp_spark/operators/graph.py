@@ -248,9 +248,17 @@ def _find_cycles_driver_side(spark, e: DataFrame, max_len: int) -> DataFrame:
     cycle the distributed enumeration finds)."""
     from collections import defaultdict, deque
 
-    adj: dict[str, list[str]] = defaultdict(list)
+    def _k(v):
+        # binary node ids collect as bytearray (unhashable) → bytes; string
+        # graphs (e.g. tool names) pass through
+        return bytes(v) if isinstance(v, (bytearray, memoryview)) else v
+
+    adj: dict = defaultdict(list)
+    binary = False
     for row in e.collect():
-        adj[row[0]].append(row[1])
+        a, b = _k(row[0]), _k(row[1])
+        binary = binary or isinstance(a, bytes)
+        adj[a].append(b)
 
     out_rows = []
     for s in sorted(adj):
@@ -273,7 +281,8 @@ def _find_cycles_driver_side(spark, e: DataFrame, max_len: int) -> DataFrame:
                     q.append(v)
         if best is not None and best <= max_len:
             out_rows.append((s, best))
-    return spark.createDataFrame(out_rows, "start string, cycle_len int")
+    t = "binary" if binary else "string"
+    return spark.createDataFrame(out_rows, f"start {t}, cycle_len int")
 
 
 def find_cycles_cte(edges_cte: str, src: str, dst: str, max_len: int = 8) -> str:

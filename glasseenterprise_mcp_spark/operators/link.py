@@ -85,7 +85,7 @@ def mentions_in_edges(mentions: DataFrame) -> DataFrame:
             )
         key = F.when(F.col("mtype") == "url", F.col("path")).otherwise(F.col("norm"))
         return m.select(
-            F.md5(F.concat_ws("|", _kind_case_col(), key)).alias("subj"),
+            F.unhex(F.md5(F.concat_ws("|", _kind_case_col(), key))).alias("subj"),
             F.lit("mentions-in").alias("pred"),
             turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("obj"),
             _kind_case_col().alias("subj_kind"),
@@ -93,7 +93,7 @@ def mentions_in_edges(mentions: DataFrame) -> DataFrame:
     key = F.when(F.col("mtype") == "url", F.col("path")).otherwise(F.col("norm"))
     return (
         m.select(
-            F.md5(F.concat_ws("|", _kind_case_col(), key)).alias("subj"),
+            F.unhex(F.md5(F.concat_ws("|", _kind_case_col(), key))).alias("subj"),
             F.lit("mentions-in").alias("pred"),
             turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("obj"),
             _kind_case_col().alias("subj_kind"),
@@ -688,10 +688,10 @@ def _refers_driver_side(spark, c_rows: list, p_rows: list) -> DataFrame:
         30,
     )
 
-    agg: dict[tuple[str, str], list[int]] = {}
+    agg: dict[tuple[bytes, bytes], list[int]] = {}
     for path, p_norm, conf, tcode, mcode in hits:
-        subj = _md5(f"url|{path}".encode()).hexdigest()
-        obj = _md5(f"resource|{p_norm}".encode()).hexdigest()
+        subj = _md5(f"url|{path}".encode()).digest()
+        obj = _md5(f"resource|{p_norm}".encode()).digest()
         cur = agg.get((subj, obj))
         if cur is None:
             agg[(subj, obj)] = [conf, tcode, mcode]
@@ -705,7 +705,7 @@ def _refers_driver_side(spark, c_rows: list, p_rows: list) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows,
-        "subj string, pred string, obj string, confidence int, tier string, method string",
+        "subj binary, pred string, obj binary, confidence int, tier string, method string",
     )
 
 

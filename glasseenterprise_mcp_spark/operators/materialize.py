@@ -117,7 +117,7 @@ def build_nodes(
             F.count(F.lit(1)).alias("n_surfaces"),
         )
         .select(
-            F.md5(F.concat_ws("|", "type", "key")).alias("id"),
+            F.unhex(F.md5(F.concat_ws("|", "type", "key"))).alias("id"),
             "type",
             "name",
             "norm",

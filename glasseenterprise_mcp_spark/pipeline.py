@@ -147,7 +147,7 @@ def run_pipeline(
             e_refers.select("subj", "obj"), src="subj", dst="obj"
         )
     else:
-        components = spark.createDataFrame([], "id string, comp string")
+        components = spark.createDataFrame([], "id binary, comp binary")
 
     metrics = [
         partition_metrics(mentions, "A_extract", snap),

@@ -10,6 +10,7 @@ src/neo4j/saveNodes.ts / saveRelationships.ts).
 from __future__ import annotations
 
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     IntegerType,
     LongType,
@@ -59,16 +60,19 @@ MENTIONS_SCHEMA = StructType(
         # pre-minted ids (E16): node kind, md5('<kind>|<key>') and
         # md5('turn|<conv>|<idx>') — minted IN the kernel (memoized per
         # distinct key) so downstream edge families are pure column selects
-        # instead of re-hashing the corpus per family.
+        # instead of re-hashing the corpus per family. BINARY(16) raw
+        # digests (see functions/ids.py) — half the bytes of hex in every
+        # downstream shuffle/cache/file; hex is order-preserving so all
+        # min/ordering semantics are unchanged.
         StructField("kind", StringType()),
-        StructField("node_id", StringType()),
-        StructField("turn_id", StringType()),
+        StructField("node_id", BinaryType()),
+        StructField("turn_id", BinaryType()),
     ]
 )
 
 NODES_SCHEMA = StructType(
     [
-        StructField("id", StringType()),
+        StructField("id", BinaryType()),
         StructField("type", StringType()),
         StructField("name", StringType()),
         StructField("norm", StringType()),
@@ -82,9 +86,9 @@ NODES_SCHEMA = StructType(
 
 EDGES_SCHEMA = StructType(
     [
-        StructField("subj", StringType()),
+        StructField("subj", BinaryType()),
         StructField("pred", StringType()),
-        StructField("obj", StringType()),
+        StructField("obj", BinaryType()),
         StructField("props", MapType(StringType(), StringType())),
         StructField("snapshot_version", StringType()),
     ]

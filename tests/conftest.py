@@ -42,6 +42,13 @@ def duck_med():
     return duck_con(SF_MED)
 
 
+def freeze(rows):
+    """Hashable view of collected Rows: binary ids (bytearray) → bytes."""
+    return {
+        tuple(bytes(v) if isinstance(v, bytearray) else v for v in r) for r in rows
+    }
+
+
 def compare_query(spark, con, spark_df, sql: str):
     """Mimic the driver's gate: row count, column names, order-insensitive
     value comparison after sorting columns by name."""

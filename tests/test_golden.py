@@ -47,9 +47,15 @@ def test_triple_precision_recall(spark):
         spark, derive_transcripts(spark, SF_MED), snapshot_version="pr",
         with_components=False,
     )
+    # engine ids are binary(16); hex them for comparison with the oracle's
+    # md5 hex strings (lower(hex(id)) == md5 hex, see functions/ids.py)
     got = {
         (r.subj, r.pred, r.obj)
-        for r in res.edges.select("subj", "pred", "obj").collect()
+        for r in res.edges.select(
+            F.lower(F.hex("subj")).alias("subj"),
+            "pred",
+            F.lower(F.hex("obj")).alias("obj"),
+        ).collect()
     }
     res.mentions.unpersist()
     res.edges.unpersist()
@@ -65,13 +71,15 @@ def test_id_stability_across_runs(spark):
     """E16 determinism contract: two independent runs emit identical ids."""
     t = derive_transcripts(spark, SF_MED)
     r1 = run_pipeline(spark, t, snapshot_version="s", with_components=False)
-    e1 = {tuple(r) for r in r1.edges.select("subj", "pred", "obj").collect()}
+    from .conftest import freeze
+
+    e1 = freeze(r1.edges.select("subj", "pred", "obj").collect())
     r1.mentions.unpersist(); r1.edges.unpersist()
     r2 = run_pipeline(
         spark, derive_transcripts(spark, SF_MED).repartition(13),
         snapshot_version="s", with_components=False,
     )
-    e2 = {tuple(r) for r in r2.edges.select("subj", "pred", "obj").collect()}
+    e2 = freeze(r2.edges.select("subj", "pred", "obj").collect())
     r2.mentions.unpersist(); r2.edges.unpersist()
     assert e1 == e2
 

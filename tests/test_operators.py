@@ -162,7 +162,7 @@ def test_refers_to_tiers_and_method_gate(spark):
     ]
     m = spark.createDataFrame(rows, MENTIONS_SCHEMA)
     got = {
-        (r.subj, r.obj): (r.confidence, r.tier, r.method)
+        (bytes(r.subj), bytes(r.obj)): (r.confidence, r.tier, r.method)
         for r in refers_to_edges(m).collect()
     }
     from glasseenterprise_mcp_spark.functions.ids import stable_id_py

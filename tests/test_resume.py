@@ -15,7 +15,9 @@ from .conftest import SF_SMALL
 
 
 def _triples(df):
-    return {tuple(r) for r in df.select("subj", "pred", "obj").collect()}
+    from .conftest import freeze
+
+    return freeze(df.select("subj", "pred", "obj").collect())
 
 
 def test_stage_resume_equals_one_shot(spark):

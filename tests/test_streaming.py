@@ -30,7 +30,9 @@ def split_batches(spark):
 
 
 def _triples(df):
-    return {(r.subj, r.pred, r.obj) for r in df.select("subj", "pred", "obj").collect()}
+    from .conftest import freeze
+
+    return freeze(df.select("subj", "pred", "obj").collect())
 
 
 def test_two_batch_stream_equals_one_shot(spark, split_batches):
@@ -63,12 +65,10 @@ def test_two_batch_stream_equals_one_shot(spark, split_batches):
     )
 
     # node id/type parity too (names may legitimately differ per-batch mode)
-    got_nodes = {
-        (r.id, r.type) for r in sink.read("nodes").select("id", "type").collect()
-    }
-    want_nodes = {
-        (r.id, r.type) for r in one_shot.nodes.select("id", "type").collect()
-    }
+    from .conftest import freeze
+
+    got_nodes = freeze(sink.read("nodes").select("id", "type").collect())
+    want_nodes = freeze(one_shot.nodes.select("id", "type").collect())
     assert got_nodes == want_nodes
 
 
