@@ -113,6 +113,14 @@ def _e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _MEMO[k]
 
 
+def _n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized node table (d_nodes/a8/g1/g1b all read the same build)."""
+    k = (id(spark), "n", sf_dir)
+    if k not in _MEMO:
+        _MEMO[k] = build_nodes(_t(spark, sf_dir), _m(spark, sf_dir), SNAP).cache()
+    return _MEMO[k]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full pipeline at sf0.001 → per-predicate triple counts."""
     t = derive_transcripts(spark, "/root/testdata/sf0.001")
@@ -176,9 +184,8 @@ def q_identity_resolution(spark, sf_dir):
 
 
 def q_nodes(spark, sf_dir):
-    t = _t(spark, sf_dir)
     return _hex_ids(
-        build_nodes(t, _m(spark, sf_dir), SNAP).select(
+        _n(spark, sf_dir).select(
             "id", "type", "name", "norm", "first_conv", "first_turn"
         ),
         "id",
@@ -186,9 +193,8 @@ def q_nodes(spark, sf_dir):
 
 
 def q_count_by_label(spark, sf_dir):
-    t = _t(spark, sf_dir)
     return (
-        build_nodes(t, _m(spark, sf_dir), SNAP)
+        _n(spark, sf_dir)
         .groupBy("type")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
@@ -196,10 +202,8 @@ def q_count_by_label(spark, sf_dir):
 
 # --- graph layer ----------------------------------------------------------
 def q_impact(spark, sf_dir):
-    t = _t(spark, sf_dir)
-    m = _m(spark, sf_dir)
     edges = _e(spark, sf_dir)
-    nodes = build_nodes(t, m, SNAP)
+    nodes = _n(spark, sf_dir)
     seeds = nodes.filter(
         (F.col("type") == "entity") & (F.col("norm") == "hot_entity")
     ).select("id")
@@ -371,10 +375,8 @@ def q_lineage_triples(spark, sf_dir):
 
 def q_impact_nodes(spark, sf_dir):
     """G1b: touched node listing, top-50 per category, deterministic."""
-    t = _t(spark, sf_dir)
-    m = _m(spark, sf_dir)
     edges = _e(spark, sf_dir)
-    nodes = build_nodes(t, m, SNAP)
+    nodes = _n(spark, sf_dir)
     seeds = nodes.filter(
         (F.col("type") == "entity") & (F.col("norm") == "hot_entity")
     ).select("id")
@@ -455,6 +457,28 @@ def q_media_features(spark, sf_dir):
     return media_features_int(synthesize_media(_docs(spark, sf_dir)))
 
 
+def q_ppm_decode(spark, sf_dir):
+    """mm5: REAL codec round trip — numpy-encoded P6 PPM blobs parsed back
+    by a real header+buffer decoder, reduced to integer channel sums; the
+    oracle recomputes the sums from the closed-form pixel function."""
+    from glasseenterprise_mcp_spark.operators.multimodal import (
+        decode_ppm_features,
+        synthesize_ppm_media,
+    )
+
+    return decode_ppm_features(synthesize_ppm_media(_docs(spark, sf_dir)))
+
+
+def q_ppm_resize(spark, sf_dir):
+    """mm6: decode + real nearest-neighbor resize to 8x8 + integer sums."""
+    from glasseenterprise_mcp_spark.operators.multimodal import (
+        resize_ppm_features,
+        synthesize_ppm_media,
+    )
+
+    return resize_ppm_features(synthesize_ppm_media(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_transcripts_scan": q_transcripts,
@@ -510,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm2_frame_plan": q_frame_plan,
         "mm3_resize_plan": q_resize_plan,
         "mm4_media_features": q_media_features,
+        "mm5_ppm_decode": q_ppm_decode,
+        "mm6_ppm_resize": q_ppm_resize,
     }
 
 
@@ -752,4 +778,10 @@ def oracle_sql() -> dict[str, str]:
         "mm4_media_features": __import__(
             "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]
         ).media_features_int_sql(),
+        "mm5_ppm_decode": __import__(
+            "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]
+        ).ppm_decode_sql(),
+        "mm6_ppm_resize": __import__(
+            "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]
+        ).ppm_resize_sql(),
     }

@@ -86,6 +86,7 @@ def run_pipeline_job(master: str, shuffle: int, factor: int) -> tuple[int, float
     if active is not None:
         active.stop()
 
+    from glasseenterprise_mcp_spark.bench_leg import _materialize_triples
     from glasseenterprise_mcp_spark.pipeline import run_pipeline
     from glasseenterprise_mcp_spark.session import get_spark
     from glasseenterprise_mcp_spark.sources.transcripts import amplify, derive_transcripts
@@ -97,13 +98,15 @@ def run_pipeline_job(master: str, shuffle: int, factor: int) -> tuple[int, float
     # not steady-state throughput).
     warm = run_pipeline(spark, derive_transcripts(spark, SF_DIR), sink=None,
                         snapshot_version="warm", with_components=False)
-    warm.edges.count()
+    _materialize_triples(warm.edges)
     warm.mentions.unpersist()
 
     t = amplify(derive_transcripts(spark, SF_DIR), factor)
     t0 = time.time()
     res = run_pipeline(spark, t, sink=None, snapshot_version="bench")
-    triples = res.edges.count()
+    # measured action = one full materialization through the noop sink (all
+    # columns computed, bytes discarded — see bench_leg._materialize_triples)
+    triples = _materialize_triples(res.edges)
     wall = time.time() - t0
     res.mentions.unpersist()
     spark.stop()

@@ -25,6 +25,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _materialize_triples(edges) -> int:
+    """Fully materialize the triple table through Spark's ``noop`` sink —
+    every column of every row is computed and streamed to a discarding
+    writer (the distributed-sink stand-in: on a real cluster the triples go
+    to Iceberg, whose write bandwidth scales with the executor count, while
+    a single host's DRAM columnar cache does not). An ``observe`` rides the
+    same pass for the row count, so the measured section is exactly one
+    full materialization. A bare count() would instead let Catalyst prune
+    the projection (under-measuring id minting), and cache()+count() would
+    add a corpus-scale in-memory copy nothing reads."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    ob = Observation("triples")
+    edges.observe(ob, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return ob.get["n"]
+
+
 def run_leg(
     cores: int,
     factor: int,
@@ -65,13 +85,13 @@ def run_leg(
             snapshot_version="warm",
             with_components=False,
         )
-        w.edges.count()
+        _materialize_triples(w.edges)
         w.mentions.unpersist()
 
     t = amplify(derive_transcripts(spark, sf_dir), factor)
     t0 = time.time()
     res = run_pipeline(spark, t, sink=None, snapshot_version="bench")
-    triples = res.edges.count()
+    triples = _materialize_triples(res.edges)
     wall = time.time() - t0
     res.mentions.unpersist()
     spark.stop()

@@ -195,6 +195,194 @@ FROM documents d JOIN bytes ON bytes.doc_id = d.doc_id
 GROUP BY d.doc_id, d.text"""
 
 
+# --------------------------------------------------------------------------
+# REAL codec path — P6 PPM (binary RGB), dependency-free.
+#
+# The generic decode step for container formats (jpeg/png/wav/mp4) stays a
+# disclosed stub (no codec libs in this sandbox), but the engine's
+# decode→pixels→features pipeline is exercised END-TO-END on a real binary
+# image format: deterministic P6 PPM blobs are encoded with numpy, parsed
+# back by a real header+buffer decoder, and reduced to integer pixel sums /
+# nearest-neighbor-resized sums. Pixels are a closed-form function of
+# (media_id, y, x, channel), so the DuckDB oracle reproduces the SAME
+# integers from index math without ever seeing the bytes — any bug in the
+# encoder, the parser, the Arrow binary transport or the resize indexing
+# breaks the match.
+# --------------------------------------------------------------------------
+def _ppm_dims(d: int) -> tuple[int, int]:
+    return d % 16 + 4, d % 12 + 4  # (width, height)
+
+
+_PPM_DIMS_SQL_W = "CAST(doc_id % 16 + 4 AS INT)"
+_PPM_DIMS_SQL_H = "CAST(doc_id % 12 + 4 AS INT)"
+
+# pixel(d, y, x, c) = (37d + 11y + 7x + 13c) mod 256 — identical in numpy
+# (uint16 intermediate) and SQL
+_PX = "(37 * {d} + 11 * {y} + 7 * {x} + 13 * {c}) % 256"
+
+
+def synthesize_ppm_media(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL P6 PPM blobs (header + packed RGB rows), one per
+    document. numpy-encoded inside a mapInPandas stage (binary as Arrow
+    buffers); schema = MEDIA_SCHEMA with mime image/x-portable-pixmap."""
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].tolist()
+            blobs, ws, hs = [], [], []
+            for d in ids:
+                w, h = _ppm_dims(d)
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                px = (37 * d + 11 * y + 7 * x + 13 * c) % 256
+                header = f"P6\n{w} {h}\n255\n".encode()
+                blobs.append(header + px.astype(np.uint8).tobytes())
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": ["image"] * len(ids),
+                    "mime": ["image/x-portable-pixmap"] * len(ids),
+                    "width": ws,
+                    "height": hs,
+                    "duration_ms": [0] * len(ids),
+                    "content": blobs,
+                }
+            )
+
+    from ..functions.shipping import ensure_package_shipped
+
+    ensure_package_shipped(documents.sparkSession)
+    return documents.select("doc_id").mapInPandas(_batches, schema=MEDIA_SCHEMA)
+
+
+def _decode_ppm(buf: bytes):
+    """REAL P6 parser: ASCII header (magic, dims, maxval) + packed RGB rows →
+    (h, w, 3) uint8 array. Raises on malformed input."""
+    import numpy as np
+
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = 3 whitespace-separated tokens after the magic (no comments in
+    # our fixtures; a full parser would strip '#' lines here)
+    parts = buf.split(maxsplit=4)
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    if maxval != 255:
+        raise ValueError("only maxval=255 supported")
+    header_len = len(buf) - w * h * 3
+    px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=header_len)
+    return px.reshape(h, w, 3)
+
+
+PPM_SUMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def decode_ppm_features(media: DataFrame) -> DataFrame:
+    """Decode real PPM blobs and reduce to integer per-channel pixel sums —
+    the float-free projection the oracle reproduces from index math."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                px = _decode_ppm(bytes(buf))
+                h, w, _ = px.shape
+                s = px.astype("int64").sum(axis=(0, 1))
+                rows.append((mid, w, h, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PPM_SUMS_SCHEMA.fields]
+            )
+
+    from ..functions.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+    return media.select("media_id", "content").mapInPandas(
+        _batches, schema=PPM_SUMS_SCHEMA
+    )
+
+
+def resize_ppm_features(media: DataFrame, target: int = 8) -> DataFrame:
+    """Decode + REAL nearest-neighbor resize to target×target (src index =
+    floor(i*h/T), floor(j*w/T)) + integer channel sums of the resized image."""
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                px = _decode_ppm(bytes(buf))
+                h, w, _ = px.shape
+                yi = (np.arange(target) * h) // target
+                xi = (np.arange(target) * w) // target
+                small = px[np.ix_(yi, xi)]
+                s = small.astype("int64").sum(axis=(0, 1))
+                rows.append((mid, target, target, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PPM_SUMS_SCHEMA.fields]
+            )
+
+    from ..functions.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+    return media.select("media_id", "content").mapInPandas(
+        _batches, schema=PPM_SUMS_SCHEMA
+    )
+
+
+def ppm_decode_sql() -> str:
+    """Oracle twin of decode_ppm_features: the pixel formula summed over the
+    (y, x) grid per channel — never touches bytes, so it independently
+    checks the engine's encode→parse→sum round trip."""
+    sums = ",\n       ".join(
+        f"CAST(SUM({_PX.format(d='d.doc_id', y='g.y', x='g.x', c=str(c))}) AS BIGINT) AS sum_{n}"
+        for c, n in ((0, "r"), (1, "g"), (2, "b"))
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, CAST(y AS INT) AS y, CAST(x AS INT) AS x
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 12 + 4)) AS y FROM documents),
+       LATERAL (SELECT unnest(range(0, doc_id % 16 + 4)) AS x)
+)
+SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+       {_PPM_DIMS_SQL_W.replace('doc_id', 'd.doc_id')} AS width,
+       {_PPM_DIMS_SQL_H.replace('doc_id', 'd.doc_id')} AS height,
+       {sums}
+FROM documents d JOIN g ON g.doc_id = d.doc_id
+GROUP BY d.doc_id"""
+
+
+def ppm_resize_sql(target: int = 8) -> str:
+    """Oracle twin of resize_ppm_features: nearest-neighbor source index =
+    (i*h)//T, (j*w)//T computed in SQL over the target grid."""
+    y = "((g.i * (d.doc_id % 12 + 4)) // {t})".format(t=target)
+    x = "((g.j * (d.doc_id % 16 + 4)) // {t})".format(t=target)
+    sums = ",\n       ".join(
+        f"CAST(SUM({_PX.format(d='d.doc_id', y=y, x=x, c=str(c))}) AS BIGINT) AS sum_{n}"
+        for c, n in ((0, "r"), (1, "g"), (2, "b"))
+    )
+    return f"""
+WITH g AS (
+  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j
+  FROM (SELECT unnest(range(0, {target})) AS i),
+       LATERAL (SELECT unnest(range(0, {target})) AS j)
+)
+SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+       {target} AS width, {target} AS height,
+       {sums}
+FROM documents d CROSS JOIN g
+GROUP BY d.doc_id"""
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan* plumbing: one row per sampled timestamp
     (the decode of the frame itself is the stubbed step). Pure relational

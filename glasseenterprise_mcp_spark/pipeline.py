@@ -95,7 +95,15 @@ def run_pipeline(
     snapshot_version: str | None = None,
     with_components: bool = True,
     stage_dir: str | None = None,
+    cache_edges: bool | None = None,
 ) -> PipelineResult:
+    """``cache_edges``: the triple table is cached only when more than one
+    consumer will read it (default: exactly when a sink is configured —
+    write_graph + the metrics upsert read it twice). With sink=None the
+    caller's single action streams the union directly; building an
+    in-memory columnar copy of the corpus-scale triple table for one read
+    is pure DRAM-bandwidth waste (and at 100TB it would not fit regardless
+    — the sink IS the materialization there)."""
     snap = snapshot_version or snapshot_stamp(spark)
     timings: dict[str, float] = {}
 
@@ -135,7 +143,11 @@ def run_pipeline(
         stage_dir,
         "D_edges",
         timings,
-    ).cache()
+    )
+    if cache_edges is None:
+        cache_edges = sink is not None
+    if cache_edges:
+        edges = edges.cache()
 
     # Stage C — canonicalization over the cross-corpus linking graph. Feeds
     # on the refers family DIRECTLY (a dim-sized frame built from the
