@@ -138,3 +138,29 @@ def test_iceberg_gate_raises_without_runtime(spark):
     else:
         with pytest.raises(RuntimeError, match="Iceberg runtime"):
             create_all(spark)
+
+
+def test_ppm_codec_roundtrip():
+    """mm5 codec: encode(formula) → real P6 parse → pixels == formula, for
+    assorted dims; malformed blobs fail loudly."""
+    import numpy as np
+    import pytest
+
+    from glasseenterprise_mcp_spark.operators.multimodal import (
+        _decode_ppm,
+        _ppm_dims,
+    )
+
+    for d in (0, 1, 7, 13, 100, 499):
+        w, h = _ppm_dims(d)
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        px = ((37 * d + 11 * y + 7 * x + 13 * c) % 256).astype(np.uint8)
+        blob = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+        got = _decode_ppm(blob)
+        assert got.shape == (h, w, 3)
+        assert (got == px).all()
+
+    with pytest.raises(ValueError, match="P6"):
+        _decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 3)

@@ -118,3 +118,47 @@ def test_replay_is_idempotent(spark, split_batches):
     incremental_update(spark, sink, a, "snapA")
     n2 = sink.read("edges").count(), sink.read("nodes").count()
     assert n1 == n2
+
+
+def test_stateful_session_stream_two_batches(spark):
+    """applyInPandasWithState session windows: two micro-batches through a
+    checkpointed stream must emit exactly the CLOSED sessions the batch
+    sessionizer computes (each user's final open session stays in state)."""
+    import os
+
+    from glasseenterprise_mcp_spark.streaming.stateful_sessions import (
+        run_session_stream,
+    )
+
+    t0 = 1_700_000_000
+    batch1 = [
+        ("alice", t0), ("alice", t0 + 10),          # session 1
+        ("alice", t0 + 4000),                        # closes s1, opens s2
+        ("bob", t0 + 5),                             # bob s1 (stays open)
+    ]
+    batch2 = [
+        ("alice", t0 + 9000),                        # closes s2, opens s3
+        ("bob", t0 + 2500),                          # > gap: closes bob s1
+        ("carol", t0),                               # new user, stays open
+    ]
+    src, out, ckpt = (tempfile.mkdtemp() for _ in range(3))
+    schema = "user_id string, ts_s long"
+
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    q = run_session_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    q = run_session_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+
+    assert os.path.exists(out)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        ("alice", t0, t0 + 10, 2),          # closed by the t0+4000 event
+        ("alice", t0 + 4000, t0 + 4000, 1),  # closed by the t0+9000 event
+        ("bob", t0 + 5, t0 + 5, 1),          # closed by the t0+2500 event
+    }
+    assert got == want
