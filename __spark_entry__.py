@@ -457,6 +457,34 @@ def q_media_features(spark, sf_dir):
     return media_features_int(synthesize_media(_docs(spark, sf_dir)))
 
 
+def q_provides_api(spark, sf_dir):
+    """J4: conversation provides-api resource edges (method via int-code min)."""
+    from glasseenterprise_mcp_spark.operators.link import provides_api_edges
+
+    return _hex_ids(provides_api_edges(_m(spark, sf_dir)), "subj", "obj")
+
+
+def q_uses_config(spark, sf_dir):
+    """J7: conversation uses-config edges with use counts."""
+    from glasseenterprise_mcp_spark.operators.link import uses_config_edges
+
+    return _hex_ids(uses_config_edges(_m(spark, sf_dir)), "subj", "obj")
+
+
+def q_pluralize_match(spark, sf_dir):
+    """J14: pluralize-key fallback join against the table catalog dim."""
+    from glasseenterprise_mcp_spark.operators.link import pluralize_table_match
+
+    return pluralize_table_match(_m(spark, sf_dir))
+
+
+def q_contributes(spark, sf_dir):
+    """J22: role-member contributes-to-entity stats edges."""
+    return _hex_ids(
+        A.contributes_edges(_t(spark, sf_dir), _m(spark, sf_dir)), "subj", "obj"
+    )
+
+
 def q_ppm_decode(spark, sf_dir):
     """mm5: REAL codec round trip — numpy-encoded P6 PPM blobs parsed back
     by a real header+buffer decoder, reduced to integer channel sums; the
@@ -526,6 +554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g1b_impact_nodes": q_impact_nodes,
         "s6_stateful_scan": q_stateful_scan,
         "j15_has_column": q_has_column,
+        "j4_provides_api": q_provides_api,
+        "j7_uses_config": q_uses_config,
+        "j14_pluralize_match": q_pluralize_match,
+        "j22_contributes": q_contributes,
         "e6_direction_cascade": q_direction_cascade,
         "e14_test_turns": q_test_turns,
         "j25_modifies": q_modifies,
@@ -740,6 +772,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "j15_has_column": O.oracle(
             "SELECT subj, pred, obj, tbl, col, n FROM has_column", has_column_cte()
+        ),
+        "j4_provides_api": O.oracle(
+            "SELECT subj, pred, obj, method, n FROM provides_api",
+            __import__(
+                "glasseenterprise_mcp_spark.operators.link", fromlist=["x"]
+            ).provides_api_cte(),
+        ),
+        "j7_uses_config": O.oracle(
+            "SELECT subj, pred, obj, cfg, n_turns, n FROM uses_config",
+            __import__(
+                "glasseenterprise_mcp_spark.operators.link", fromlist=["x"]
+            ).uses_config_cte(),
+        ),
+        "j14_pluralize_match": O.oracle(
+            "SELECT tbl, catalog_name, via, n FROM plural_match",
+            __import__(
+                "glasseenterprise_mcp_spark.operators.link", fromlist=["x"]
+            ).pluralize_table_match_cte(),
+        ),
+        "j22_contributes": O.oracle(
+            "SELECT subj, pred, obj, role, n_mentions, n_convs, first_ts, last_ts "
+            "FROM contributes",
+            A.contributes_cte(),
         ),
         "e6_direction_cascade": O.oracle(
             "SELECT conv_id, turn_idx, mtype, norm, ord, arm, direction "

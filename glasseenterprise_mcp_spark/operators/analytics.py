@@ -457,6 +457,60 @@ def top_entities_cte(k: int = 10) -> str:
 )"""
 
 
+def contributes_edges(transcripts: DataFrame, mentions: DataFrame) -> DataFrame:
+    """J22 analogue — OWNS/CONTRIBUTED_TO stats joins: role-member →
+    entity edges with contribution stats (the reference emits Developer
+    CONTRIBUTED_TO Repo with commit counts and first/last dates,
+    relationshipBuilder.ts J22). Join entity mentions to the turn's role,
+    one groupBy on (role, norm).
+
+    Output: (subj=member node, pred='contributes', obj=entity node, role,
+    n_mentions, n_convs, first_ts, last_ts)."""
+    from ..functions.ids import node_id_col
+
+    em = mentions.filter(F.col("mtype") == "entity").join(
+        transcripts.select("conv_id", "turn_idx", "role", "ts_epoch"),
+        ["conv_id", "turn_idx"],
+    )
+    return (
+        em.groupBy("role", "norm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_mentions"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.min("ts_epoch").cast("long").alias("first_ts"),
+            F.max("ts_epoch").cast("long").alias("last_ts"),
+        )
+        .select(
+            node_id_col("member", F.col("role")).alias("subj"),
+            F.lit("contributes").alias("pred"),
+            node_id_col("entity", F.col("norm")).alias("obj"),
+            "role",
+            "n_mentions",
+            "n_convs",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
+def contributes_cte() -> str:
+    from ..functions.ids import node_id_sql
+
+    return f"""contributes AS (
+  SELECT {node_id_sql('member', 'role')} AS subj,
+         'contributes' AS pred,
+         {node_id_sql('entity', 'norm')} AS obj,
+         role,
+         CAST(COUNT(*) AS BIGINT) AS n_mentions,
+         CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+         CAST(MIN(ts_epoch) AS BIGINT) AS first_ts,
+         CAST(MAX(ts_epoch) AS BIGINT) AS last_ts
+  FROM mentions m JOIN transcripts t USING (conv_id, turn_idx)
+  WHERE m.mtype = 'entity'
+  GROUP BY role, norm
+)"""
+
+
 def new_entities_second_half(mentions: DataFrame, transcripts: DataFrame) -> DataFrame:
     """U5/set-op: entities appearing only in the later half of each
     conversation's turns (anti join of per-half distinct sets)."""

@@ -349,6 +349,156 @@ def has_column_cte() -> str:
 )"""
 
 
+# catalog dim for the J14 pluralize-key join: the corpus's known table
+# names (the driver's pre-registered views — a config-style literal dim,
+# broadcast at any scale, like the reference's known-schema table list)
+TABLE_CATALOG = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def provides_api_edges(mentions: DataFrame) -> DataFrame:
+    """J4 analogue — PROVIDES_API: conversation → resource edges from
+    endpoint declarations (the reference links Repo → API for endpoints
+    declared in it, relationshipBuilder.ts J4). One groupBy over the
+    endpoint mention slice; method kept via the min-int-code trick (the
+    W4/J5 HashAggregate-friendly pattern), decoded after the agg.
+
+    Output: (subj=conv node, pred='provides-api', obj=resource node,
+    method, n)."""
+    eps = mentions.filter(F.col("mtype") == "endpoint").select(
+        "conv_id",
+        "norm",
+        _method_code_col(F.upper(F.coalesce(F.col("method"), F.lit("GET")))).alias(
+            "mcode"
+        ),
+    )
+    agg = eps.groupBy("conv_id", "norm").agg(
+        F.min("mcode").alias("mcode"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    method_decode = (
+        F.when(F.col("mcode") == 1, "GET")
+        .when(F.col("mcode") == 2, "POST")
+        .when(F.col("mcode") == 3, "PUT")
+        .otherwise("DELETE")
+    )
+    return agg.select(
+        node_id_col("conv", F.col("conv_id")).alias("subj"),
+        F.lit("provides-api").alias("pred"),
+        node_id_col("resource", F.col("norm")).alias("obj"),
+        method_decode.alias("method"),
+        "n",
+    )
+
+
+def provides_api_cte() -> str:
+    mcode = _METHOD_CODE_SQL.format(c="upper(COALESCE(method, 'GET'))")
+    return f"""provides_api AS (
+  SELECT {node_id_sql('conv', 'conv_id')} AS subj,
+         'provides-api' AS pred,
+         {node_id_sql('resource', 'norm')} AS obj,
+         {_METHOD_DECODE_SQL.format(c='MIN(' + mcode + ')')} AS method,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM mentions WHERE mtype = 'endpoint'
+  GROUP BY conv_id, norm
+)"""
+
+
+def uses_config_edges(mentions: DataFrame) -> DataFrame:
+    """J7 analogue — USES_CONFIG: conversation → config-key edges with use
+    counts (the reference links Repo → ConfigKey per process.env read).
+    Output: (subj=conv node, pred='uses-config', obj=config node, cfg,
+    n_turns, n)."""
+    cfg = mentions.filter(F.col("mtype") == "config")
+    return (
+        cfg.groupBy("conv_id", "norm")
+        .agg(
+            F.countDistinct("turn_idx").cast("long").alias("n_turns"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            node_id_col("conv", F.col("conv_id")).alias("subj"),
+            F.lit("uses-config").alias("pred"),
+            node_id_col("config", F.col("norm")).alias("obj"),
+            F.col("norm").alias("cfg"),
+            "n_turns",
+            "n",
+        )
+    )
+
+
+def uses_config_cte() -> str:
+    return f"""uses_config AS (
+  SELECT {node_id_sql('conv', 'conv_id')} AS subj,
+         'uses-config' AS pred,
+         {node_id_sql('config', 'norm')} AS obj,
+         norm AS cfg,
+         CAST(COUNT(DISTINCT turn_idx) AS BIGINT) AS n_turns,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM mentions WHERE mtype = 'config'
+  GROUP BY conv_id, norm
+)"""
+
+
+def pluralize_table_match(mentions: DataFrame) -> DataFrame:
+    """J14 analogue — the pluralize-key fallback join: table mentions
+    resolve against the catalog dim on exact name first, then the
+    singular→plural variant (tbl+'s' == catalog), then plural→singular
+    (tbl == catalog+'s'); first match wins by tier (the reference tries
+    entity name then its pluralized form when matching JPA entities to
+    tables). Union of equi joins + precedence dedup — never an OR-predicate
+    theta join.
+
+    Output: (tbl, catalog_name, via, n) with via ∈ {1, 2, 3}."""
+    spark = mentions.sparkSession
+    catalog = spark.createDataFrame([(t,) for t in TABLE_CATALOG], "name string")
+    tbls = (
+        mentions.filter(F.col("mtype") == "table")
+        .select(F.split(F.col("norm"), r"\.").getItem(0).alias("tbl"))
+        .groupBy("tbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    b = F.broadcast(catalog)
+    t1 = tbls.join(b, tbls["tbl"] == catalog["name"]).select(
+        "tbl", "name", F.lit(1).alias("via"), "n"
+    )
+    t2 = tbls.join(b, F.concat(tbls["tbl"], F.lit("s")) == catalog["name"]).select(
+        "tbl", "name", F.lit(2).alias("via"), "n"
+    )
+    t3 = tbls.join(b, tbls["tbl"] == F.concat(catalog["name"], F.lit("s"))).select(
+        "tbl", "name", F.lit(3).alias("via"), "n"
+    )
+    w = Window.partitionBy("tbl").orderBy(F.asc("via"), F.asc("name"))
+    return (
+        t1.unionByName(t2)
+        .unionByName(t3)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("tbl", F.col("name").alias("catalog_name"), F.col("via").cast("int"), "n")
+    )
+
+
+def pluralize_table_match_cte() -> str:
+    names = ", ".join(f"('{t}')" for t in TABLE_CATALOG)
+    return f"""plural_match AS (
+  WITH catalog(name) AS (VALUES {names}),
+  tbls AS (
+    SELECT split_part(norm, '.', 1) AS tbl, CAST(COUNT(*) AS BIGINT) AS n
+    FROM mentions WHERE mtype = 'table' GROUP BY 1
+  ), u AS (
+    SELECT tbl, name, 1 AS via, n FROM tbls JOIN catalog ON tbl = name
+    UNION ALL
+    SELECT tbl, name, 2 AS via, n FROM tbls JOIN catalog ON tbl || 's' = name
+    UNION ALL
+    SELECT tbl, name, 3 AS via, n FROM tbls JOIN catalog ON tbl = name || 's'
+  )
+  SELECT tbl, name AS catalog_name, CAST(via AS INT) AS via, n FROM (
+    SELECT *, row_number() OVER (PARTITION BY tbl ORDER BY via ASC, name ASC) AS rn
+    FROM u
+  ) WHERE rn = 1
+)"""
+
+
 def modifies_edges(mentions: DataFrame) -> DataFrame:
     """J25 analogue — the MODIFIED_FILE explode join
     (relationshipBuilder.ts:837-851: a commit's multi-value file list is

@@ -91,9 +91,17 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         marker(
             d % 9 == 0,
             F.lit(" tbl:"),
+            # last two names are singular/plural VARIANTS of catalog tables
+            # (order→orders, nations→nation) — the J14 pluralize-key join
+            # fixture; the first four match the catalog exactly
             F.element_at(
-                F.array(F.lit("orders"), F.lit("lineitem"), F.lit("customer"), F.lit("part")),
-                (d % 4 + 1).cast("int"),
+                F.array(
+                    F.lit("orders"), F.lit("lineitem"), F.lit("customer"),
+                    F.lit("part"), F.lit("order"), F.lit("nations"),
+                ),
+                # index on d//9 so the d%9==0 gate doesn't alias the cycle
+                # (9k mod 6 only hits {0, 3}); d//9 walks all 6 names
+                (F.floor(d / 9) % 6 + 1).cast("int"),
             ),
             F.lit(".c"),
             s(d % 6),
@@ -232,8 +240,9 @@ transcripts AS (
            (CASE WHEN doc_id % 12 = 3 THEN ' POST /api/r' ELSE ' GET /api/r' END)
               || CAST(doc_id % 17 AS VARCHAR) ELSE '' END
       || CASE WHEN doc_id % 9 = 0 THEN ' tbl:' ||
-              (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'orders' WHEN 1 THEN 'lineitem'
-                    WHEN 2 THEN 'customer' ELSE 'part' END) || '.c' || CAST(doc_id % 6 AS VARCHAR)
+              (CASE CAST((doc_id // 9) % 6 AS INT) WHEN 0 THEN 'orders' WHEN 1 THEN 'lineitem'
+                    WHEN 2 THEN 'customer' WHEN 3 THEN 'part'
+                    WHEN 4 THEN 'order' ELSE 'nations' END) || '.c' || CAST(doc_id % 6 AS VARCHAR)
          ELSE '' END
       || CASE WHEN doc_id % 15 = 2 THEN ' http://edge.example.com/api/r' || CAST(doc_id % 17 AS VARCHAR) ELSE '' END
       || CASE WHEN doc_id % 30 = 17 THEN ' POST http://edge2.example.com/api/v9/r' || CAST(doc_id % 17 AS VARCHAR) ELSE '' END
