@@ -485,6 +485,53 @@ def q_contributes(spark, sf_dir):
     )
 
 
+def q_type_schemas(spark, sf_dir):
+    """E9/E10: type-definition schemas — schema'd struct column flattened to
+    per-field rows with declaration ordinality."""
+    from glasseenterprise_mcp_spark.operators.extract import type_schemas
+
+    return type_schemas(_t(spark, sf_dir))
+
+
+def q_clean_names(spark, sf_dir):
+    """N9/N10: quote strip + identifier sanitize over raw quoted tokens."""
+    from glasseenterprise_mcp_spark.operators.extract import clean_names
+
+    return clean_names(_t(spark, sf_dir))
+
+
+def q_used_by(spark, sf_dir):
+    """J18: equi join + contains filter (security rule → same-conversation
+    entities whose name contains the kind needle)."""
+    from glasseenterprise_mcp_spark.operators.link import used_by_edges
+
+    return _hex_ids(used_by_edges(_m(spark, sf_dir)), "subj", "obj")
+
+
+def _router(spark, sf_dir):
+    from glasseenterprise_mcp_spark.plans.query_router import QueryRouter
+
+    k = (id(spark), "router", sf_dir)
+    if k not in _MEMO:
+        _MEMO[k] = QueryRouter(spark, _n(spark, sf_dir), _e(spark, sf_dir))
+    return _MEMO[k]
+
+
+def q_routed_count_by_type(spark, sf_dir):
+    """Q2: a routed NL template end-to-end (route → template → DataFrame),
+    oracle-gated on its result — count-by-type with the default LIMIT."""
+    routed = _router(spark, sf_dir).route("count nodes by type")
+    assert routed.template == "count_by_type", routed.template
+    return routed.df
+
+
+def q_routed_fallback(spark, sf_dir):
+    """Q3: the tokenized-fallback contains-search, routed end-to-end."""
+    routed = _router(spark, sf_dir).route("hot_entity probe")
+    assert routed.template == "fallback_search", routed.template
+    return routed.df
+
+
 def q_ppm_decode(spark, sf_dir):
     """mm5: REAL codec round trip — numpy-encoded P6 PPM blobs parsed back
     by a real header+buffer decoder, reduced to integer channel sums; the
@@ -562,6 +609,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e14_test_turns": q_test_turns,
         "j25_modifies": q_modifies,
         "j27_has_member": q_has_member,
+        "e9_type_schemas": q_type_schemas,
+        "n9_clean_names": q_clean_names,
+        "j18_used_by": q_used_by,
+        "q2_routed_count_by_type": q_routed_count_by_type,
+        "q3_routed_fallback": q_routed_fallback,
         "mm1_media_metadata": q_media_metadata,
         "mm2_frame_plan": q_frame_plan,
         "mm3_resize_plan": q_resize_plan,
@@ -820,6 +872,45 @@ def oracle_sql() -> dict[str, str]:
             __import__(
                 "glasseenterprise_mcp_spark.operators.link", fromlist=["x"]
             ).has_member_cte(),
+        ),
+        "e9_type_schemas": O.oracle(
+            "SELECT conv_id, turn_idx, type_name, field_idx, field_name, "
+            "field_type FROM type_schemas",
+            __import__(
+                "glasseenterprise_mcp_spark.operators.extract", fromlist=["x"]
+            ).type_schemas_cte(),
+        ),
+        "n9_clean_names": O.oracle(
+            "SELECT conv_id, turn_idx, surface, stripped, ident FROM clean_names",
+            __import__(
+                "glasseenterprise_mcp_spark.operators.extract", fromlist=["x"]
+            ).clean_names_cte(),
+        ),
+        "j18_used_by": O.oracle(
+            "SELECT subj, pred, obj, pattern, ent, n FROM used_by",
+            __import__(
+                "glasseenterprise_mcp_spark.operators.link", fromlist=["x"]
+            ).used_by_cte(),
+        ),
+        # Q2: the routed template compiles to count-by-type over the node
+        # table with the router's default LIMIT (row count ≪ limit, so the
+        # limit never truncates — asserted in
+        # tests/test_operators.py::test_routed_queries_limit_headroom)
+        "q2_routed_count_by_type": O.oracle(
+            "SELECT type, CAST(COUNT(*) AS BIGINT) AS n FROM nodes "
+            "GROUP BY type ORDER BY type LIMIT 100",
+            O.nodes_cte(),
+        ),
+        # Q3: the fallback tokenizes 'hot_entity probe' into two contains
+        # terms over lower(name)/lower(norm) — mirrored verbatim
+        "q3_routed_fallback": O.oracle(
+            "SELECT type, name, norm FROM nodes "
+            "WHERE strpos(lower(name), 'hot_entity') > 0 "
+            "   OR strpos(lower(COALESCE(norm, '')), 'hot_entity') > 0 "
+            "   OR strpos(lower(name), 'probe') > 0 "
+            "   OR strpos(lower(COALESCE(norm, '')), 'probe') > 0 "
+            "ORDER BY type, name LIMIT 100",
+            O.nodes_cte(),
         ),
         "mm1_media_metadata": __import__(
             "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]

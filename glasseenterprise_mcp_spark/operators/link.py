@@ -440,6 +440,67 @@ def uses_config_cte() -> str:
 )"""
 
 
+def used_by_edges(mentions: DataFrame, needle: str = "_1") -> DataFrame:
+    """J18 analogue — USED_BY: the equi join + contains filter
+    (relationshipBuilder.ts:409-419 links a UserDetailsService to classes in
+    the same repo whose NAME CONTAINS Controller/Service). Here: security
+    rules equi-join (conv_id) to entities of the same conversation whose
+    norm contains the kind needle — the contains predicate is a genuine
+    substring filter (``agent_1`` ∪ ``agent_10``..``agent_19``), not an
+    equality in disguise.
+
+    Shape at scale: the contains filter is pushed below the join (prunes the
+    probe side before the shuffle); rules are a dim-sized slice.
+
+    Output: (subj=rule node, pred='used-by', obj=entity node, pattern, ent,
+    n) — n = matching entity occurrences in conversations declaring the
+    rule."""
+    rules = (
+        mentions.filter(F.col("mtype") == "secpat")
+        .select("conv_id", F.col("norm").alias("pattern"))
+        .distinct()
+    )
+    ents = (
+        mentions.filter(
+            (F.col("mtype") == "entity") & F.col("norm").contains(needle)
+        )
+        .groupBy("conv_id", F.col("norm").alias("ent"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conv"))
+    )
+    return (
+        ents.join(rules, "conv_id")
+        .groupBy("pattern", "ent")
+        .agg(F.sum("n_conv").cast("long").alias("n"))
+        .select(
+            node_id_col("secrule", F.col("pattern")).alias("subj"),
+            F.lit("used-by").alias("pred"),
+            node_id_col("entity", F.col("ent")).alias("obj"),
+            "pattern",
+            "ent",
+            "n",
+        )
+    )
+
+
+def used_by_cte(needle: str = "_1") -> str:
+    return f"""used_by AS (
+  WITH rules AS (
+    SELECT DISTINCT conv_id, norm AS pattern FROM mentions WHERE mtype = 'secpat'
+  ), ents AS (
+    SELECT conv_id, norm AS ent, CAST(COUNT(*) AS BIGINT) AS n_conv
+    FROM mentions
+    WHERE mtype = 'entity' AND strpos(norm, '{needle}') > 0
+    GROUP BY conv_id, norm
+  )
+  SELECT {node_id_sql('secrule', 'pattern')} AS subj,
+         'used-by' AS pred,
+         {node_id_sql('entity', 'ent')} AS obj,
+         pattern, ent, CAST(SUM(n_conv) AS BIGINT) AS n
+  FROM ents JOIN rules USING (conv_id)
+  GROUP BY pattern, ent
+)"""
+
+
 def pluralize_table_match(mentions: DataFrame) -> DataFrame:
     """J14 analogue — the pluralize-key fallback join: table mentions
     resolve against the catalog dim on exact name first, then the

@@ -172,6 +172,20 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # .test./.spec./__tests__ multi-pattern file gate)
         marker(d % 23 == 21, F.lit(" [test-run]")),
         marker(d % 23 == 3, F.lit(" [spec-run]")),
+        # E9/E10 type-definition schema: named struct with a variable-length
+        # field list (every other instance carries a third field so the
+        # explode ordinality is exercised at both lengths)
+        marker(
+            d % 13 == 7,
+            F.lit(" type:Shape"),
+            s(d % 5),
+            F.lit("{id:int,name:str"),
+            F.when(d % 26 == 7, F.lit(",flag:bool")).otherwise(F.lit("")),
+            F.lit("}"),
+        ),
+        # N9/N10 cleanup probe: backtick-quoted token with an identifier-
+        # illegal trailing char (quote strip + [^\w.$] sanitize fixture)
+        marker(d % 18 == 5, F.lit(" raw:`Cls$"), s(d % 6), F.lit("!`")),
     )
 
     return docs.select(
@@ -268,6 +282,9 @@ transcripts AS (
       || CASE WHEN doc_id % 12 = 2 THEN ' GET /relay/r' || CAST(doc_id % 17 AS VARCHAR) ELSE '' END
       || CASE WHEN doc_id % 23 = 21 THEN ' [test-run]' ELSE '' END
       || CASE WHEN doc_id % 23 = 3 THEN ' [spec-run]' ELSE '' END
+      || CASE WHEN doc_id % 13 = 7 THEN ' type:Shape' || CAST(doc_id % 5 AS VARCHAR)
+              || '{{id:int,name:str' || (CASE WHEN doc_id % 26 = 7 THEN ',flag:bool' ELSE '' END) || '}}' ELSE '' END
+      || CASE WHEN doc_id % 18 = 5 THEN ' raw:`Cls$' || CAST(doc_id % 6 AS VARCHAR) || '!`' ELSE '' END
                                                                   AS text,
     CASE WHEN doc_id % 4 = 2 THEN 'tool_' || CAST(doc_id % 7 AS VARCHAR) END AS tool,
     CAST({EPOCH0} + doc_id * 60 AS BIGINT)                        AS ts_epoch

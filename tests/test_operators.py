@@ -308,6 +308,63 @@ def test_query_router(spark):
     assert r.template == "fallback_search" and r.df.count() > 0
 
 
+def test_routed_queries_limit_headroom(spark):
+    """The two oracle-gated routed queries (q2/q3) rely on their result
+    cardinality staying far below the router's default LIMIT — otherwise the
+    limit would truncate and the oracle (which replicates the full result)
+    would diverge. Both cardinalities are bounded by DISTINCT norms/types,
+    not corpus size, so the headroom holds at any sf."""
+    import __spark_entry__ as E
+
+    n2 = E.q_routed_count_by_type(spark, "/root/testdata/sf0.01").count()
+    n3 = E.q_routed_fallback(spark, "/root/testdata/sf0.01").count()
+    assert 0 < n2 <= 50, n2
+    assert 0 < n3 <= 50, n3
+
+
+def test_type_schemas_and_clean_names(spark):
+    """E9/E10 field ordinality + N9/N10 cleanup steps on a hand-built turn."""
+    from glasseenterprise_mcp_spark.operators.extract import clean_names, type_schemas
+
+    t = spark.createDataFrame(
+        [("cX", 0, "pre type:Point{x:float,y:float,tag:str} raw:`Fn$2!` post")],
+        "conv_id string, turn_idx int, text string",
+    )
+    rows = type_schemas(t).orderBy("field_idx").collect()
+    assert [(r.field_idx, r.field_name, r.field_type) for r in rows] == [
+        (1, "x", "float"),
+        (2, "y", "float"),
+        (3, "tag", "str"),
+    ]
+    assert rows[0].type_name == "Point"
+
+    c = clean_names(t).collect()
+    assert len(c) == 1
+    assert c[0].surface == "`Fn$2!`"
+    assert c[0].stripped == "Fn$2!"  # N9: quote chars stripped, content kept
+    assert c[0].ident == "Fn$2"  # N10: identifier-illegal '!' removed, $ kept
+
+
+def test_used_by_contains_semantics(spark):
+    """J18: the contains filter is a genuine substring match — agent_1 and
+    agent_12 both match '_1'; agent_21 and agent_2 do not."""
+    from glasseenterprise_mcp_spark.operators.link import used_by_edges
+
+    m = spark.createDataFrame(
+        [
+            ("c0", 0, "secpat", "/api/**", "/api/**"),
+            ("c0", 1, "entity", "agent_1", "agent_1"),
+            ("c0", 2, "entity", "agent_12", "agent_12"),
+            ("c0", 3, "entity", "agent_21", "agent_21"),
+            ("c0", 4, "entity", "agent_2", "agent_2"),
+            ("c1", 0, "entity", "agent_1", "agent_1"),  # no rule in c1 → no edge
+        ],
+        "conv_id string, turn_idx int, mtype string, surface string, norm string",
+    )
+    got = {(r.ent, r.n) for r in used_by_edges(m).collect()}
+    assert got == {("agent_1", 1), ("agent_12", 1)}
+
+
 def test_query_router_advanced_templates(spark):
     from glasseenterprise_mcp_spark.operators.extract import extract_mentions
     from glasseenterprise_mcp_spark.operators.link import (
