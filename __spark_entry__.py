@@ -269,6 +269,12 @@ def q_ann_lsh(spark, sf_dir):
     return S.lsh_topk(_emb(spark, sf_dir), F.expr(ANN_QUERY_WHERE))
 
 
+def q_ann_ivf(spark, sf_dir):
+    """sim3: IVF-partitioned ANN — sampled centroids, argmax-dot cell
+    assignment, nprobe-cell probe, exact integer rerank."""
+    return S.ivf_topk(_emb(spark, sf_dir), F.expr(ANN_QUERY_WHERE))
+
+
 # --- analytics (remaining join/agg/window coverage) ------------------------
 def q_tiered_attribution(spark, sf_dir):
     return A.tiered_attribution(_t(spark, sf_dir), _m(spark, sf_dir))
@@ -581,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx3_fingerprints": q_fingerprints,
         "sim1_ann_bruteforce": q_ann_brute,
         "sim2_ann_lsh": q_ann_lsh,
+        "sim3_ann_ivf": q_ann_ivf,
         "j8_tiered_attribution": q_tiered_attribution,
         "j26_cooccurrence_pairs": q_cooccurrence,
         "j13_conv_shared_entities": q_conv_shared,
@@ -719,6 +726,7 @@ def oracle_sql() -> dict[str, str]:
         + "\nSELECT doc_id, fingerprint FROM fingerprints",
         "sim1_ann_bruteforce": S.brute_force_topk_sql(ANN_QUERY_WHERE),
         "sim2_ann_lsh": S.lsh_topk_sql(ANN_QUERY_WHERE),
+        "sim3_ann_ivf": S.ivf_topk_sql(ANN_QUERY_WHERE),
         "j8_tiered_attribution": O.oracle(
             "SELECT norm, tool, tier, n FROM attribution", A.tiered_attribution_cte()
         ),
