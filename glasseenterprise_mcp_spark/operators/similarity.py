@@ -180,25 +180,36 @@ def lsh_topk(embeddings: DataFrame, query_filter: Column, k: int = 5) -> DataFra
 
 def ivf_assign(q: DataFrame, centroids: DataFrame) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid
-    by integer dot product (argmax; ties → lowest centroid id). Broadcast
-    nested-loop of corpus × C centroids — the standard IVF build cost
-    O(N·C), a narrow map stage when centroids broadcast. The argmax is a
-    map-side ``max(struct(dot, -cid))`` aggregation, NOT a window: no
-    N·C-row shuffle at corpus scale."""
-    pairs = q.crossJoin(F.broadcast(centroids))
-    scored = pairs.select(
-        *q.columns,
-        F.struct(
-            _dot("qv", "c_qv").alias("dot"),
-            (-F.col("cid")).alias("neg_cid"),
-        ).alias("key"),
-        F.col("cid"),
+    by integer dot product (argmax; ties → lowest centroid id).
+
+    ZERO-shuffle formulation: the centroid set collapses to a single-row
+    array (collect_list of structs, sorted by cid), broadcast to every
+    partition, and the argmax runs as a per-row higher-order ``aggregate``
+    over that array — a narrow map over the corpus, no N-row groupBy and no
+    N·C intermediate. Traversing the cid-sorted array with strict ``>``
+    keeps the FIRST maximum, which is exactly the (dot DESC, cid ASC) tie
+    rule the oracle's window uses."""
+    carr = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c_qv"))).alias("carr")
     )
-    best = (
-        scored.groupBy(*q.columns)
-        .agg(F.max_by("cid", "key").alias("cell"))
+    best = F.expr(
+        """
+        aggregate(
+          transform(carr, c -> named_struct(
+            'dot', aggregate(zip_with(qv, c.c_qv, (x, y) -> x * y),
+                             CAST(0 AS BIGINT), (acc, v) -> acc + v),
+            'cid', c.cid)),
+          named_struct('dot', CAST(-9223372036854775808 AS BIGINT),
+                       'cid', CAST(-1 AS BIGINT)),
+          (acc, s) -> IF(s.dot > acc.dot, s, acc)
+        ).cid
+        """
     )
-    return best
+    return (
+        q.crossJoin(F.broadcast(carr))
+        .withColumn("cell", best)
+        .drop("carr")
+    )
 
 
 def ivf_topk(
