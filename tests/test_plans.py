@@ -50,6 +50,20 @@ def test_refers_to_paths_agree(spark):
     assert a == b and len(a) > 0
 
 
+def test_used_by_filter_below_join(spark):
+    """J18: the contains predicate must prune the probe side BEFORE the
+    join (a Filter with Contains under the join input), and the join must
+    be a real equi join — no cartesian."""
+    from glasseenterprise_mcp_spark.operators.link import used_by_edges
+
+    t = derive_transcripts(spark, SF_SMALL)
+    m = extract_mentions(t)
+    plan = _plan(used_by_edges(m))
+    assert "CartesianProduct" not in plan
+    assert "Contains" in plan  # pushed into a probe-side Filter
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan  # equi join
+
+
 def test_whole_stage_codegen_relational(spark):
     """Pure relational stages (no Python boundary) must be codegen'd; the
     aggregate must be hash-based, not sort-based."""
