@@ -113,6 +113,15 @@ def _e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _MEMO[k]
 
 
+def _sh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized shingle table (dd2/dd3/dd4/tx3 all start from the same
+    shingling of documents; one cached build per session)."""
+    k = (id(spark), "sh", sf_dir)
+    if k not in _MEMO:
+        _MEMO[k] = D.shingles(_docs(spark, sf_dir)).cache()
+    return _MEMO[k]
+
+
 def _n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized node table (d_nodes/a8/g1/g1b all read the same build)."""
     k = (id(spark), "n", sf_dir)
@@ -231,18 +240,18 @@ def q_exact_dedup(spark, sf_dir):
 
 def q_lsh_candidates(spark, sf_dir):
     return D.lsh_candidate_pairs(
-        D.lsh_bands(D.minhash_signatures(D.shingles(_docs(spark, sf_dir))))
+        D.lsh_bands(D.minhash_signatures(_sh(spark, sf_dir)))
     )
 
 
 def q_near_dup_jaccard(spark, sf_dir):
-    sh = D.shingles(_docs(spark, sf_dir))
+    sh = _sh(spark, sf_dir)
     pairs = D.lsh_candidate_pairs(D.lsh_bands(D.minhash_signatures(sh)))
     return D.jaccard_verify(pairs, sh)
 
 
 def q_simhash(spark, sf_dir):
-    return D.simhash(D.shingles(_docs(spark, sf_dir)))
+    return D.simhash(_sh(spark, sf_dir))
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -250,7 +259,7 @@ def q_embedding_near_dups(spark, sf_dir):
 
 
 def q_fingerprints(spark, sf_dir):
-    return T.fingerprints(D.shingles(_docs(spark, sf_dir)))
+    return T.fingerprints(_sh(spark, sf_dir))
 
 
 def q_lang_scores(spark, sf_dir):
