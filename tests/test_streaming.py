@@ -162,3 +162,46 @@ def test_stateful_session_stream_two_batches(spark):
         ("bob", t0 + 5, t0 + 5, 1),          # closed by the t0+2500 event
     }
     assert got == want
+
+
+def test_watermarked_window_late_data(spark):
+    """Watermarked tumbling windows across a checkpoint restart: an event
+    later than the watermark is DROPPED (its already-finalized window stays
+    immutable), a late-but-within-delay event still counts, and the
+    watermark itself survives the restart via the commit log."""
+    from datetime import datetime as DT
+
+    from glasseenterprise_mcp_spark.streaming.windowed import (
+        run_windowed_counts_stream,
+    )
+
+    src, out, ckpt = tempfile.mkdtemp(), tempfile.mkdtemp(), tempfile.mkdtemp()
+
+    def ev(eid, hh, mm, et="click"):
+        return (eid, DT(2024, 1, 1, hh, mm), 1, et, 0.0, "{}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    # batch 1: hours 0..4 → watermark after drain = 04:30 - 1h = 03:30;
+    # windows [00,01) [01,02) [02,03) finalize and append
+    b1 = [ev(1, 0, 30), ev(2, 0, 40), ev(3, 1, 30), ev(4, 2, 30), ev(5, 4, 30)]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    q = run_windowed_counts_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    got1 = {(r.win_start.hour, r.n) for r in spark.read.parquet(out).collect()}
+    assert got1 == {(0, 2), (1, 1), (2, 1)}
+
+    # batch 2 resumes from the checkpoint: event 6 at 00:15 is LATER than
+    # the restored 03:30 watermark → dropped (window [00,01) already out);
+    # event 7 at 03:45 is late-but-open → counts; event 8 at 05:30 advances
+    # the watermark to 04:30 → finalizes [03,04) (with event 7) while
+    # [04,05) (end 05:00 > watermark 04:30) and [05,06) stay open
+    b2 = [ev(6, 0, 15), ev(7, 3, 45), ev(8, 5, 30)]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    q = run_windowed_counts_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+
+    got2 = {(r.win_start.hour, r.n) for r in spark.read.parquet(out).collect()}
+    assert got2 == {(0, 2), (1, 1), (2, 1), (3, 1)}
