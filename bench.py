@@ -132,6 +132,11 @@ def run_queries() -> dict[str, float]:
         app_name="bench-queries", master=f"local[{eff_cpus}]", shuffle_partitions=eff_cpus
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Warmup: spawn the Python worker pool + JIT (same rationale as the
+    # headline run) so the first timed query isn't charged the fork cost.
+    spark.range(100_000).repartition(eff_cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     out: dict[str, float] = {}
     for name, fn in E.queries().items():
         t0 = time.time()
