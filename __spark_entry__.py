@@ -270,6 +270,12 @@ def q_token_stats(spark, sf_dir):
     return T.token_stats(_docs(spark, sf_dir))
 
 
+def q_curate_corpus(spark, sf_dir):
+    """cur1: end-to-end curation decision (quality gate → near-dup
+    keep-first) with per-document keep/reason."""
+    return T.curate_corpus(_docs(spark, sf_dir), _sh(spark, sf_dir))
+
+
 def q_ann_brute(spark, sf_dir):
     return S.brute_force_topk(_emb(spark, sf_dir), F.expr(ANN_QUERY_WHERE))
 
@@ -594,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx1_lang_scores": q_lang_scores,
         "tx2_token_stats": q_token_stats,
         "tx3_fingerprints": q_fingerprints,
+        "cur1_corpus_curation": q_curate_corpus,
         "sim1_ann_bruteforce": q_ann_brute,
         "sim2_ann_lsh": q_ann_lsh,
         "sim3_ann_ivf": q_ann_ivf,
@@ -733,6 +740,9 @@ def oracle_sql() -> dict[str, str]:
         "tx3_fingerprints": "WITH "
         + ",\n".join([D.shingles_cte(), T.fingerprints_cte()])
         + "\nSELECT doc_id, fingerprint FROM fingerprints",
+        "cur1_corpus_curation": "WITH "
+        + ",\n".join([D.shingles_cte(), T.fingerprints_cte(), T.curate_corpus_cte()])
+        + "\nSELECT doc_id, keep, reason FROM curated",
         "sim1_ann_bruteforce": S.brute_force_topk_sql(ANN_QUERY_WHERE),
         "sim2_ann_lsh": S.lsh_topk_sql(ANN_QUERY_WHERE),
         "sim3_ann_ivf": S.ivf_topk_sql(ANN_QUERY_WHERE),

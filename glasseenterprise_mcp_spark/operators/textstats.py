@@ -11,7 +11,7 @@ caller aggregates.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 # tiny per-language lexicons for the n-gram/stopword heuristic; generated
 # into both dialects from this single table.
@@ -145,4 +145,58 @@ def fingerprints_cte(n: int = 4) -> str:
   SELECT doc_id,
          array_to_string(list_sort(list(DISTINCT md5(sh)))[1:{n}], '|') AS fingerprint
   FROM shingles GROUP BY doc_id
+)"""
+
+
+def curate_corpus(
+    documents: DataFrame, sh: DataFrame, min_quality: int = 60
+) -> DataFrame:
+    """End-to-end corpus-curation decision — the composition the
+    training-data pipeline actually ships: quality gate (token_stats) then
+    near-dup keep-first (winnowing fingerprint collision groups keep their
+    lowest doc_id), with the FIRST failing rule as the drop reason.
+
+    Design choices (mirrored verbatim in the oracle): the dedup rank is
+    computed over ALL documents (not post-filter survivors) so the output
+    is stable under threshold changes; reason precedence is quality before
+    near-dup. Shape at scale: one narrow quality map + the fingerprint
+    groupBy (one shuffle on doc_id-bounded keys) + a window over
+    fingerprint-collision groups (tiny: only colliding groups have >1 row).
+
+    Output: (doc_id, keep boolean, reason ∈ {'low-quality','near-dup',
+    'kept'})."""
+    ts = token_stats(documents).select("doc_id", "quality")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    fp = (
+        fingerprints(sh)
+        .withColumn("fp_rank", F.row_number().over(w))
+        .select("doc_id", "fp_rank")
+    )
+    reason = (
+        F.when(F.col("quality") < min_quality, F.lit("low-quality"))
+        .when(F.col("fp_rank") > 1, F.lit("near-dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return ts.join(fp, "doc_id").select(
+        "doc_id",
+        (reason == F.lit("kept")).alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+def curate_corpus_cte(min_quality: int = 60) -> str:
+    """Expects ``shingles`` and ``fingerprints`` CTEs upstream."""
+    return f"""curated AS (
+  WITH ts AS ({token_stats_sql()}),
+  fp AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS fp_rank
+    FROM fingerprints
+  )
+  SELECT ts.doc_id,
+         (CASE WHEN quality < {min_quality} THEN 'low-quality'
+               WHEN fp_rank > 1 THEN 'near-dup' ELSE 'kept' END) = 'kept' AS keep,
+         CASE WHEN quality < {min_quality} THEN 'low-quality'
+              WHEN fp_rank > 1 THEN 'near-dup' ELSE 'kept' END AS reason
+  FROM ts JOIN fp USING (doc_id)
 )"""
