@@ -538,6 +538,20 @@ def _router(spark, sf_dir):
     return _MEMO[k]
 
 
+def q_repo_api_rollup(spark, sf_dir):
+    """J19: container-level API grouping join — the reference groups APIs
+    by repoRoot & direction to emit REPO_PROVIDES_API / REPO_USES_API
+    (relationshipBuilder.ts:462-502); here the E6 cascade's direction
+    classification rolls up per (conversation, direction)."""
+    from glasseenterprise_mcp_spark.operators.extract import direction_cascade
+
+    dc = direction_cascade(_t(spark, sf_dir), _m(spark, sf_dir))
+    return dc.groupBy("conv_id", "direction").agg(
+        F.countDistinct("norm").cast("long").alias("n_apis"),
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+    )
+
+
 def q_routed_count_by_type(spark, sf_dir):
     """Q2: a routed NL template end-to-end (route → template → DataFrame),
     oracle-gated on its result — count-by-type with the default LIMIT."""
@@ -635,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e9_type_schemas": q_type_schemas,
         "n9_clean_names": q_clean_names,
         "j18_used_by": q_used_by,
+        "j19_repo_api_rollup": q_repo_api_rollup,
         "q2_routed_count_by_type": q_routed_count_by_type,
         "q3_routed_fallback": q_routed_fallback,
         "mm1_media_metadata": q_media_metadata,
@@ -918,6 +933,15 @@ def oracle_sql() -> dict[str, str]:
             __import__(
                 "glasseenterprise_mcp_spark.operators.link", fromlist=["x"]
             ).used_by_cte(),
+        ),
+        "j19_repo_api_rollup": O.oracle(
+            "SELECT conv_id, direction, "
+            "CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_apis, "
+            "CAST(COUNT(*) AS BIGINT) AS n_mentions "
+            "FROM direction_cascade GROUP BY conv_id, direction",
+            __import__(
+                "glasseenterprise_mcp_spark.operators.extract", fromlist=["x"]
+            ).direction_cascade_cte(),
         ),
         # Q2: the routed template compiles to count-by-type over the node
         # table with the router's default LIMIT (row count ≪ limit, so the
