@@ -538,6 +538,20 @@ def _router(spark, sf_dir):
     return _MEMO[k]
 
 
+def q_depends_on(spark, sf_dir):
+    """J12: conversation → tool dependency edges with usage props."""
+    from glasseenterprise_mcp_spark.operators.link import depends_on_edges
+
+    return _hex_ids(depends_on_edges(_m(spark, sf_dir)), "subj", "obj")
+
+
+def q_contains_turn(spark, sf_dir):
+    """J24: conversation → turn containment edges."""
+    from glasseenterprise_mcp_spark.operators.link import contains_turn_edges
+
+    return _hex_ids(contains_turn_edges(_t(spark, sf_dir)), "subj", "obj")
+
+
 def q_repo_api_rollup(spark, sf_dir):
     """J19: container-level API grouping join — the reference groups APIs
     by repoRoot & direction to emit REPO_PROVIDES_API / REPO_USES_API
@@ -649,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e9_type_schemas": q_type_schemas,
         "n9_clean_names": q_clean_names,
         "j18_used_by": q_used_by,
+        "j12_depends_on": q_depends_on,
+        "j24_contains_turn": q_contains_turn,
         "j19_repo_api_rollup": q_repo_api_rollup,
         "q2_routed_count_by_type": q_routed_count_by_type,
         "q3_routed_fallback": q_routed_fallback,
@@ -933,6 +949,18 @@ def oracle_sql() -> dict[str, str]:
             __import__(
                 "glasseenterprise_mcp_spark.operators.link", fromlist=["x"]
             ).used_by_cte(),
+        ),
+        "j12_depends_on": O.oracle(
+            "SELECT subj, pred, obj, tool, n_calls, first_turn FROM depends_on",
+            __import__(
+                "glasseenterprise_mcp_spark.operators.link", fromlist=["x"]
+            ).depends_on_cte(),
+        ),
+        "j24_contains_turn": O.oracle(
+            "SELECT subj, pred, obj, turn_idx FROM contains_turn",
+            __import__(
+                "glasseenterprise_mcp_spark.operators.link", fromlist=["x"]
+            ).contains_turn_cte(),
         ),
         "j19_repo_api_rollup": O.oracle(
             "SELECT conv_id, direction, "

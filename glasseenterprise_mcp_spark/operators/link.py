@@ -440,6 +440,71 @@ def uses_config_cte() -> str:
 )"""
 
 
+def depends_on_edges(mentions: DataFrame) -> DataFrame:
+    """J12 analogue — REPO_DEPENDS_ON_PACKAGE (relationshipBuilder.ts:
+    303-318: Repository ⋈ Package on repoRoot with {manager, version}
+    props): conversation → tool dependency edges with usage props. One
+    groupBy over the tool-mention slice; uniform keys (≤|tools| per conv).
+
+    Output: (subj=conv node, pred='depends-on', obj=tool node, tool,
+    n_calls, first_turn)."""
+    tools = mentions.filter(F.col("mtype") == "tool")
+    return (
+        tools.groupBy("conv_id", "norm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_calls"),
+            F.min("turn_idx").cast("int").alias("first_turn"),
+        )
+        .select(
+            node_id_col("conv", F.col("conv_id")).alias("subj"),
+            F.lit("depends-on").alias("pred"),
+            node_id_col("tool", F.col("norm")).alias("obj"),
+            F.col("norm").alias("tool"),
+            "n_calls",
+            "first_turn",
+        )
+    )
+
+
+def depends_on_cte() -> str:
+    return f"""depends_on AS (
+  SELECT {node_id_sql('conv', 'conv_id')} AS subj,
+         'depends-on' AS pred,
+         {node_id_sql('tool', 'norm')} AS obj,
+         norm AS tool,
+         CAST(COUNT(*) AS BIGINT) AS n_calls,
+         CAST(MIN(turn_idx) AS INT) AS first_turn
+  FROM mentions WHERE mtype = 'tool'
+  GROUP BY conv_id, norm
+)"""
+
+
+def contains_turn_edges(transcripts: DataFrame) -> DataFrame:
+    """J24 analogue — CONTAINS_COMMIT (relationshipBuilder.ts:829-835:
+    Repository ⋈ Commit on repoRoot): conversation → turn containment
+    edges, one per transcript row. A pure projection (the join key is the
+    id-minting function itself) — narrow, no shuffle.
+
+    Output: (subj=conv node, pred='contains-turn', obj=turn node,
+    turn_idx)."""
+    return transcripts.select(
+        node_id_col("conv", F.col("conv_id")).alias("subj"),
+        F.lit("contains-turn").alias("pred"),
+        turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("obj"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+    )
+
+
+def contains_turn_cte() -> str:
+    return f"""contains_turn AS (
+  SELECT {node_id_sql('conv', 'conv_id')} AS subj,
+         'contains-turn' AS pred,
+         {turn_id_sql('conv_id', 'turn_idx')} AS obj,
+         CAST(turn_idx AS INT) AS turn_idx
+  FROM transcripts
+)"""
+
+
 def used_by_edges(mentions: DataFrame, needle: str = "_1") -> DataFrame:
     """J18 analogue — USED_BY: the equi join + contains filter
     (relationshipBuilder.ts:409-419 links a UserDetailsService to classes in
