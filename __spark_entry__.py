@@ -239,14 +239,12 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_lsh_candidates(spark, sf_dir):
-    return D.lsh_candidate_pairs(
-        D.lsh_bands(D.minhash_signatures(_sh(spark, sf_dir)))
-    )
+    return D.lsh_candidate_pairs(D.lsh_bands_fused(_sh(spark, sf_dir)))
 
 
 def q_near_dup_jaccard(spark, sf_dir):
     sh = _sh(spark, sf_dir)
-    pairs = D.lsh_candidate_pairs(D.lsh_bands(D.minhash_signatures(sh)))
+    pairs = D.lsh_candidate_pairs(D.lsh_bands_fused(sh))
     return D.jaccard_verify(pairs, sh)
 
 

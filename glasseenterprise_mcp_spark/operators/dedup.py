@@ -124,6 +124,52 @@ def lsh_bands_cte(rows_per_band: int = LSH_ROWS) -> str:
 )"""
 
 
+def lsh_bands_fused(
+    sh: DataFrame,
+    n_seeds: int = MINHASH_K,
+    rows_per_band: int = LSH_ROWS,
+) -> DataFrame:
+    """Fused minhash→bands: ONE groupBy(doc_id) with K min-aggregate
+    columns (one per seed) replaces the seed-explode + two downstream
+    shuffles of the long-form path — K× fewer aggregate input rows and a
+    single exchange, with bit-identical band hashes (min over the same
+    shingle set per seed; band hash concatenates the same seed order).
+    Equality with the long-form path is pinned by
+    ``tests/test_operators.py::test_lsh_fused_equals_longform``; the DuckDB
+    oracle keeps the long form (readability over speed — it is the spec).
+    """
+    mins = [
+        F.min(
+            F.md5(F.concat_ws("|", F.lit(str(s)), F.col("sh")))
+        ).alias(f"mh{s}")
+        for s in range(n_seeds)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    n_bands = n_seeds // rows_per_band
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{b * rows_per_band + j}")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return agg.select("doc_id", F.explode(bands_arr).alias("bb")).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
+
+
 def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     """Docs sharing any band hash → candidate pairs (a < b), distinct.
     Self-join keyed on (band, band_hash) — uniform md5 keys, skew-free."""
@@ -205,7 +251,7 @@ def jaccard_verify_cte() -> str:
 def near_dup_pairs(documents: DataFrame, min_jaccard_pct: int = 50) -> DataFrame:
     """Full MinHash→LSH→verify chain: near-duplicate pairs above threshold."""
     sh = shingles(documents)
-    pairs = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh)))
+    pairs = lsh_candidate_pairs(lsh_bands_fused(sh))
     return jaccard_verify(pairs, sh).filter(F.col("jaccard_pct") >= min_jaccard_pct)
 
 

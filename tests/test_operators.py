@@ -365,6 +365,25 @@ def test_used_by_contains_semantics(spark):
     assert got == {("agent_1", 1), ("agent_12", 1)}
 
 
+def test_lsh_fused_equals_longform(spark):
+    """The fused single-shuffle minhash→bands path must emit EXACTLY the
+    (doc_id, band, band_hash) rows of the long-form seed-explode path (the
+    oracle's spec shape)."""
+    from glasseenterprise_mcp_spark.operators.dedup import (
+        lsh_bands,
+        lsh_bands_fused,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sh = shingles(docs).cache()
+    long = {tuple(r) for r in lsh_bands(minhash_signatures(sh)).collect()}
+    fused = {tuple(r) for r in lsh_bands_fused(sh).collect()}
+    sh.unpersist()
+    assert long == fused and len(fused) > 0
+
+
 def test_ivf_topk_properties(spark):
     """sim3 IVF: (a) the coarse quantizer assigns EVERY corpus vector to
     exactly one cell; (b) probing nprobe=2 of ~12 cells recovers a
