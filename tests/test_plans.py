@@ -85,6 +85,42 @@ def test_calls_tool_uses_hash_aggregate(spark):
     assert "HashAggregate" in plan
 
 
+def test_bucketed_join_is_shuffle_free(spark):
+    """100TB co-location story: node and edge tables bucketed on the join
+    key at write time join WITHOUT a shuffle on either side (no Exchange in
+    the plan once broadcast is disabled) — the persisted-graph layout that
+    makes repeated graph queries exchange-free at corpus scale."""
+    from glasseenterprise_mcp_spark.operators.extract import extract_mentions
+    from glasseenterprise_mcp_spark.operators.link import mentions_in_edges
+    from glasseenterprise_mcp_spark.operators.materialize import build_nodes
+    from glasseenterprise_mcp_spark.sources.transcripts import derive_transcripts
+
+    t = derive_transcripts(spark, SF_SMALL)
+    m = extract_mentions(t)
+    nodes = build_nodes(t, m, "s").withColumn("id", F.hex(F.col("id")))
+    edges = mentions_in_edges(m).withColumn("subj", F.hex(F.col("subj")))
+
+    spark.sql("DROP TABLE IF EXISTS bkt_nodes")
+    spark.sql("DROP TABLE IF EXISTS bkt_edges")
+    nodes.write.bucketBy(8, "id").sortBy("id").saveAsTable("bkt_nodes")
+    edges.write.bucketBy(8, "subj").sortBy("subj").saveAsTable("bkt_edges")
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt_edges").join(
+            spark.table("bkt_nodes").select(F.col("id").alias("subj"), "type"),
+            "subj",
+        )
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS bkt_nodes")
+        spark.sql("DROP TABLE IF EXISTS bkt_edges")
+
+
 def test_disjunctive_match_no_cross_join(spark):
     left = spark.createDataFrame(
         [("l1", "a@x", "alice", "A"), ("l2", "b@y", "bob", "B"), ("l3", "c@z", "carol", "C")],
