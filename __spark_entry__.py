@@ -930,8 +930,8 @@ def oracle_sql() -> dict[str, str]:
             ).has_member_cte(),
         ),
         "e9_type_schemas": O.oracle(
-            "SELECT conv_id, turn_idx, type_name, field_idx, field_name, "
-            "field_type FROM type_schemas",
+            "SELECT conv_id, turn_idx, def_idx, type_name, field_idx, "
+            "field_name, field_type FROM type_schemas",
             __import__(
                 "glasseenterprise_mcp_spark.operators.extract", fromlist=["x"]
             ).type_schemas_cte(),

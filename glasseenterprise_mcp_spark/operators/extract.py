@@ -434,16 +434,28 @@ TYPE_DEF_RX = r"type:([A-Za-z_][A-Za-z0-9_]*)\{([^}]*)\}"
 
 
 def type_schemas(transcripts: DataFrame) -> DataFrame:
-    """E9/E10 analogue: parse type declarations into per-field schema rows.
+    """E9/E10 analogue: parse ALL type declarations of a turn (the
+    reference walks every interface/class of a file) into per-field schema
+    rows with two-level ordinality.
 
-    Output: (conv_id, turn_idx, type_name, field_idx, field_name,
-    field_type) — field_idx is 1-based declaration order."""
-    hits = transcripts.select(
+    Output: (conv_id, turn_idx, def_idx, type_name, field_idx, field_name,
+    field_type) — def_idx is the 1-based declaration order within the
+    turn, field_idx within the declaration."""
+    names = F.regexp_extract_all(F.col("text"), F.lit(TYPE_DEF_RX), 1)
+    bodies = F.regexp_extract_all(F.col("text"), F.lit(TYPE_DEF_RX), 2)
+    defs = transcripts.select(
         "conv_id",
         "turn_idx",
-        F.regexp_extract(F.col("text"), TYPE_DEF_RX, 1).alias("type_name"),
-        F.regexp_extract(F.col("text"), TYPE_DEF_RX, 2).alias("body"),
-    ).filter(F.col("type_name") != "")
+        F.posexplode(F.arrays_zip(names.alias("tn"), bodies.alias("body"))).alias(
+            "dpos", "d"
+        ),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        (F.col("dpos") + 1).cast("int").alias("def_idx"),
+        F.col("d.tn").alias("type_name"),
+        F.col("d.body").alias("body"),
+    )
     # schema'd struct column first (E9's typed shape), then flatten
     schema = F.transform(
         F.split(F.col("body"), ","),
@@ -453,15 +465,17 @@ def type_schemas(transcripts: DataFrame) -> DataFrame:
         ),
     )
     return (
-        hits.select(
+        defs.select(
             "conv_id",
             "turn_idx",
+            "def_idx",
             "type_name",
             F.posexplode(schema).alias("pos", "field"),
         )
         .select(
             "conv_id",
             "turn_idx",
+            "def_idx",
             "type_name",
             (F.col("pos") + 1).cast("int").alias("field_idx"),
             F.col("field.name").alias("field_name"),
@@ -471,21 +485,25 @@ def type_schemas(transcripts: DataFrame) -> DataFrame:
 
 
 def type_schemas_cte() -> str:
-    # zip-unnest(range) ordinality idiom, same as mentions_cte
+    # two-level zip-unnest(range) ordinality, same idiom as mentions_cte
     rx = TYPE_DEF_RX
     return f"""type_schemas AS (
-  SELECT conv_id, turn_idx, type_name, CAST(i AS INT) AS field_idx,
+  SELECT conv_id, turn_idx, def_idx, type_name, CAST(i AS INT) AS field_idx,
          split_part(flds[i], ':', 1) AS field_name,
          split_part(flds[i], ':', 2) AS field_type
   FROM (
-    SELECT conv_id, turn_idx, type_name, flds,
+    SELECT conv_id, turn_idx, def_idx, type_name, flds,
            unnest(range(1, len(flds) + 1)) AS i
     FROM (
-      SELECT conv_id, turn_idx,
-             regexp_extract(text, '{rx}', 1) AS type_name,
-             string_split(regexp_extract(text, '{rx}', 2), ',') AS flds
-      FROM transcripts
-      WHERE regexp_matches(text, '{rx}')
+      SELECT conv_id, turn_idx, CAST(d AS INT) AS def_idx,
+             tns[d] AS type_name,
+             string_split(bodies[d], ',') AS flds
+      FROM (
+        SELECT conv_id, turn_idx,
+               regexp_extract_all(text, '{rx}', 1) AS tns,
+               regexp_extract_all(text, '{rx}', 2) AS bodies
+        FROM transcripts
+      ), unnest(range(1, len(tns) + 1)) AS t(d)
     )
   )
 )"""

@@ -183,6 +183,10 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(d % 26 == 7, F.lit(",flag:bool")).otherwise(F.lit("")),
             F.lit("}"),
         ),
+        # every third type-def turn declares a SECOND type (multi-def per
+        # turn: 39 = 3x13, so d%39==33 ⇒ d%13==7) — the E9 all-defs-per-
+        # file fidelity case
+        marker(d % 39 == 33, F.lit(" type:Extra"), s(d % 4), F.lit("{a:int}")),
         # N9/N10 cleanup probe: backtick-quoted token with an identifier-
         # illegal trailing char (quote strip + [^\w.$] sanitize fixture)
         marker(d % 18 == 5, F.lit(" raw:`Cls$"), s(d % 6), F.lit("!`")),
@@ -284,6 +288,7 @@ transcripts AS (
       || CASE WHEN doc_id % 23 = 3 THEN ' [spec-run]' ELSE '' END
       || CASE WHEN doc_id % 13 = 7 THEN ' type:Shape' || CAST(doc_id % 5 AS VARCHAR)
               || '{{id:int,name:str' || (CASE WHEN doc_id % 26 = 7 THEN ',flag:bool' ELSE '' END) || '}}' ELSE '' END
+      || CASE WHEN doc_id % 39 = 33 THEN ' type:Extra' || CAST(doc_id % 4 AS VARCHAR) || '{{a:int}}' ELSE '' END
       || CASE WHEN doc_id % 18 = 5 THEN ' raw:`Cls$' || CAST(doc_id % 6 AS VARCHAR) || '!`' ELSE '' END
                                                                   AS text,
     CASE WHEN doc_id % 4 = 2 THEN 'tool_' || CAST(doc_id % 7 AS VARCHAR) END AS tool,

@@ -327,16 +327,26 @@ def test_type_schemas_and_clean_names(spark):
     from glasseenterprise_mcp_spark.operators.extract import clean_names, type_schemas
 
     t = spark.createDataFrame(
-        [("cX", 0, "pre type:Point{x:float,y:float,tag:str} raw:`Fn$2!` post")],
+        [
+            (
+                "cX",
+                0,
+                "pre type:Point{x:float,y:float,tag:str} mid "
+                "type:Flag{on:bool} raw:`Fn$2!` post",
+            )
+        ],
         "conv_id string, turn_idx int, text string",
     )
-    rows = type_schemas(t).orderBy("field_idx").collect()
-    assert [(r.field_idx, r.field_name, r.field_type) for r in rows] == [
-        (1, "x", "float"),
-        (2, "y", "float"),
-        (3, "tag", "str"),
+    rows = type_schemas(t).orderBy("def_idx", "field_idx").collect()
+    assert [
+        (r.def_idx, r.type_name, r.field_idx, r.field_name, r.field_type)
+        for r in rows
+    ] == [
+        (1, "Point", 1, "x", "float"),
+        (1, "Point", 2, "y", "float"),
+        (1, "Point", 3, "tag", "str"),
+        (2, "Flag", 1, "on", "bool"),
     ]
-    assert rows[0].type_name == "Point"
 
     c = clean_names(t).collect()
     assert len(c) == 1
