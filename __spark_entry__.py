@@ -252,6 +252,12 @@ def q_simhash(spark, sf_dir):
     return D.simhash(_sh(spark, sf_dir))
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    """dd4b: SimHash near-dup pairs — banded candidates (lossless at
+    hamming ≤ 3 by pigeonhole) + exact hamming verify."""
+    return D.simhash_near_dups(_sh(spark, sf_dir))
+
+
 def q_embedding_near_dups(spark, sf_dir):
     return S.embedding_near_dup_pairs(_emb(spark, sf_dir))
 
@@ -622,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd2_lsh_candidates": q_lsh_candidates,
         "dd3_near_dup_jaccard": q_near_dup_jaccard,
         "dd4_simhash": q_simhash,
+        "dd4b_simhash_near_dups": q_simhash_near_dups,
         "dd5_embedding_near_dups": q_embedding_near_dups,
         "tx1_lang_scores": q_lang_scores,
         "tx2_token_stats": q_token_stats,
@@ -763,6 +770,11 @@ def oracle_sql() -> dict[str, str]:
         "dd4_simhash": "WITH "
         + ",\n".join([D.shingles_cte(), D.simhash_cte()])
         + "\nSELECT doc_id, simhash FROM simhash",
+        "dd4b_simhash_near_dups": "WITH "
+        + ",\n".join(
+            [D.shingles_cte(), D.simhash_cte(), D.simhash_near_dups_cte()]
+        )
+        + "\nSELECT a, b, hamming FROM simhash_pairs",
         "dd5_embedding_near_dups": S.embedding_near_dup_pairs_sql(),
         "tx1_lang_scores": T.lang_scores_sql(),
         "tx2_token_stats": T.token_stats_sql(),

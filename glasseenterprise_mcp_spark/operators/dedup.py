@@ -287,6 +287,75 @@ def simhash(sh: DataFrame) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def simhash_near_dups(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate pairs: band the 32-bit signature into 4
+    8-bit keys; candidates = docs sharing ANY band (pigeonhole: ≤3
+    differing bits across 4 bands leave at least one band identical, so
+    recall is EXACTLY 1.0 at max_hamming ≤ 3 — banding loses nothing),
+    then exact hamming verify on candidates only. The band join is an equi
+    join on uniform keys — never an all-pairs product at corpus scale.
+
+    Output: (a, b, hamming) with a < b, hamming ≤ max_hamming."""
+    s = simhash(sh)
+    n_bands, width = 4, 8
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("simhash", b * width + 1, width).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = s.select(
+        "doc_id", "simhash", F.explode(bands_arr).alias("bb")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.key").alias("key"),
+    )
+    l = bands.select(
+        "band", "key", F.col("doc_id").alias("a"), F.col("simhash").alias("sa")
+    )
+    r = bands.select(
+        "band", "key", F.col("doc_id").alias("b"), F.col("simhash").alias("sb")
+    )
+    cand = (
+        l.join(r, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").cast("long"), F.col("b").cast("long"), "sa", "sb")
+        .distinct()
+    )
+    ham = sum(
+        F.when(
+            F.substring("sa", i, 1) != F.substring("sb", i, 1), 1
+        ).otherwise(0)
+        for i in range(1, 33)
+    ).cast("int")
+    return (
+        cand.select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_dups_cte(max_hamming: int = 3) -> str:
+    """Oracle twin: the full self-join + hamming filter (the banded
+    candidate step is a lossless optimization at max_hamming ≤ 3 — see
+    simhash_near_dups — so the naive form defines the same set)."""
+    ham = " + ".join(
+        f"(CASE WHEN substr(x.simhash, {i}, 1) <> substr(y.simhash, {i}, 1)"
+        " THEN 1 ELSE 0 END)"
+        for i in range(1, 33)
+    )
+    return f"""simhash_pairs AS (
+  SELECT CAST(x.doc_id AS BIGINT) AS a, CAST(y.doc_id AS BIGINT) AS b,
+         CAST({ham} AS INT) AS hamming
+  FROM simhash x JOIN simhash y ON x.doc_id < y.doc_id
+  WHERE {ham} <= {max_hamming}
+)"""
+
+
 def simhash_cte() -> str:
     bit_sums = ", ".join(
         f"SUM(CASE WHEN instr('{_HEX_ODD}', substr(md5(sh), {i + 1}, 1)) > 0 THEN 1 ELSE 0 END) AS s{i}"

@@ -86,11 +86,20 @@ SELECT doc_id, lang, {case} AS predicted_lang,
 FROM scored"""
 
 
+# BPE-ish pre-tokenizer (GPT-2-style split classes: contraction suffixes,
+# letter runs, digit runs, punctuation runs — the RE2 ∩ Java ∩ Python
+# subset, no lookahead). Counts the units a byte-pair encoder would merge
+# from; the whitespace count alone undercounts code/punctuation-heavy text.
+BPE_SPLIT_RX = r"'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
 def token_stats(documents: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, n_chars, n_stopwords, quality): whitespace token
-    count, stopword hits, and an integer 0-100 quality score
+    """(doc_id, n_tokens, n_subtokens, n_chars, n_stopwords, quality):
+    whitespace token count, BPE-ish subtoken count (GPT-2-style split
+    classes), stopword hits, and an integer 0-100 quality score
     (length band + token richness + stopword ratio)."""
     toks = F.size(F.split(F.col("text"), r"\s+"))
+    subtoks = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_RX), 0))
     stops = _hits(F.col("text"), STOPWORDS)
     quality = (
         F.least(F.lit(50), toks)
@@ -100,6 +109,7 @@ def token_stats(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
         toks.cast("int").alias("n_tokens"),
+        subtoks.cast("int").alias("n_subtokens"),
         F.col("n_chars").cast("long").alias("n_chars"),
         stops.cast("int").alias("n_stopwords"),
     ).withColumn(
@@ -114,9 +124,11 @@ def token_stats(documents: DataFrame) -> DataFrame:
 
 def token_stats_sql() -> str:
     stops = _hits_sql("text", STOPWORDS)
+    bpe = BPE_SPLIT_RX.replace("'", "''")
     return f"""
 SELECT doc_id,
        CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{bpe}', 0)) AS INT) AS n_subtokens,
        CAST(n_chars AS BIGINT) AS n_chars,
        CAST({stops} AS INT) AS n_stopwords,
        CAST(LEAST(50, len(regexp_split_to_array(text, '\\s+')))
