@@ -607,6 +607,19 @@ def q_ppm_resize(spark, sf_dir):
     return resize_ppm_features(synthesize_ppm_media(_docs(spark, sf_dir)))
 
 
+def q_wav_decode(spark, sf_dir):
+    """mm7: REAL audio codec round trip — PCM16 WAV blobs (canonical RIFF
+    header) parsed by a real struct+frombuffer decoder, reduced to integer
+    sample stats; the oracle recomputes them from the closed-form sample
+    function."""
+    from glasseenterprise_mcp_spark.operators.multimodal import (
+        decode_wav_features,
+        synthesize_wav_media,
+    )
+
+    return decode_wav_features(synthesize_wav_media(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_transcripts_scan": q_transcripts,
@@ -679,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm4_media_features": q_media_features,
         "mm5_ppm_decode": q_ppm_decode,
         "mm6_ppm_resize": q_ppm_resize,
+        "mm7_wav_decode": q_wav_decode,
     }
 
 
@@ -1019,4 +1033,7 @@ def oracle_sql() -> dict[str, str]:
         "mm6_ppm_resize": __import__(
             "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]
         ).ppm_resize_sql(),
+        "mm7_wav_decode": __import__(
+            "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]
+        ).wav_decode_sql(),
     }

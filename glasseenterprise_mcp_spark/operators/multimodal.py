@@ -5,11 +5,16 @@ struct; decode / feature-extract / resize / frame-sample run as vectorized
 ``mapInPandas`` stages over Arrow batches (binary travels as zero-copy Arrow
 buffers — the only sane way to move blobs through a Python stage).
 
-The actual codec step is STUBBED in this sandbox (no image/audio libs in the
-container): ``decode_stub`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder produces
-byte-statistics "features" — the Spark-side plumbing (schema, partitioning,
-UDF signature, Arrow batch shape) is real and tested either way.
+Codec status: REAL dependency-free decode paths exist for one image and
+one audio container — P6 PPM (numpy encode, header+frombuffer parse,
+nearest-neighbor resize; mm5/mm6) and canonical PCM16 WAV (RIFF header
+struct-parse + frombuffer; mm7) — both oracle-verified via closed-form
+pixel/sample functions. COMPRESSED codecs (jpeg/png/mp3/h264) are STUBBED
+(no media libs in this sandbox): ``decode_stub`` raises
+NotImplementedError unless ``fake=True``, in which case a deterministic
+fake decoder produces byte-statistics "features" — the Spark-side plumbing
+(schema, partitioning, UDF signature, Arrow batch shape) is real and
+tested either way.
 
 At 100TB: blobs dominate bytes; the media table is partitioned by
 ``modality`` and bucketed by ``media_id`` so feature extraction is
@@ -411,3 +416,143 @@ def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
         F.ceil(F.col("width") * scale).cast("int").alias("target_w"),
         F.ceil(F.col("height") * scale).cast("int").alias("target_h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio path: canonical PCM16 WAV (RIFF container) — encodable and
+# decodable with struct + numpy alone, no audio libs. Mirrors the PPM image
+# path: samples are a closed-form function of (media_id, i) so the DuckDB
+# oracle verifies the encode→parse→reduce round trip from index math
+# without ever seeing bytes.
+# ---------------------------------------------------------------------------
+def _wav_params(d: int) -> tuple[int, int]:
+    """(sample_rate, n_samples) per doc — rates cycle 8/12/16 kHz."""
+    return 8000 + (d % 3) * 4000, 100 + d % 200
+
+
+_WAV_SR_SQL = "CAST(8000 + (doc_id % 3) * 4000 AS INT)"
+_WAV_N_SQL = "CAST(100 + doc_id % 200 AS INT)"
+
+# sample(d, i) = ((31d + 7i) mod 2003) - 1001 — int16-safe, nonneg operands
+_SMP = "((31 * {d} + 7 * {i}) % 2003) - 1001"
+
+
+def synthesize_wav_media(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL PCM16 mono WAV blobs (44-byte canonical RIFF
+    header + little-endian samples), one per document."""
+    import struct
+
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].tolist()
+            blobs, durs, srs = [], [], []
+            for d in ids:
+                sr, n = _wav_params(d)
+                data = (
+                    ((31 * d + 7 * np.arange(n, dtype=np.int64)) % 2003) - 1001
+                ).astype("<i2")
+                body = data.tobytes()
+                header = struct.pack(
+                    "<4sI4s4sIHHIIHH4sI",
+                    b"RIFF", 36 + len(body), b"WAVE",
+                    b"fmt ", 16, 1, 1, sr, sr * 2, 2, 16,
+                    b"data", len(body),
+                )
+                blobs.append(header + body)
+                durs.append(n * 1000 // sr)
+                srs.append(sr)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": ["audio"] * len(ids),
+                    "mime": ["audio/wav"] * len(ids),
+                    "width": [0] * len(ids),
+                    "height": [0] * len(ids),
+                    "duration_ms": durs,
+                    "content": blobs,
+                }
+            )
+
+    from ..functions.shipping import ensure_package_shipped
+
+    ensure_package_shipped(documents.sparkSession)
+    return documents.select("doc_id").mapInPandas(_batches, schema=MEDIA_SCHEMA)
+
+
+def _decode_wav(buf: bytes):
+    """REAL canonical-WAV parser: validates the RIFF/WAVE/fmt/data layout
+    (PCM, mono, 16-bit) and returns (sample_rate, int16 sample array).
+    Raises on malformed input."""
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (
+        _riff, _sz, _wave, _fmt, fmt_len, audio_fmt, channels,
+        sr, _byterate, _align, bits, _data, data_len,
+    ) = struct.unpack("<4sI4s4sIHHIIHH4sI", buf[:44])
+    if _fmt != b"fmt " or _data != b"data" or fmt_len != 16:
+        raise ValueError("non-canonical WAV layout")
+    if audio_fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError("only PCM16 mono supported")
+    samples = np.frombuffer(buf, dtype="<i2", count=data_len // 2, offset=44)
+    return sr, samples
+
+
+WAV_SUMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sum_samples", LongType()),
+        StructField("sum_abs", LongType()),
+    ]
+)
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """Decode real WAV blobs and reduce to integer sample statistics — the
+    float-free projection the oracle reproduces from index math."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                sr, s = _decode_wav(bytes(buf))
+                s64 = s.astype("int64")
+                rows.append(
+                    (mid, sr, len(s), int(s64.sum()), int(abs(s64).sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_SUMS_SCHEMA.fields]
+            )
+
+    from ..functions.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+    return media.select("media_id", "content").mapInPandas(
+        _batches, schema=WAV_SUMS_SCHEMA
+    )
+
+
+def wav_decode_sql() -> str:
+    """Oracle twin of decode_wav_features: the sample formula summed over
+    the index range per doc — never touches bytes, so it independently
+    checks the engine's encode→parse→reduce round trip."""
+    smp = _SMP.format(d="d.doc_id", i="g.i")
+    return f"""
+WITH g AS (
+  SELECT doc_id, CAST(unnest(range(0, 100 + doc_id % 200)) AS BIGINT) AS i
+  FROM documents
+)
+SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+       {_WAV_SR_SQL.replace('doc_id', 'd.doc_id')} AS sample_rate,
+       {_WAV_N_SQL.replace('doc_id', 'd.doc_id')} AS n_samples,
+       CAST(SUM({smp}) AS BIGINT) AS sum_samples,
+       CAST(SUM(ABS({smp})) AS BIGINT) AS sum_abs
+FROM documents d JOIN g ON g.doc_id = d.doc_id
+GROUP BY d.doc_id"""

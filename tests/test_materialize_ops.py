@@ -164,3 +164,42 @@ def test_ppm_codec_roundtrip():
         _decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)
     with pytest.raises(ValueError, match="maxval"):
         _decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 3)
+
+
+def test_wav_codec_roundtrip():
+    """mm7 codec: encode(formula) → real RIFF/WAVE parse → samples ==
+    formula, for assorted rates/lengths; malformed blobs fail loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from glasseenterprise_mcp_spark.operators.multimodal import (
+        _decode_wav,
+        _wav_params,
+    )
+
+    for d in (0, 1, 2, 13, 100, 499):
+        sr, n = _wav_params(d)
+        data = (((31 * d + 7 * np.arange(n, dtype=np.int64)) % 2003) - 1001).astype("<i2")
+        body = data.tobytes()
+        blob = struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(body), b"WAVE",
+            b"fmt ", 16, 1, 1, sr, sr * 2, 2, 16,
+            b"data", len(body),
+        ) + body
+        got_sr, got = _decode_wav(blob)
+        assert got_sr == sr and len(got) == n
+        assert (got == data).all()
+
+    with pytest.raises(ValueError, match="RIFF"):
+        _decode_wav(b"OggS" + b"\x00" * 60)
+    # stereo rejected
+    blob = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 40, b"WAVE", b"fmt ", 16, 1, 2, 8000, 32000, 4, 16,
+        b"data", 4,
+    ) + b"\x00" * 4
+    with pytest.raises(ValueError, match="PCM16 mono"):
+        _decode_wav(blob)
