@@ -620,6 +620,19 @@ def q_wav_decode(spark, sf_dir):
     return decode_wav_features(synthesize_wav_media(_docs(spark, sf_dir)))
 
 
+def q_y4m_frames(spark, sf_dir):
+    """mm8: REAL video codec round trip — Y4M (YUV4MPEG2) blobs parsed by
+    a real header+FRAME-marker decoder, every-2nd-frame sampling EXECUTED
+    on the decoded planes, integer plane sums oracle-recomputed from the
+    closed-form pixel function."""
+    from glasseenterprise_mcp_spark.operators.multimodal import (
+        decode_y4m_frame_samples,
+        synthesize_y4m_media,
+    )
+
+    return decode_y4m_frame_samples(synthesize_y4m_media(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_transcripts_scan": q_transcripts,
@@ -693,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm5_ppm_decode": q_ppm_decode,
         "mm6_ppm_resize": q_ppm_resize,
         "mm7_wav_decode": q_wav_decode,
+        "mm8_y4m_frames": q_y4m_frames,
     }
 
 
@@ -1036,4 +1050,7 @@ def oracle_sql() -> dict[str, str]:
         "mm7_wav_decode": __import__(
             "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]
         ).wav_decode_sql(),
+        "mm8_y4m_frames": __import__(
+            "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]
+        ).y4m_frame_samples_sql(),
     }

@@ -5,11 +5,12 @@ struct; decode / feature-extract / resize / frame-sample run as vectorized
 ``mapInPandas`` stages over Arrow batches (binary travels as zero-copy Arrow
 buffers — the only sane way to move blobs through a Python stage).
 
-Codec status: REAL dependency-free decode paths exist for one image and
-one audio container — P6 PPM (numpy encode, header+frombuffer parse,
-nearest-neighbor resize; mm5/mm6) and canonical PCM16 WAV (RIFF header
-struct-parse + frombuffer; mm7) — both oracle-verified via closed-form
-pixel/sample functions. COMPRESSED codecs (jpeg/png/mp3/h264) are STUBBED
+Codec status: REAL dependency-free decode paths exist for all three
+modalities — P6 PPM images (numpy encode, header+frombuffer parse,
+nearest-neighbor resize; mm5/mm6), canonical PCM16 WAV audio (RIFF header
+struct-parse + frombuffer; mm7), and Y4M/YUV4MPEG2 video (stream header +
+FRAME-marked raw planes, frame sampling executed on decoded planes; mm8)
+— each oracle-verified via a closed-form pixel/sample function. COMPRESSED codecs (jpeg/png/mp3/h264) are STUBBED
 (no media libs in this sandbox): ``decode_stub`` raises
 NotImplementedError unless ``fake=True``, in which case a deterministic
 fake decoder produces byte-statistics "features" — the Spark-side plumbing
@@ -554,5 +555,165 @@ SELECT CAST(d.doc_id AS BIGINT) AS media_id,
        {_WAV_N_SQL.replace('doc_id', 'd.doc_id')} AS n_samples,
        CAST(SUM({smp}) AS BIGINT) AS sum_samples,
        CAST(SUM(ABS({smp})) AS BIGINT) AS sum_abs
+FROM documents d JOIN g ON g.doc_id = d.doc_id
+GROUP BY d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# REAL video path: Y4M (YUV4MPEG2) — ffmpeg's uncompressed interchange
+# container: ASCII stream header + per-frame "FRAME\n" markers + raw planes
+# (C444 = three full-resolution planes). Encodable/decodable with bytes
+# split + numpy alone. Frame sampling (the mm2 plan) runs for REAL here:
+# every 2nd frame of the decoded stream is reduced to integer plane sums.
+# ---------------------------------------------------------------------------
+def _y4m_dims(d: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) per doc — small dims, 2..7 frames."""
+    return d % 5 + 4, d % 4 + 4, d % 6 + 2
+
+
+# pixel(d, f, p, y, x) = (29d + 17f + 13p + 11y + 7x) mod 256
+_Y4M_PX = "(29 * {d} + 17 * {f} + 13 * {p} + 11 * {y} + 7 * {x}) % 256"
+
+
+def synthesize_y4m_media(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL Y4M blobs (stream header + FRAME-marked raw C444
+    planes), one per document."""
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].tolist()
+            blobs, ws, hs, durs = [], [], [], []
+            for d in ids:
+                w, h, n = _y4m_dims(d)
+                parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+                f, p, y, x = np.ogrid[0:n, 0:3, 0:h, 0:w]
+                px = ((29 * d + 17 * f + 13 * p + 11 * y + 7 * x) % 256).astype(
+                    np.uint8
+                )
+                for fi in range(n):
+                    parts.append(b"FRAME\n")
+                    parts.append(px[fi].tobytes())
+                blobs.append(b"".join(parts))
+                ws.append(w)
+                hs.append(h)
+                durs.append(n * 1000 // 25)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": ["video"] * len(ids),
+                    "mime": ["video/x-yuv4mpeg"] * len(ids),
+                    "width": ws,
+                    "height": hs,
+                    "duration_ms": durs,
+                    "content": blobs,
+                }
+            )
+
+    from ..functions.shipping import ensure_package_shipped
+
+    ensure_package_shipped(documents.sparkSession)
+    return documents.select("doc_id").mapInPandas(_batches, schema=MEDIA_SCHEMA)
+
+
+def _decode_y4m(buf: bytes):
+    """REAL Y4M parser: stream header (W/H/C tags), then FRAME-marked raw
+    planes → (n_frames, 3, h, w) uint8 array. Raises on malformed input."""
+    import numpy as np
+
+    nl = buf.find(b"\n")
+    if nl < 0 or not buf.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    c444 = False
+    for tag in buf[:nl].split()[1:]:
+        if tag.startswith(b"W"):
+            w = int(tag[1:])
+        elif tag.startswith(b"H"):
+            h = int(tag[1:])
+        elif tag.startswith(b"C"):
+            c444 = tag == b"C444"
+    if not (w and h):
+        raise ValueError("missing W/H header tags")
+    if not c444:
+        raise ValueError("only C444 supported")
+    frame_bytes = w * h * 3
+    frames = []
+    pos = nl + 1
+    while pos < len(buf):
+        fnl = buf.find(b"\n", pos)
+        if fnl < 0 or not buf[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("malformed FRAME marker")
+        data = np.frombuffer(buf, dtype=np.uint8, count=frame_bytes, offset=fnl + 1)
+        frames.append(data.reshape(3, h, w))
+        pos = fnl + 1 + frame_bytes
+    return np.stack(frames) if frames else np.zeros((0, 3, h, w), dtype=np.uint8)
+
+
+Y4M_SUMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_sampled", IntegerType()),
+        StructField("sum_sampled", LongType()),
+    ]
+)
+
+
+def decode_y4m_frame_samples(media: DataFrame, stride: int = 2) -> DataFrame:
+    """Decode real Y4M blobs, sample every ``stride``-th frame (the mm2
+    frame plan EXECUTED on real bytes), and reduce the sampled frames to an
+    integer plane sum the oracle recomputes from index math."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                px = _decode_y4m(bytes(buf))
+                n, _, h, w = px.shape
+                sampled = px[::stride]
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        n,
+                        sampled.shape[0],
+                        int(sampled.astype("int64").sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in Y4M_SUMS_SCHEMA.fields]
+            )
+
+    from ..functions.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+    return media.select("media_id", "content").mapInPandas(
+        _batches, schema=Y4M_SUMS_SCHEMA
+    )
+
+
+def y4m_frame_samples_sql(stride: int = 2) -> str:
+    """Oracle twin of decode_y4m_frame_samples: the pixel formula summed
+    over sampled frames × planes × (y, x) per doc — byte-free check of the
+    encode→parse→sample→reduce round trip."""
+    px = _Y4M_PX.format(d="d.doc_id", f="g.f", p="g.p", y="g.y", x="g.x")
+    return f"""
+WITH g AS (
+  SELECT doc_id, f, p, CAST(y AS INT) AS y, CAST(x AS INT) AS x
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 6 + 2, {stride})) AS f FROM documents),
+       LATERAL (SELECT unnest(range(0, 3)) AS p),
+       LATERAL (SELECT unnest(range(0, doc_id % 4 + 4)) AS y),
+       LATERAL (SELECT unnest(range(0, doc_id % 5 + 4)) AS x)
+)
+SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+       CAST(d.doc_id % 5 + 4 AS INT) AS width,
+       CAST(d.doc_id % 4 + 4 AS INT) AS height,
+       CAST(d.doc_id % 6 + 2 AS INT) AS n_frames,
+       CAST((d.doc_id % 6 + 2 + {stride} - 1) // {stride} AS INT) AS n_sampled,
+       CAST(SUM({px}) AS BIGINT) AS sum_sampled
 FROM documents d JOIN g ON g.doc_id = d.doc_id
 GROUP BY d.doc_id"""

@@ -203,3 +203,33 @@ def test_wav_codec_roundtrip():
     ) + b"\x00" * 4
     with pytest.raises(ValueError, match="PCM16 mono"):
         _decode_wav(blob)
+
+
+def test_y4m_codec_roundtrip():
+    """mm8 codec: encode(formula) → real YUV4MPEG2 parse → planes ==
+    formula, frame count right; malformed blobs fail loudly."""
+    import numpy as np
+    import pytest
+
+    from glasseenterprise_mcp_spark.operators.multimodal import (
+        _decode_y4m,
+        _y4m_dims,
+    )
+
+    for d in (0, 1, 5, 23, 100, 499):
+        w, h, n = _y4m_dims(d)
+        f, p, y, x = np.ogrid[0:n, 0:3, 0:h, 0:w]
+        px = ((29 * d + 17 * f + 13 * p + 11 * y + 7 * x) % 256).astype(np.uint8)
+        parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+        for fi in range(n):
+            parts.append(b"FRAME\n" + px[fi].tobytes())
+        got = _decode_y4m(b"".join(parts))
+        assert got.shape == (n, 3, h, w)
+        assert (got == px).all()
+
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        _decode_y4m(b"RIFF" + b"\x00" * 60)
+    with pytest.raises(ValueError, match="C444"):
+        _decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n" + b"\x00" * 24)
+    with pytest.raises(ValueError, match="FRAME"):
+        _decode_y4m(b"YUV4MPEG2 W2 H2 C444\nXRAME\n" + b"\x00" * 12)
