@@ -296,7 +296,10 @@ def simhash_near_dups(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
     join on uniform keys — never an all-pairs product at corpus scale.
 
     Output: (a, b, hamming) with a < b, hamming ≤ max_hamming."""
-    s = simhash(sh)
+    # materialize the dim-sized signature table ONCE — both sides of the
+    # band self-join read it, and recomputing it means re-aggregating the
+    # full shingle table twice (same registry pattern as the linking tiers)
+    s = simhash(sh).localCheckpoint(eager=True)
     n_bands, width = 4, 8
     bands_arr = F.array(
         *[
@@ -307,32 +310,30 @@ def simhash_near_dups(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    bands = s.select(
-        "doc_id", "simhash", F.explode(bands_arr).alias("bb")
+    # integer form of the signature: hamming = bit_count(xor) — one JVM op
+    # instead of 32 substring compares per candidate
+    sv = s.withColumn("v", F.conv("simhash", 2, 10).cast("long"))
+    bands = sv.select(
+        "doc_id", "v", F.explode(bands_arr).alias("bb")
     ).select(
         "doc_id",
-        "simhash",
+        "v",
         F.col("bb.band").alias("band"),
         F.col("bb.key").alias("key"),
     )
     l = bands.select(
-        "band", "key", F.col("doc_id").alias("a"), F.col("simhash").alias("sa")
+        "band", "key", F.col("doc_id").alias("a"), F.col("v").alias("va")
     )
     r = bands.select(
-        "band", "key", F.col("doc_id").alias("b"), F.col("simhash").alias("sb")
+        "band", "key", F.col("doc_id").alias("b"), F.col("v").alias("vb")
     )
     cand = (
         l.join(r, ["band", "key"])
         .filter(F.col("a") < F.col("b"))
-        .select(F.col("a").cast("long"), F.col("b").cast("long"), "sa", "sb")
+        .select(F.col("a").cast("long"), F.col("b").cast("long"), "va", "vb")
         .distinct()
     )
-    ham = sum(
-        F.when(
-            F.substring("sa", i, 1) != F.substring("sb", i, 1), 1
-        ).otherwise(0)
-        for i in range(1, 33)
-    ).cast("int")
+    ham = F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))).cast("int")
     return (
         cand.select("a", "b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
