@@ -131,3 +131,107 @@ def test_norm_parity_fuzz(s: str):
     assert got[0] == norm_path_py(s)
     assert got[1] == norm_resource_py(s)
     assert got[2] == norm_name_py(s)
+
+
+# --------------------------------------------------------------------------
+# hypothesis: extraction KERNEL vs a straightforward re.finditer reference.
+# The kernel's vectorized candidate masks, surface→norm memoization, id
+# memoization and per-kind caps are all optimizations — this property pins
+# them to the naive per-row implementation they must never diverge from.
+# --------------------------------------------------------------------------
+_MARKERS = st.sampled_from(
+    [
+        " @agent_1",
+        " @Hot_Entity",
+        " call:tool_3(x)",
+        " env:CFG_2",
+        ' error:"E7 failed"',
+        " re:#4",
+        " http://svc-1.example.com/api/v1/r9?q=1",
+        " POST http://e.example.com/api/r3",
+        " GET /api/it0/{id}/x",
+        " tbl:orders.c1",
+        " secure:/api/r1*",
+        " derive:agent2<agent_1,hot_entity",
+        " http://${HOST}/api/cfg/3",
+        " plain filler words",
+        " @@",
+        " env:x",  # near-miss: lowercase key must NOT match
+        " call:9(",  # near-miss: digit-leading name must NOT match
+    ]
+)
+
+
+def _kernel_rows(texts: list[str]):
+    import pandas as pd
+
+    from glasseenterprise_mcp_spark.operators.extract import _extract_batches
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(len(texts))],
+            "turn_idx": list(range(len(texts))),
+            "text": texts,
+        }
+    )
+    out = pd.concat(list(_extract_batches(iter([pdf]))), ignore_index=True)
+    return sorted(
+        zip(
+            out["conv_id"], out["turn_idx"], out["mtype"], out["surface"],
+            out["norm"], out["ord"], out["path"],
+            out["method"], out["extra"],
+        )
+    )
+
+
+def _reference_rows(texts: list[str]):
+    import re
+
+    from glasseenterprise_mcp_spark.operators.extract import (
+        MAX_MATCHES_PER_KIND,
+        MAX_TEXT_CHARS,
+        PATTERNS,
+        _NORM_PY,
+        _PATH_PY,
+    )
+
+    rows = []
+    for i, text in enumerate(texts):
+        text = text[:MAX_TEXT_CHARS]
+        for det in PATTERNS:
+            for ord_, m in enumerate(re.finditer(det.pattern, text), start=1):
+                if ord_ > MAX_MATCHES_PER_KIND:
+                    break
+                surface = m.group(det.surface_g)
+                path_fn = _PATH_PY.get(det.mtype)
+                rows.append(
+                    (
+                        f"c{i}",
+                        i,
+                        det.mtype,
+                        surface,
+                        _NORM_PY[det.mtype](surface),
+                        ord_,
+                        path_fn(surface) if path_fn else None,
+                        m.group(det.method_g) if det.method_g else None,
+                        m.group(det.extra_g) if det.extra_g else None,
+                    )
+                )
+    return sorted(rows)
+
+
+_JUNK = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=20
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.one_of(_MARKERS, _JUNK), min_size=0, max_size=6).map("".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_extraction_kernel_fuzz_matches_naive_reference(texts):
+    assert _kernel_rows(texts) == _reference_rows(texts)
