@@ -741,7 +741,11 @@ def span_containment_cte() -> str:
 )"""
 
 
-def refers_to_edges(mentions: DataFrame, driver_threshold: int = 5_000) -> DataFrame:
+def refers_to_edges(
+    mentions: DataFrame,
+    driver_threshold: int = 5_000,
+    anchored_contains: bool = False,
+) -> DataFrame:
     """J20 analogue — the tiered, similarity-scored cross-corpus linking join
     (reference isAPIMatch cascade, relationshipBuilder.ts:547-605).
 
@@ -765,6 +769,12 @@ def refers_to_edges(mentions: DataFrame, driver_threshold: int = 5_000) -> DataF
     Never a cross join; the provided side is a small dim (distinct resource
     registry), always broadcast-able even at 100TB fact scale; the method
     equality rides along every tier's join keys.
+
+    ``anchored_contains=True`` (OFF by default — the reference's tier is a
+    plain substring test) requires the tier-2 match to end at a path-segment
+    boundary (next char ∈ {end, '/', '?'}), so ``/api/v1/r12`` no longer
+    links to the ``/r1`` resource. Both the distributed and the driver-side
+    path honor the flag (paths-agree test covers both modes).
     """
     # The distinct registries are dims (distinct urls/endpoints, not
     # occurrences); on a cluster this is the reference's "build the API
@@ -802,7 +812,9 @@ def refers_to_edges(mentions: DataFrame, driver_threshold: int = 5_000) -> DataF
         if len(c_rows) <= driver_threshold:
             p_rows = provided.limit(driver_threshold + 1).collect()
             if len(p_rows) <= driver_threshold:
-                return _refers_driver_side(mentions.sparkSession, c_rows, p_rows)
+                return _refers_driver_side(
+                    mentions.sparkSession, c_rows, p_rows, anchored_contains
+                )
 
     # Materialize both registries ONCE (eager localCheckpoint): the tier
     # cascade references each side up to 7 times (4 joins + 3 anti-join
@@ -839,11 +851,17 @@ def refers_to_edges(mentions: DataFrame, driver_threshold: int = 5_000) -> DataF
     t1b = emit(r1.join(F.broadcast(provided), cond1b), F.lit(55), 15)
     r2 = r1.join(F.broadcast(provided), cond1b, "left_anti")
 
-    cond2 = (
-        (F.length("p_norm") > 1)
-        & F.col("path").contains(F.col("p_norm"))
-        & method_eq
-    )
+    if anchored_contains:
+        # regex-escape p_norm, then require a segment boundary after it
+        p_quoted = F.regexp_replace(
+            F.col("p_norm"), r"([.*+?^$(){}\[\]|\\])", "\\$1"
+        )
+        contains_test = F.regexp_like(
+            F.col("path"), F.concat(p_quoted, F.lit("($|[/?])"))
+        )
+    else:
+        contains_test = F.col("path").contains(F.col("p_norm"))
+    cond2 = (F.length("p_norm") > 1) & contains_test & method_eq
     t2 = emit(r2.join(F.broadcast(prov_plain), cond2), F.lit(30), 20)
     r3 = r2.join(F.broadcast(prov_plain), cond2, "left_anti")
 
@@ -888,7 +906,9 @@ _METHOD_DECODE_PY = {1: "GET", 2: "POST", 3: "PUT", 4: "DELETE"}
 _TIER_DECODE_PY = {10: "1", 15: "1b", 20: "2", 30: "3"}
 
 
-def _refers_driver_side(spark, c_rows: list, p_rows: list) -> DataFrame:
+def _refers_driver_side(
+    spark, c_rows: list, p_rows: list, anchored_contains: bool = False
+) -> DataFrame:
     """Driver-side replica of the 4-tier cascade for registry-sized inputs.
     EXACTLY the join semantics of the distributed path below (method gate on
     every tier, residual chaining, per-(subj,obj) max-conf/min-tier/
@@ -948,7 +968,11 @@ def _refers_driver_side(spark, c_rows: list, p_rows: list) -> DataFrame:
         lambda c: (
             (p, p[1])
             for p in prov_plain
-            if len(p[1]) > 1 and p[1] in c[0] and c[2] == p[2]
+            if len(p[1]) > 1 and c[2] == p[2] and (
+                _re.search(_re.escape(p[1]) + r"($|[/?])", c[0])
+                if anchored_contains
+                else p[1] in c[0]
+            )
         ),
         lambda c: 30,
         20,

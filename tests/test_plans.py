@@ -64,6 +64,35 @@ def test_used_by_filter_below_join(spark):
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan  # equi join
 
 
+def test_anchored_contains_tier(spark):
+    """anchored_contains=True: the tier-2 match must end at a segment
+    boundary — /api/v1/r12 matches the /r1 resource only in default
+    (reference-faithful) mode; /api/v1/r1?q=1 matches in both. The flag
+    behaves identically on the distributed and driver-side paths."""
+    rows = [
+        # consumed urls: (mtype, surface, norm, path, method)
+        ("url", "http://s/api/v1/r12", "/api/v1/r12", "/api/v1/r12", None),
+        ("url", "http://s/api/v1/r1?q=1", "/api/v1/r1", "/api/v1/r1", None),
+        # provided endpoint /r1 (no exact/variant match for either url)
+        ("endpoint", "/r1", "/r1", "/r1", "GET"),
+    ]
+    m = spark.createDataFrame(
+        [("c0", i, *r) for i, r in enumerate(rows)],
+        "conv_id string, turn_idx int, mtype string, surface string, "
+        "norm string, path string, method string",
+    )
+    for thr in (0, 5000):  # distributed / driver-side
+        loose = {
+            r.tier for r in refers_to_edges(m, driver_threshold=thr).collect()
+        }
+        anchored = refers_to_edges(
+            m, driver_threshold=thr, anchored_contains=True
+        ).count()
+        default = refers_to_edges(m, driver_threshold=thr).count()
+        assert default == 2 and loose == {"2"}, (thr, default, loose)
+        assert anchored == 1, (thr, anchored)
+
+
 def test_whole_stage_codegen_relational(spark):
     """Pure relational stages (no Python boundary) must be codegen'd; the
     aggregate must be hash-based, not sort-based."""
