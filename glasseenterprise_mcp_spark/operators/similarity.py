@@ -89,7 +89,7 @@ def brute_force_topk_sql(query_where: str, k: int = 5) -> str:
     return f"""
 WITH q AS (
   SELECT vec_id, label,
-         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ), queries AS (
   SELECT vec_id AS query_id, qv AS q_qv FROM q WHERE {query_where}
@@ -281,7 +281,7 @@ def ivf_topk_sql(
     return f"""
 WITH q AS (
   SELECT vec_id,
-         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ), centroids AS (
   SELECT vec_id AS cid, qv AS c_qv FROM q WHERE {centroid_where}
@@ -394,7 +394,7 @@ def embedding_near_dup_pairs_sql(min_cos_pct: int = 35) -> str:
     return f"""
 WITH q AS (
   SELECT vec_id,
-         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ), qs AS (
   SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS self_dot FROM q
@@ -421,7 +421,7 @@ def lsh_topk_sql(query_where: str, k: int = 5) -> str:
     return f"""
 WITH q AS (
   SELECT vec_id, label,
-         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ), lb AS (
   {_bands_long_sql('q', 'vec_id, label, qv')}
