@@ -10,7 +10,11 @@ sys.path.insert(0, "/root/repo")
 from glasseenterprise_mcp_spark.session import get_spark  # noqa: E402
 
 SF_SMALL = "/root/testdata/sf0.001"
-SF_MED = "/root/testdata/sf0.01"
+# the driver-gate scale; override to sweep the whole contract at another
+# scale, e.g. SPARK_GRAFT_TEST_SF=/root/testdata/sf0.1 python -m pytest
+# tests/test_driver_contract.py (the 10x sweep that caught the float32
+# quantization divergence)
+SF_MED = __import__("os").environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
