@@ -151,6 +151,35 @@ def cmd_reset(args):
     spark.stop()
 
 
+def cmd_curate(args):
+    """Training-data curation surface (beyond the reference's tools): run
+    the composed quality→near-dup decision pipeline over a documents
+    parquet and write kept/dropped decisions (+ optional near-dup pair
+    report) next to the corpus."""
+    from glasseenterprise_mcp_spark.operators.dedup import (
+        shingles,
+        simhash_near_dups,
+    )
+    from glasseenterprise_mcp_spark.operators.textstats import curate_corpus
+
+    spark = _spark(args.master)
+    docs = spark.read.parquet(args.docs)
+    sh = shingles(docs)
+    decisions = curate_corpus(docs, sh, min_quality=args.min_quality)
+    decisions.write.mode("overwrite").parquet(str(Path(args.out) / "decisions"))
+    stats = {
+        r.reason: r.n
+        for r in decisions.groupBy("reason").count().withColumnRenamed("count", "n").collect()
+    }
+    result = {"decisions": stats, "out": args.out}
+    if args.report_pairs:
+        pairs = simhash_near_dups(sh)
+        pairs.write.mode("overwrite").parquet(str(Path(args.out) / "near_dup_pairs"))
+        result["near_dup_pairs"] = pairs.count()
+    print(json.dumps(result))
+    spark.stop()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--master", default="local[8]")
@@ -182,6 +211,13 @@ def main():
     p.add_argument("--graph", required=True)
     p.add_argument("--conv-prefix", default=None)
     p.set_defaults(fn=cmd_reset)
+
+    p = sub.add_parser("curate")
+    p.add_argument("--docs", required=True, help="documents parquet path")
+    p.add_argument("--out", required=True)
+    p.add_argument("--min-quality", type=int, default=60)
+    p.add_argument("--report-pairs", action="store_true")
+    p.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args()
     # parse global --master even when placed before subcommand
