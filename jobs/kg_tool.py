@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """User-facing tool surface mirroring the reference MCP server's four tools
 (src/index.ts:59-138): ``scan``, ``impact``, ``query``, ``learn`` — plus
-``reset`` (S11, src/commands/resetCommand.ts). A user of the reference can
+``reset`` (S11, src/commands/resetCommand.ts) and ``curate`` (the
+beyond-reference training-data pipeline). A user of the reference can
 run the same operations against this engine:
 
     python jobs/kg_tool.py scan   --input synth:/root/testdata/sf0.001 --graph /tmp/kg
@@ -10,6 +11,7 @@ run the same operations against this engine:
     python jobs/kg_tool.py query  --graph /tmp/kg "SQL: SELECT pred, count(*) n FROM edges GROUP BY pred"
     python jobs/kg_tool.py impact --graph /tmp/kg --conv c3 --turn 2 --depth 3
     python jobs/kg_tool.py reset  --graph /tmp/kg --conv-prefix c3
+    python jobs/kg_tool.py curate --docs .../documents.parquet --out /tmp/cur --report-pairs
 """
 
 from __future__ import annotations
