@@ -56,9 +56,15 @@ def shingles(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """Word k-gram shingles: (doc_id, sh). Narrow (explode, no shuffle)."""
     toks = F.split(F.col("text"), _TOKENIZE)
     parts = ", ".join(f"element_at(toks, i + {j})" for j in range(k))
+    # Guard short docs: Spark's sequence(1, 0) is the DESCENDING [1, 0],
+    # so without the CASE a <k-token document hits element_at(toks, 0) and
+    # the whole job dies with INVALID_ARRAY_INDEX_IN_ELEMENT_AT (r3
+    # ADVICE). DuckDB's range(1, 1) is empty, so emitting array() here is
+    # exactly the oracle's behavior: short docs produce no shingles.
     sh = F.expr(
-        f"transform(sequence(1, greatest(size(toks) - {k - 1}, 0)),"
-        f" i -> concat_ws(' ', {parts}))"
+        f"CASE WHEN size(toks) >= {k} THEN"
+        f" transform(sequence(1, size(toks) - {k - 1}),"
+        f" i -> concat_ws(' ', {parts})) ELSE array() END"
     )
     return (
         documents.select("doc_id", toks.alias("toks"))

@@ -852,9 +852,14 @@ def refers_to_edges(
     r2 = r1.join(F.broadcast(provided), cond1b, "left_anti")
 
     if anchored_contains:
-        # regex-escape p_norm, then require a segment boundary after it
+        # regex-escape p_norm, then require a segment boundary after it.
+        # Replacement uses Java Matcher semantics: Java must see `\\$1`
+        # (escaped backslash + group ref) to emit backslash+match; the
+        # Python literal for that is "\\\\$1". A bare "\\$1" is Java `\$1`
+        # = the literal text "$1", which silently broke every p_norm
+        # containing a regex metacharacter (r3 ADVICE).
         p_quoted = F.regexp_replace(
-            F.col("p_norm"), r"([.*+?^$(){}\[\]|\\])", "\\$1"
+            F.col("p_norm"), r"([.*+?^$(){}\[\]|\\])", "\\\\$1"
         )
         contains_test = F.regexp_like(
             F.col("path"), F.concat(p_quoted, F.lit("($|[/?])"))

@@ -184,12 +184,15 @@ def curate_corpus(
         .withColumn("fp_rank", F.row_number().over(w))
         .select("doc_id", "fp_rank")
     )
+    # LEFT join + default rank 1: documents too short to shingle have no
+    # fingerprint row, but every document must still receive a decision
+    # (r3 ADVICE — the inner join silently dropped them).
     reason = (
         F.when(F.col("quality") < min_quality, F.lit("low-quality"))
-        .when(F.col("fp_rank") > 1, F.lit("near-dup"))
+        .when(F.coalesce(F.col("fp_rank"), F.lit(1)) > 1, F.lit("near-dup"))
         .otherwise(F.lit("kept"))
     )
-    return ts.join(fp, "doc_id").select(
+    return ts.join(fp, "doc_id", "left").select(
         "doc_id",
         (reason == F.lit("kept")).alias("keep"),
         reason.alias("reason"),
@@ -207,8 +210,8 @@ def curate_corpus_cte(min_quality: int = 60) -> str:
   )
   SELECT ts.doc_id,
          (CASE WHEN quality < {min_quality} THEN 'low-quality'
-               WHEN fp_rank > 1 THEN 'near-dup' ELSE 'kept' END) = 'kept' AS keep,
+               WHEN COALESCE(fp_rank, 1) > 1 THEN 'near-dup' ELSE 'kept' END) = 'kept' AS keep,
          CASE WHEN quality < {min_quality} THEN 'low-quality'
-              WHEN fp_rank > 1 THEN 'near-dup' ELSE 'kept' END AS reason
-  FROM ts JOIN fp USING (doc_id)
+              WHEN COALESCE(fp_rank, 1) > 1 THEN 'near-dup' ELSE 'kept' END AS reason
+  FROM ts LEFT JOIN fp USING (doc_id)
 )"""

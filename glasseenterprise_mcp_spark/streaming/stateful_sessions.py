@@ -54,7 +54,12 @@ def _session_fn(key: Any, pdfs: Iterator[pd.DataFrame], state, gap_s: int):
             out.append((user_id, start, last_ts, n))
             start, last_ts, n = t, t, 1
         else:
-            last_ts, n = t, n + 1
+            # Cross-batch out-of-order event (t can precede the open
+            # session's bounds since only the CURRENT batch is sorted):
+            # extend with max/min so session_end never moves backwards and
+            # session_start covers the earliest event — keeps parity with
+            # the batch sessionizer's bounds (r3 ADVICE).
+            start, last_ts, n = min(start, t), max(last_ts, t), n + 1
     state.update((start, last_ts, n))
     if out:
         yield pd.DataFrame(

@@ -75,6 +75,14 @@ def test_anchored_contains_tier(spark):
         ("url", "http://s/api/v1/r1?q=1", "/api/v1/r1", "/api/v1/r1", None),
         # provided endpoint /r1 (no exact/variant match for either url)
         ("endpoint", "/r1", "/r1", "/r1", "GET"),
+        # metachar-bearing provider: '.' in the norm must be escaped on the
+        # DISTRIBUTED path too (Java Matcher replacement "\\\\$1"; a bare
+        # "\\$1" emitted the literal "$1" and tier-2 silently matched
+        # nothing — r3 ADVICE). /b.x/r9 must match /api/b.x/r9/z but NOT
+        # the '.'-as-wildcard decoy /api/bQx/r9/z.
+        ("url", "http://s/api/b.x/r9/z", "/api/b.x/r9/z", "/api/b.x/r9/z", None),
+        ("url", "http://s/api/bQx/r9/z", "/api/bQx/r9/z", "/api/bQx/r9/z", None),
+        ("endpoint", "/b.x/r9", "/b.x/r9", "/b.x/r9", "GET"),
     ]
     m = spark.createDataFrame(
         [("c0", i, *r) for i, r in enumerate(rows)],
@@ -85,12 +93,18 @@ def test_anchored_contains_tier(spark):
         loose = {
             r.tier for r in refers_to_edges(m, driver_threshold=thr).collect()
         }
-        anchored = refers_to_edges(
+        anchored_rows = refers_to_edges(
             m, driver_threshold=thr, anchored_contains=True
-        ).count()
+        ).collect()
+        anchored_subjs = {r.subj for r in anchored_rows}
         default = refers_to_edges(m, driver_threshold=thr).count()
-        assert default == 2 and loose == {"2"}, (thr, default, loose)
-        assert anchored == 1, (thr, anchored)
+        # loose contains: r12+r1 match /r1, b.x (exact substring) AND the
+        # bQx decoy (substring test is literal, '.' is not a wildcard)
+        assert default == 3 and loose == {"2"}, (thr, default, loose)
+        # anchored: r1?q=1 matches /r1 at a boundary, b.x matches /b.x/r9
+        # at a boundary; r12 (no boundary) and bQx (escaped '.') must not
+        assert len(anchored_rows) == 2, (thr, anchored_rows)
+        assert len(anchored_subjs) == 2, (thr, anchored_subjs)
 
 
 def test_whole_stage_codegen_relational(spark):

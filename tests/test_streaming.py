@@ -164,6 +164,44 @@ def test_stateful_session_stream_two_batches(spark):
     assert got == want
 
 
+def test_stateful_session_out_of_order_across_batches(spark):
+    """A later batch may carry an event OLDER than the open session's
+    last_ts (only the current batch is sorted). Session bounds must extend
+    with min/max — session_end never moves backwards, session_start covers
+    the earliest event (r3 ADVICE: the naive extend set last_ts backwards,
+    diverging from the batch sessionizer's bounds)."""
+    import os
+
+    from glasseenterprise_mcp_spark.streaming.stateful_sessions import (
+        run_session_stream,
+    )
+
+    t0 = 1_700_000_000
+    src, out, ckpt = (tempfile.mkdtemp() for _ in range(3))
+    schema = "user_id string, ts_s long"
+    # batch 1 opens dave's session [t0+100, t0+200]
+    spark.createDataFrame(
+        [("dave", t0 + 100), ("dave", t0 + 200)], schema
+    ).write.mode("append").parquet(src)
+    q = run_session_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    # batch 2: one event BEFORE the open bounds (in-gap: extends), then a
+    # far-future event that closes the session
+    spark.createDataFrame(
+        [("dave", t0 + 50), ("dave", t0 + 50_000)], schema
+    ).write.mode("append").parquet(src)
+    q = run_session_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+
+    assert os.path.exists(out)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    # end stays t0+200 (never dragged back to t0+50); start widens to t0+50
+    assert got == {("dave", t0 + 50, t0 + 200, 3)}
+
+
 def test_watermarked_window_late_data(spark):
     """Watermarked tumbling windows across a checkpoint restart: an event
     later than the watermark is DROPPED (its already-finalized window stays
