@@ -532,6 +532,15 @@ def q_type_schemas(spark, sf_dir):
     return type_schemas(_t(spark, sf_dir))
 
 
+def q_manifest_deps(spark, sf_dir):
+    """S5/E12: schema-on-read structured-payload extraction — JSON manifest
+    in the turn text parsed with from_json + exploded into typed
+    per-dependency rows."""
+    from glasseenterprise_mcp_spark.operators.extract import manifest_deps
+
+    return manifest_deps(_t(spark, sf_dir))
+
+
 def q_clean_names(spark, sf_dir):
     """N9/N10: quote strip + identifier sanitize over raw quoted tokens."""
     from glasseenterprise_mcp_spark.operators.extract import clean_names
@@ -621,6 +630,20 @@ def q_ppm_resize(spark, sf_dir):
     return resize_ppm_features(synthesize_ppm_media(_docs(spark, sf_dir)))
 
 
+def q_png_decode(spark, sf_dir):
+    """mm9: REAL compressed-codec round trip — stdlib-encoded PNG blobs
+    (zlib deflate, filters cycling none/sub/up/average/paeth, verified
+    CRCs) parsed back by a real chunk-walk + inflate + unfilter decoder,
+    reduced to integer channel sums; the oracle recomputes the sums from
+    the closed-form pixel function without seeing bytes."""
+    from glasseenterprise_mcp_spark.operators.multimodal import (
+        decode_png_features,
+        synthesize_png_media,
+    )
+
+    return decode_png_features(synthesize_png_media(_docs(spark, sf_dir)))
+
+
 def q_wav_decode(spark, sf_dir):
     """mm7: REAL audio codec round trip — PCM16 WAV blobs (canonical RIFF
     header) parsed by a real struct+frombuffer decoder, reduced to integer
@@ -648,22 +671,74 @@ def q_y4m_frames(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver's correctness artifact records only the
+    # FIRST 50 entries (registration order). The first 50 below are exactly
+    # one dedicated oracle gate per SURVEY.md §2 row, so the artifact of
+    # record covers every §2 row; plumbing variants (second a8/w4 forms)
+    # and the LLM-data-pipeline family (dd/tx/cur/sim/mm) follow — those
+    # stay oracle-gated through the full-sweep replay test
+    # (tests/test_driver_contract.py runs ALL entries).
     return {
+        # --- sources / scan (S1-S6) ---
         "s1_transcripts_scan": q_transcripts,
+        "s5_manifest_deps": q_manifest_deps,
+        "s6_stateful_scan": q_stateful_scan,
+        # --- extraction (E1-E14, N9/N10) ---
         "e1_extract_mentions": q_mentions,
-        "a8_mentions_by_type": q_mentions_by_type,
+        "e6_direction_cascade": q_direction_cascade,
+        "e8_mention_attrs": q_mention_attrs,
+        "e9_type_schemas": q_type_schemas,
+        "e14_test_turns": q_test_turns,
+        "n9_clean_names": q_clean_names,
+        # --- joins / linking (J1-J27) ---
         "j1_mentions_in": q_mentions_in,
-        "w4_replies_to": q_replies_to,
+        "j2_span_containment": q_span_containment,
+        "j4_provides_api": q_provides_api,
         "j5_calls_tool": q_calls_tool,
+        "j6_queries_table": q_queries_table,
+        "j7_uses_config": q_uses_config,
+        "j8_tiered_attribution": q_tiered_attribution,
+        "j9_lineage_triples": q_lineage_triples,
+        "j12_depends_on": q_depends_on,
+        "j13_conv_shared_entities": q_conv_shared,
+        "j14_pluralize_match": q_pluralize_match,
+        "j15_has_column": q_has_column,
+        "j17_secures_api": q_secures_api,
+        "j18_used_by": q_used_by,
+        "j19_repo_api_rollup": q_repo_api_rollup,
         "j20_refers_to_tiered": q_refers_to,
-        "g4_connected_components": q_connected_components,
+        "j22_contributes": q_contributes,
+        "j23_alias_identity": q_alias_identity,
+        "j24_contains_turn": q_contains_turn,
+        "j25_modifies": q_modifies,
+        "j26_cooccurrence_pairs": q_cooccurrence,
+        "j27_has_member": q_has_member,
+        # --- windows / aggregation / set ops (W, A, U, L) ---
+        "w4_replies_to": q_replies_to,
+        "a2_node_attrs": q_node_attrs,
         "a4_identity_resolution": q_identity_resolution,
-        "d_nodes_materialize": q_nodes,
+        "a5_entity_stats": q_entity_stats,
         "a8_count_by_label": q_count_by_label,
+        "u5_new_entities": q_new_entities,
+        "w1_top_entities": q_top_entities,
+        # --- graph algorithms (G1-G5) ---
         "g1_impact": q_impact,
-        "w4_tool_transitions": q_tool_transitions,
+        "g1b_impact_nodes": q_impact_nodes,
         "g2_tool_cycles": q_tool_cycles,
+        "g4_connected_components": q_connected_components,
+        "g4b_canonical_triples": q_canonical_triples,
         "g5_blast_radius": q_blast_radius,
+        # --- materialize / pipeline (S8-S12, U1, A1) ---
+        "d_nodes_materialize": q_nodes,
+        "pipeline_all_triples": q_all_triples,
+        # --- query routing (Q2/Q3) + event ops ---
+        "q2_routed_count_by_type": q_routed_count_by_type,
+        "q3_routed_fallback": q_routed_fallback,
+        "ev1_sessionize": q_sessionize,
+        "ev2_tumbling_counts": q_tumbling_counts,
+        # ---- entry 51+: plumbing variants + LLM-data-pipeline family ----
+        "w4_tool_transitions": q_tool_transitions,
+        "a8_mentions_by_type": q_mentions_by_type,
         "dd1_exact_dedup": q_exact_dedup,
         "dd2_lsh_candidates": q_lsh_candidates,
         "dd3_near_dup_jaccard": q_near_dup_jaccard,
@@ -677,42 +752,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim1_ann_bruteforce": q_ann_brute,
         "sim2_ann_lsh": q_ann_lsh,
         "sim3_ann_ivf": q_ann_ivf,
-        "j8_tiered_attribution": q_tiered_attribution,
-        "j26_cooccurrence_pairs": q_cooccurrence,
-        "j13_conv_shared_entities": q_conv_shared,
-        "a5_entity_stats": q_entity_stats,
-        "ev1_sessionize": q_sessionize,
-        "w1_top_entities": q_top_entities,
-        "u5_new_entities": q_new_entities,
-        "e8_mention_attrs": q_mention_attrs,
-        "j6_queries_table": q_queries_table,
-        "pipeline_all_triples": q_all_triples,
-        "g4b_canonical_triples": q_canonical_triples,
-        "ev2_tumbling_counts": q_tumbling_counts,
-        "j2_span_containment": q_span_containment,
-        "j23_alias_identity": q_alias_identity,
-        "a2_node_attrs": q_node_attrs,
-        "j17_secures_api": q_secures_api,
-        "j9_lineage_triples": q_lineage_triples,
-        "g1b_impact_nodes": q_impact_nodes,
-        "s6_stateful_scan": q_stateful_scan,
-        "j15_has_column": q_has_column,
-        "j4_provides_api": q_provides_api,
-        "j7_uses_config": q_uses_config,
-        "j14_pluralize_match": q_pluralize_match,
-        "j22_contributes": q_contributes,
-        "e6_direction_cascade": q_direction_cascade,
-        "e14_test_turns": q_test_turns,
-        "j25_modifies": q_modifies,
-        "j27_has_member": q_has_member,
-        "e9_type_schemas": q_type_schemas,
-        "n9_clean_names": q_clean_names,
-        "j18_used_by": q_used_by,
-        "j12_depends_on": q_depends_on,
-        "j24_contains_turn": q_contains_turn,
-        "j19_repo_api_rollup": q_repo_api_rollup,
-        "q2_routed_count_by_type": q_routed_count_by_type,
-        "q3_routed_fallback": q_routed_fallback,
         "mm1_media_metadata": q_media_metadata,
         "mm2_frame_plan": q_frame_plan,
         "mm3_resize_plan": q_resize_plan,
@@ -721,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm6_ppm_resize": q_ppm_resize,
         "mm7_wav_decode": q_wav_decode,
         "mm8_y4m_frames": q_y4m_frames,
+        "mm9_png_decode": q_png_decode,
     }
 
 
@@ -990,6 +1030,13 @@ def oracle_sql() -> dict[str, str]:
                 "glasseenterprise_mcp_spark.operators.extract", fromlist=["x"]
             ).type_schemas_cte(),
         ),
+        "s5_manifest_deps": O.oracle(
+            "SELECT conv_id, turn_idx, dep_idx, dep_name, dep_ver "
+            "FROM manifest_deps",
+            __import__(
+                "glasseenterprise_mcp_spark.operators.extract", fromlist=["x"]
+            ).manifest_deps_cte(),
+        ),
         "n9_clean_names": O.oracle(
             "SELECT conv_id, turn_idx, surface, stripped, ident FROM clean_names",
             __import__(
@@ -1067,4 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         "mm8_y4m_frames": __import__(
             "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]
         ).y4m_frame_samples_sql(),
+        "mm9_png_decode": __import__(
+            "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]
+        ).png_decode_sql(),
     }

@@ -509,6 +509,60 @@ def type_schemas_cte() -> str:
 )"""
 
 
+# S5/E12: structured-payload (manifest) extraction — the reference parses
+# six package-manifest formats into typed dependency entities
+# (src/scanner/dependencyExtractor.ts:41-196, incl. real JSON handling).
+# The transcript analogue is a JSON manifest payload in the turn text,
+# parsed SCHEMA-ON-READ with from_json against an explicit DDL schema (a
+# JVM-side expression — no per-row Python), then exploded into typed
+# per-dependency rows with declaration ordinality. A malformed payload
+# parses to NULL and yields no rows (from_json's PERMISSIVE contract)
+# instead of failing the scan.
+MANIFEST_RX = r"manifest:(\{.*\})$"
+MANIFEST_SCHEMA = "deps ARRAY<STRUCT<n: STRING, v: STRING>>"
+
+
+def manifest_deps(transcripts: DataFrame) -> DataFrame:
+    """S5/E12 analogue: (conv_id, turn_idx, dep_idx, dep_name, dep_ver) —
+    one row per declared dependency, dep_idx = 1-based declaration order.
+    Narrow (regexp + from_json + posexplode, no shuffle); the manifest
+    filter prunes non-manifest turns before the parse."""
+    js = F.regexp_extract(F.col("text"), MANIFEST_RX, 1)
+    parsed = (
+        transcripts.select("conv_id", "turn_idx", js.alias("js"))
+        .filter(F.col("js") != "")
+        .select(
+            "conv_id", "turn_idx", F.from_json("js", MANIFEST_SCHEMA).alias("m")
+        )
+    )
+    return parsed.select(
+        "conv_id", "turn_idx", F.posexplode("m.deps").alias("pos", "dep")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        (F.col("pos") + 1).cast("int").alias("dep_idx"),
+        F.col("dep.n").alias("dep_name"),
+        F.col("dep.v").alias("dep_ver"),
+    )
+
+
+def manifest_deps_cte() -> str:
+    # DuckDB twin: json_transform gives the typed struct list; ordinality
+    # via the zip-unnest(range) idiom (same as type_schemas_cte)
+    rx = r"manifest:(\{.*\})$"
+    return f"""manifest_deps AS (
+  SELECT conv_id, turn_idx, CAST(i AS INT) AS dep_idx,
+         dl[i].n AS dep_name, dl[i].v AS dep_ver
+  FROM (
+    SELECT conv_id, turn_idx,
+           json_transform(json_extract(regexp_extract(text, '{rx}', 1), '$.deps'),
+                          '[{{"n":"VARCHAR","v":"VARCHAR"}}]') AS dl
+    FROM transcripts
+    WHERE regexp_extract(text, '{rx}', 1) <> ''
+  ), unnest(range(1, len(dl) + 1)) AS u(i)
+)"""
+
+
 # N9/N10: quote strip + identifier sanitize (reference strips leading/
 # trailing quote chars everywhere spans are read, astExtractor.ts:1047,1100,
 # 1172, and sanitizes identifiers to [\w.$], astExtractor.ts:811-865). Pure

@@ -717,3 +717,242 @@ SELECT CAST(d.doc_id AS BIGINT) AS media_id,
        CAST(SUM({px}) AS BIGINT) AS sum_sampled
 FROM documents d JOIN g ON g.doc_id = d.doc_id
 GROUP BY d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-codec path: PNG (RGB8) — the one container format fully
+# decodable with the stdlib alone (zlib inflate + per-row unfilter math).
+# Upgrades the compressed-codec stub from "disclosed" to "partially real"
+# (reference mediaHandler stores/serves compressed images; our engine now
+# actually decodes one compressed format end-to-end). The encoder CYCLES the
+# row filter type 0-4 (none/sub/up/average/paeth), so the decoder's
+# unfilter recursions — the real per-byte PNG reconstruction — are
+# exercised on every filter; chunk CRCs are computed and VERIFIED. Pixels
+# are a closed-form function of (media_id, y, x, channel); the DuckDB
+# oracle recomputes channel sums from index math without ever seeing bytes,
+# so any bug in deflate framing, chunk walking, CRC handling or the
+# unfilter math breaks the match. jpeg/mp3/h264 remain the disclosed stub
+# (entropy coding + DCT need real codec libs).
+# ---------------------------------------------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_DIMS_SQL_W = "CAST(doc_id % 11 + 4 AS INT)"
+_PNG_DIMS_SQL_H = "CAST(doc_id % 9 + 4 AS INT)"
+# pixel(d, y, x, c) = (41d + 13y + 5x + 17c) mod 256
+_PNG_PX = "(41 * {d} + 13 * {y} + 5 * {x} + 17 * {c}) % 256"
+
+
+def _png_dims(d: int) -> tuple[int, int]:
+    return d % 11 + 4, d % 9 + 4  # (width, height)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec 9.4): nearest of a(left)/b(up)/c(up-left)
+    to p = a + b - c, ties a > b > c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png(d: int) -> bytes:
+    """Deterministic REAL PNG: signature + IHDR + one zlib IDAT + IEND,
+    RGB8 non-interlaced, row filter type = y % 5 (all five exercised).
+    Filter math per spec 9.2 (vectorized: p-a = b-c, p-b = a-c,
+    p-c = a+b-2c for the Paeth distance terms)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = _png_dims(d)
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    px = ((41 * d + 13 * y + 5 * x + 17 * c) % 256).astype(np.uint8)
+    bpp = 3
+    raw = px.reshape(h, w * 3).astype(np.int16)
+    out = bytearray()
+    prior = np.zeros(w * 3, dtype=np.int16)
+    for yy in range(h):
+        t = yy % 5
+        row = raw[yy]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int16), row[:-bpp]])
+        pleft = np.concatenate([np.zeros(bpp, dtype=np.int16), prior[:-bpp]])
+        if t == 0:
+            f = row
+        elif t == 1:
+            f = row - left
+        elif t == 2:
+            f = row - prior
+        elif t == 3:
+            f = row - (left + prior) // 2
+        else:
+            pa = np.abs(prior - pleft)
+            pb = np.abs(left - pleft)
+            pc = np.abs(left + prior - 2 * pleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, pleft)
+            )
+            f = row - pred
+        out.append(t)
+        out.extend((f % 256).astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png_media(documents: DataFrame) -> DataFrame:
+    """One real PNG blob per document (MEDIA_SCHEMA, mime image/png)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].tolist()
+            dims = [_png_dims(d) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": ["image"] * len(ids),
+                    "mime": ["image/png"] * len(ids),
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
+                    "duration_ms": [0] * len(ids),
+                    "content": [_encode_png(d) for d in ids],
+                }
+            )
+
+    from ..functions.shipping import ensure_package_shipped
+
+    ensure_package_shipped(documents.sparkSession)
+    return documents.select("doc_id").mapInPandas(_batches, schema=MEDIA_SCHEMA)
+
+
+def _decode_png(buf: bytes):
+    """REAL PNG decoder (RGB8 non-interlaced subset): chunk walk with CRC
+    verification, zlib inflate, per-row unfilter (none/sub/up/average/
+    paeth) → (h, w, 3) uint8. Raises ValueError on malformed input."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, w = 8, b"", None
+    while pos < len(buf):
+        if pos + 8 > len(buf):
+            raise ValueError("truncated chunk header")
+        ln, tag = struct.unpack(">I4s", buf[pos : pos + 8])
+        if pos + 12 + ln > len(buf):
+            raise ValueError("truncated chunk")
+        data = buf[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", buf[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError("bad chunk CRC")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or ctype != 2 or comp or filt or inter:
+                raise ValueError("only 8-bit RGB non-interlaced supported")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(idat)
+    stride, bpp = w * 3, 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad decompressed length")
+    img = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for yy in range(h):
+        t = raw[pos]
+        pos += 1
+        line = raw[pos : pos + stride]
+        pos += stride
+        prior = img[yy - 1] if yy else np.zeros(stride, dtype=np.uint8)
+        if t == 0:
+            img[yy] = np.frombuffer(line, np.uint8)
+        elif t == 2:
+            img[yy] = (np.frombuffer(line, np.uint8).astype(np.int16) + prior) % 256
+        elif t in (1, 3, 4):
+            # left-dependent filters reconstruct sequentially (each byte
+            # needs the already-reconstructed byte bpp to its left)
+            rec = bytearray(stride)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = int(prior[i])
+                cc = int(prior[i - bpp]) if i >= bpp else 0
+                if t == 1:
+                    v = line[i] + a
+                elif t == 3:
+                    v = line[i] + (a + b) // 2
+                else:
+                    v = line[i] + _paeth(a, b, cc)
+                rec[i] = v & 0xFF
+            img[yy] = np.frombuffer(bytes(rec), np.uint8)
+        else:
+            raise ValueError(f"bad filter type {t}")
+    return img.reshape(h, w, 3)
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """Decode real PNG blobs and reduce to integer per-channel pixel sums —
+    the float-free projection the oracle reproduces from index math."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                px = _decode_png(bytes(buf))
+                h, w, _ = px.shape
+                s = px.astype("int64").sum(axis=(0, 1))
+                rows.append((mid, w, h, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PPM_SUMS_SCHEMA.fields]
+            )
+
+    from ..functions.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+    return media.select("media_id", "content").mapInPandas(
+        _batches, schema=PPM_SUMS_SCHEMA
+    )
+
+
+def png_decode_sql() -> str:
+    """Oracle twin of decode_png_features: the pixel formula summed over the
+    (y, x) grid per channel — byte-free, so it independently checks the
+    whole deflate→chunk→CRC→unfilter round trip."""
+    sums = ",\n       ".join(
+        f"CAST(SUM({_PNG_PX.format(d='d.doc_id', y='g.y', x='g.x', c=str(c))}) AS BIGINT) AS sum_{n}"
+        for c, n in ((0, "r"), (1, "g"), (2, "b"))
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, CAST(y AS INT) AS y, CAST(x AS INT) AS x
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 9 + 4)) AS y FROM documents),
+       LATERAL (SELECT unnest(range(0, doc_id % 11 + 4)) AS x)
+)
+SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+       {_PNG_DIMS_SQL_W.replace('doc_id', 'd.doc_id')} AS width,
+       {_PNG_DIMS_SQL_H.replace('doc_id', 'd.doc_id')} AS height,
+       {sums}
+FROM documents d JOIN g ON g.doc_id = d.doc_id
+GROUP BY d.doc_id"""

@@ -190,6 +190,24 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # N9/N10 cleanup probe: backtick-quoted token with an identifier-
         # illegal trailing char (quote strip + [^\w.$] sanitize fixture)
         marker(d % 18 == 5, F.lit(" raw:`Cls$"), s(d % 6), F.lit("!`")),
+        # S5/E12 structured-payload probe: a JSON manifest (schema-on-read
+        # from_json extraction — reference dependencyExtractor parses
+        # package manifests into typed dependency entities). Every other
+        # instance carries a SECOND dependency so the explode ordinality is
+        # exercised at both list lengths. MUST stay the LAST marker: the
+        # extractor anchors the JSON capture at end-of-text.
+        marker(
+            d % 31 == 12,
+            F.lit(' manifest:{"deps":[{"n":"pkg_'),
+            s(d % 13),
+            F.lit('","v":"1.'),
+            s(d % 4),
+            F.lit('.0"}'),
+            F.when(d % 62 == 43, F.lit(',{"n":"pkg_x","v":"2.0.0"}')).otherwise(
+                F.lit("")
+            ),
+            F.lit("]}"),
+        ),
     )
 
     return docs.select(
@@ -290,6 +308,9 @@ transcripts AS (
               || '{{id:int,name:str' || (CASE WHEN doc_id % 26 = 7 THEN ',flag:bool' ELSE '' END) || '}}' ELSE '' END
       || CASE WHEN doc_id % 39 = 33 THEN ' type:Extra' || CAST(doc_id % 4 AS VARCHAR) || '{{a:int}}' ELSE '' END
       || CASE WHEN doc_id % 18 = 5 THEN ' raw:`Cls$' || CAST(doc_id % 6 AS VARCHAR) || '!`' ELSE '' END
+      || CASE WHEN doc_id % 31 = 12 THEN ' manifest:{{"deps":[{{"n":"pkg_' || CAST(doc_id % 13 AS VARCHAR)
+              || '","v":"1.' || CAST(doc_id % 4 AS VARCHAR) || '.0"}}'
+              || (CASE WHEN doc_id % 62 = 43 THEN ',{{"n":"pkg_x","v":"2.0.0"}}' ELSE '' END) || ']}}' ELSE '' END
                                                                   AS text,
     CASE WHEN doc_id % 4 = 2 THEN 'tool_' || CAST(doc_id % 7 AS VARCHAR) END AS tool,
     CAST({EPOCH0} + doc_id * 60 AS BIGINT)                        AS ts_epoch

@@ -233,3 +233,60 @@ def test_y4m_codec_roundtrip():
         _decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n" + b"\x00" * 24)
     with pytest.raises(ValueError, match="FRAME"):
         _decode_y4m(b"YUV4MPEG2 W2 H2 C444\nXRAME\n" + b"\x00" * 12)
+
+
+def test_png_codec_roundtrip_and_malformed():
+    """mm9 codec: stdlib PNG encode (filters cycling 0-4, real CRCs) →
+    chunk-walk + inflate + unfilter decode → pixels == closed-form formula;
+    malformed blobs (signature, truncation, CRC flip, bad filter) fail
+    loudly instead of decoding garbage."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from glasseenterprise_mcp_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+        _png_dims,
+    )
+
+    hs = []
+    for d in (0, 1, 7, 13, 100, 499):
+        buf = _encode_png(d)
+        w, h = _png_dims(d)
+        hs.append(h)
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        want = ((41 * d + 13 * y + 5 * x + 17 * c) % 256).astype(np.uint8)
+        got = _decode_png(buf)
+        assert got.shape == (h, w, 3)
+        assert (got == want).all()
+    assert max(hs) >= 5  # at least one image tall enough to hit all 5 filters
+
+    buf = _encode_png(5)
+    with pytest.raises(ValueError, match="not a PNG"):
+        _decode_png(b"XXXX" + buf[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_png(buf[:30])
+    with pytest.raises(ValueError, match="CRC"):
+        _decode_png(buf[:20] + bytes([buf[20] ^ 1]) + buf[21:])
+    # bad filter type: rebuild the IDAT with filter byte 9 on row 0
+    w, h = _png_dims(5)
+    (idat_len,) = struct.unpack(">I", buf[8 + 25 : 8 + 25 + 4])
+    raw = bytearray(zlib.decompress(buf[8 + 25 + 8 : 8 + 25 + 8 + idat_len]))
+    raw[0] = 9
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    bad = (
+        buf[:8] + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="filter"):
+        _decode_png(bad)
