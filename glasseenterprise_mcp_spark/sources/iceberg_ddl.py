@@ -8,6 +8,15 @@ cluster, configure a catalog named ``kg`` (e.g. --conf
 spark.sql.catalog.kg=org.apache.iceberg.spark.SparkCatalog) and run
 ``create_all`` once. GraphSink then uses MERGE INTO against these tables.
 
+Recorded blocker (round 4): executing the real MERGE branch in-sandbox was
+attempted and is not possible — the pyspark distribution ships no
+iceberg-spark-runtime jar (287 jars, none iceberg/delta/hudi) and the
+sandbox has no network route to Maven Central (DNS resolution fails), so
+neither ``--packages`` nor a vendored jar download can supply one. The
+MERGE semantics remain proven against the DuckDB ``INSERT … ON CONFLICT``
+twin (tests/test_materialize_ops.py) and the catalog-missing gate is
+itself tested (test_iceberg_gate_raises_without_runtime).
+
 Layout rationale (SURVEY.md §4.5):
 * transcripts: bucket(conv_id) keeps a conversation's turns co-located for
   the window/lag stages; days(ts) gives time-range pruning. (This is the

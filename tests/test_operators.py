@@ -456,7 +456,9 @@ def test_ivf_topk_properties(spark):
     exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qf).collect()}
     approx = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, qf).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.4, recall  # deterministic on this data; no-refinement IVF
+    # deterministic on this data; the default one-Lloyd-sweep index reads
+    # 0.58 (seeds-only read 0.44 — the refinement must not regress this)
+    assert recall >= 0.5, recall
 
     ranks = ivf_topk(emb, qf).groupBy("query_id").agg(
         FF.max("rank").alias("mx"), FF.count(FF.lit(1)).alias("n")
