@@ -541,6 +541,14 @@ def q_manifest_deps(spark, sf_dir):
     return manifest_deps(_t(spark, sf_dir))
 
 
+def q_xml_deps(spark, sf_dir):
+    """S5 second format: XML-ish dependency declarations parsed by regex
+    (the reference's pom.xml/csproj mechanism)."""
+    from glasseenterprise_mcp_spark.operators.extract import xml_deps
+
+    return xml_deps(_t(spark, sf_dir))
+
+
 def q_clean_names(spark, sf_dir):
     """N9/N10: quote strip + identifier sanitize over raw quoted tokens."""
     from glasseenterprise_mcp_spark.operators.extract import clean_names
@@ -761,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm7_wav_decode": q_wav_decode,
         "mm8_y4m_frames": q_y4m_frames,
         "mm9_png_decode": q_png_decode,
+        "s5b_xml_deps": q_xml_deps,
     }
 
 
@@ -1036,6 +1045,13 @@ def oracle_sql() -> dict[str, str]:
             __import__(
                 "glasseenterprise_mcp_spark.operators.extract", fromlist=["x"]
             ).manifest_deps_cte(),
+        ),
+        "s5b_xml_deps": O.oracle(
+            "SELECT conv_id, turn_idx, dep_idx, dep_name, dep_ver "
+            "FROM xml_deps",
+            __import__(
+                "glasseenterprise_mcp_spark.operators.extract", fromlist=["x"]
+            ).xml_deps_cte(),
         ),
         "n9_clean_names": O.oracle(
             "SELECT conv_id, turn_idx, surface, stripped, ident FROM clean_names",

@@ -563,6 +563,49 @@ def manifest_deps_cte() -> str:
 )"""
 
 
+# S5 second format: XML-ish dependency declarations parsed by REGEX — the
+# reference's actual mechanism for pom.xml / *.csproj (it regexes the XML,
+# dependencyExtractor.ts:246-307, rather than building a DOM). Together
+# with manifest_deps (JSON schema-on-read) the engine covers both of the
+# reference's structured-payload parsing mechanisms.
+XML_DEP_RX = r'<dep name="([^"]+)" ver="([^"]+)"/>'
+
+
+def xml_deps(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, dep_idx, dep_name, dep_ver) — one row per XML
+    dependency declaration, dep_idx = 1-based declaration order. Narrow
+    (regexp_extract_all + arrays_zip + posexplode, no shuffle)."""
+    names = F.regexp_extract_all(F.col("text"), F.lit(XML_DEP_RX), 1)
+    vers = F.regexp_extract_all(F.col("text"), F.lit(XML_DEP_RX), 2)
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(F.arrays_zip(names.alias("n"), vers.alias("v"))).alias(
+            "pos", "d"
+        ),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        (F.col("pos") + 1).cast("int").alias("dep_idx"),
+        F.col("d.n").alias("dep_name"),
+        F.col("d.v").alias("dep_ver"),
+    )
+
+
+def xml_deps_cte() -> str:
+    rx = XML_DEP_RX
+    return f"""xml_deps AS (
+  SELECT conv_id, turn_idx, CAST(i AS INT) AS dep_idx,
+         ns[i] AS dep_name, vs[i] AS dep_ver
+  FROM (
+    SELECT conv_id, turn_idx,
+           regexp_extract_all(text, '{rx}', 1) AS ns,
+           regexp_extract_all(text, '{rx}', 2) AS vs
+    FROM transcripts
+  ), unnest(range(1, len(ns) + 1)) AS u(i)
+)"""
+
+
 # N9/N10: quote strip + identifier sanitize (reference strips leading/
 # trailing quote chars everywhere spans are read, astExtractor.ts:1047,1100,
 # 1172, and sanitizes identifiers to [\w.$], astExtractor.ts:811-865). Pure

@@ -190,6 +190,22 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # N9/N10 cleanup probe: backtick-quoted token with an identifier-
         # illegal trailing char (quote strip + [^\w.$] sanitize fixture)
         marker(d % 18 == 5, F.lit(" raw:`Cls$"), s(d % 6), F.lit("!`")),
+        # S5 second manifest format: XML-ish dependency declarations parsed
+        # by REGEX (the reference's pom.xml/csproj mechanism,
+        # dependencyExtractor.ts:246-307 — regex over XML, not a DOM).
+        # Every other instance declares a second dep (ordinality at both
+        # list lengths).
+        marker(
+            d % 37 == 20,
+            F.lit(' pom:<dep name="lib_'),
+            s(d % 11),
+            F.lit('" ver="3.'),
+            s(d % 5),
+            F.lit('"/>'),
+            F.when(
+                d % 74 == 20, F.lit('<dep name="core" ver="1.0"/>')
+            ).otherwise(F.lit("")),
+        ),
         # S5/E12 structured-payload probe: a JSON manifest (schema-on-read
         # from_json extraction — reference dependencyExtractor parses
         # package manifests into typed dependency entities). Every other
@@ -308,6 +324,9 @@ transcripts AS (
               || '{{id:int,name:str' || (CASE WHEN doc_id % 26 = 7 THEN ',flag:bool' ELSE '' END) || '}}' ELSE '' END
       || CASE WHEN doc_id % 39 = 33 THEN ' type:Extra' || CAST(doc_id % 4 AS VARCHAR) || '{{a:int}}' ELSE '' END
       || CASE WHEN doc_id % 18 = 5 THEN ' raw:`Cls$' || CAST(doc_id % 6 AS VARCHAR) || '!`' ELSE '' END
+      || CASE WHEN doc_id % 37 = 20 THEN ' pom:<dep name="lib_' || CAST(doc_id % 11 AS VARCHAR)
+              || '" ver="3.' || CAST(doc_id % 5 AS VARCHAR) || '"/>'
+              || (CASE WHEN doc_id % 74 = 20 THEN '<dep name="core" ver="1.0"/>' ELSE '' END) ELSE '' END
       || CASE WHEN doc_id % 31 = 12 THEN ' manifest:{{"deps":[{{"n":"pkg_' || CAST(doc_id % 13 AS VARCHAR)
               || '","v":"1.' || CAST(doc_id % 4 AS VARCHAR) || '.0"}}'
               || (CASE WHEN doc_id % 62 = 43 THEN ',{{"n":"pkg_x","v":"2.0.0"}}' ELSE '' END) || ']}}' ELSE '' END
