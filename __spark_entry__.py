@@ -274,6 +274,12 @@ def q_embedding_near_dups(spark, sf_dir):
     )
 
 
+def q_contamination(spark, sf_dir):
+    """dd6: train/eval contamination check — distinct shared k-gram count
+    between every train doc and the (broadcast) eval subset."""
+    return D.contamination_pairs(_sh(spark, sf_dir))
+
+
 def q_fingerprints(spark, sf_dir):
     return T.fingerprints(_sh(spark, sf_dir))
 
@@ -753,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd4_simhash": q_simhash,
         "dd4b_simhash_near_dups": q_simhash_near_dups,
         "dd5_embedding_near_dups": q_embedding_near_dups,
+        "dd6_contamination": q_contamination,
         "tx1_lang_scores": q_lang_scores,
         "tx2_token_stats": q_token_stats,
         "tx3_fingerprints": q_fingerprints,
@@ -867,6 +874,9 @@ def oracle_sql() -> dict[str, str]:
         )
         + "\nSELECT a, b, hamming FROM simhash_pairs",
         "dd5_embedding_near_dups": S.embedding_near_dup_pairs_sql(),
+        "dd6_contamination": "WITH "
+        + ",\n".join([D.shingles_cte(), D.contamination_cte()])
+        + "\nSELECT train_doc_id, eval_doc_id, n_shared FROM contamination",
         "tx1_lang_scores": T.lang_scores_sql(),
         "tx2_token_stats": T.token_stats_sql(),
         "tx3_fingerprints": "WITH "

@@ -375,3 +375,47 @@ def simhash_cte() -> str:
   SELECT doc_id, {sim} AS simhash
   FROM (SELECT doc_id, COUNT(*) AS n, {bit_sums} FROM shingles GROUP BY doc_id)
 )"""
+
+
+def contamination_pairs(
+    sh: DataFrame, eval_filter: str = "doc_id % 101 = 7", min_shared: int = 2
+) -> DataFrame:
+    """Train/eval contamination check — the release gate a training corpus
+    runs against its benchmark/eval sets: for every (train doc, eval doc)
+    pair, count the DISTINCT word k-gram shingles they share; pairs at or
+    above ``min_shared`` are contamination candidates for removal or
+    decontamination review.
+
+    Scale shape: the eval side is a small curated set (benchmarks are
+    KB–MB, the corpus is TB) — broadcast it; the join is keyed by shingle,
+    never all-pairs, so per-shingle fan-out is bounded by the eval side's
+    occurrences of that shingle; the pair aggregation shuffles only rows
+    that actually matched. The shingle table is already distinct per
+    (doc, sh), so COUNT(*) is a distinct-shingle overlap count.
+
+    Output: (train_doc_id, eval_doc_id, n_shared)."""
+    ev = sh.filter(F.expr(eval_filter)).select(
+        F.col("doc_id").alias("eval_doc_id"), "sh"
+    )
+    tr = sh.filter(~F.expr(eval_filter)).select(
+        F.col("doc_id").alias("train_doc_id"), "sh"
+    )
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def contamination_cte(
+    eval_filter: str = "doc_id % 101 = 7", min_shared: int = 2
+) -> str:
+    """Expects the ``shingles`` CTE upstream."""
+    return f"""contamination AS (
+  SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM shingles t JOIN shingles e ON t.sh = e.sh
+  WHERE (e.{eval_filter}) AND NOT (t.{eval_filter})
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+)"""

@@ -768,18 +768,27 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
 
 
 def _encode_png(d: int) -> bytes:
-    """Deterministic REAL PNG: signature + IHDR + one zlib IDAT + IEND,
-    RGB8 non-interlaced, row filter type = y % 5 (all five exercised).
-    Filter math per spec 9.2 (vectorized: p-a = b-c, p-b = a-c,
-    p-c = a+b-2c for the Paeth distance terms)."""
-    import struct
-    import zlib
-
+    """Deterministic fixture PNG: closed-form pixels for doc ``d`` (the
+    oracle-checkable path) through the general array encoder."""
     import numpy as np
 
     w, h = _png_dims(d)
     y, x, c = np.ogrid[0:h, 0:w, 0:3]
     px = ((41 * d + 13 * y + 5 * x + 17 * c) % 256).astype(np.uint8)
+    return _encode_png_array(px)
+
+
+def _encode_png_array(px) -> bytes:
+    """REAL PNG encoder for ANY (h, w, 3) uint8 array: signature + IHDR +
+    one zlib IDAT + IEND, RGB8 non-interlaced, row filter type = y % 5
+    (all five exercised). Filter math per spec 9.2 (vectorized:
+    p-a = b-c, p-b = a-c, p-c = a+b-2c for the Paeth distance terms)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = px.shape
     bpp = 3
     raw = px.reshape(h, w * 3).astype(np.int16)
     out = bytearray()

@@ -12,6 +12,7 @@ run the same operations against this engine:
     python jobs/kg_tool.py impact --graph /tmp/kg --conv c3 --turn 2 --depth 3
     python jobs/kg_tool.py reset  --graph /tmp/kg --conv-prefix c3
     python jobs/kg_tool.py curate --docs .../documents.parquet --out /tmp/cur --report-pairs
+    python jobs/kg_tool.py ann    --embeddings .../embeddings.parquet --query-where "vec_id = 50" --index ivf
 """
 
 from __future__ import annotations
@@ -84,7 +85,14 @@ def cmd_query(args):
     router = QueryRouter(spark, sink.read("nodes"), sink.read("edges"))
     routed = router.route(args.prompt)
     rows = [r.asDict() for r in routed.df.collect()]
-    print(json.dumps({"template": routed.template, "rows": rows[:100]}, default=str))
+    # A10 result-count echo (reference prints "N results"): n_rows is the
+    # FULL result count even when the printed rows are truncated to 100
+    print(
+        json.dumps(
+            {"template": routed.template, "n_rows": len(rows), "rows": rows[:100]},
+            default=str,
+        )
+    )
     spark.stop()
 
 
@@ -182,6 +190,33 @@ def cmd_curate(args):
     spark.stop()
 
 
+def cmd_ann(args):
+    """Similarity-search surface (beyond the reference's tools): top-k
+    nearest neighbors for the given query vectors over an embeddings
+    parquet, via the chosen index (exact brute force, banded LSH, or IVF
+    with the k-means-refined fixed-C coarse quantizer)."""
+    import pyspark.sql.functions as F
+
+    from glasseenterprise_mcp_spark.operators import similarity as S
+
+    spark = _spark(args.master)
+    emb = spark.read.parquet(args.embeddings)
+    qf = F.expr(args.query_where)
+    if args.index == "exact":
+        df = S.brute_force_topk(emb, qf, k=args.k)
+    elif args.index == "lsh":
+        df = S.lsh_topk(emb, qf, k=args.k)
+    else:
+        df = S.ivf_topk(emb, qf, k=args.k, nprobe=args.nprobe)
+    rows = [
+        {"query_id": r.query_id, "neighbor_id": r.neighbor_id,
+         "rank": r.rank, "dot": r.dot}
+        for r in df.orderBy("query_id", "rank").collect()
+    ]
+    print(json.dumps({"index": args.index, "k": args.k, "results": rows}))
+    spark.stop()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--master", default="local[8]")
@@ -220,6 +255,15 @@ def main():
     p.add_argument("--min-quality", type=int, default=60)
     p.add_argument("--report-pairs", action="store_true")
     p.set_defaults(fn=cmd_curate)
+
+    p = sub.add_parser("ann")
+    p.add_argument("--embeddings", required=True, help="embeddings parquet path")
+    p.add_argument("--query-where", required=True,
+                   help="SQL predicate selecting query vectors, e.g. 'vec_id = 100'")
+    p.add_argument("--index", choices=["exact", "lsh", "ivf"], default="ivf")
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--nprobe", type=int, default=3)
+    p.set_defaults(fn=cmd_ann)
 
     args = ap.parse_args()
     # parse global --master even when placed before subcommand

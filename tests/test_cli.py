@@ -1,0 +1,53 @@
+"""User-surface (CLI) end-to-end: drive jobs/kg_tool.py as a real
+subprocess the way a user would — scan a corpus into a graph, query it,
+run ANN — and assert on the printed JSON contracts (A10 result-count echo,
+Q4 formatting, the beyond-reference ann surface)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+TOOL = REPO / "jobs" / "kg_tool.py"
+
+
+def _run(*args: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, str(TOOL), "--master", "local[4]", *args],
+        capture_output=True,
+        text=True,
+        check=True,
+        timeout=300,
+        cwd=REPO,
+    )
+    # last stdout line is the JSON contract (Spark banners go to stderr)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_scan_query_ann_roundtrip():
+    graph = tempfile.mkdtemp()
+
+    scan = _run(
+        "scan", "--input", "synth:/root/testdata/sf0.001", "--graph", graph
+    )
+    assert scan["nodes"] > 0 and scan["edges"] > 0
+
+    q = _run(
+        "query", "--graph", graph,
+        "SQL: SELECT pred, count(*) AS n FROM edges GROUP BY pred ORDER BY pred",
+    )
+    # Q4 formatting + A10 count echo: 4 predicate rows, counts > 0
+    assert q["n_rows"] == 4
+    preds = {r["pred"] for r in q["rows"]}
+    assert preds == {"mentions-in", "calls-tool", "replies-to", "refers-to"}
+
+    ann = _run(
+        "ann", "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--query-where", "vec_id = 50", "--index", "ivf", "--k", "3",
+    )
+    assert ann["index"] == "ivf" and len(ann["results"]) == 3
+    assert [r["rank"] for r in ann["results"]] == [1, 2, 3]

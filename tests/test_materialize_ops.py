@@ -290,3 +290,33 @@ def test_png_codec_roundtrip_and_malformed():
     )
     with pytest.raises(ValueError, match="filter"):
         _decode_png(bad)
+
+
+def test_png_codec_property_fuzz():
+    """Property: ANY (h, w, 3) uint8 image round-trips through the PNG
+    encoder/decoder bit-exactly (hypothesis-driven dims + content — covers
+    filter edge cases the fixture formula can't, e.g. saturated rows,
+    1-pixel-wide images where the left neighbor is always 0)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from glasseenterprise_mcp_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png_array,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=12),
+        h=st.integers(min_value=1, max_value=12),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def _roundtrip(w, h, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = _decode_png(_encode_png_array(px))
+        assert got.shape == (h, w, 3)
+        assert (got == px).all()
+
+    _roundtrip()

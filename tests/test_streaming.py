@@ -243,3 +243,49 @@ def test_watermarked_window_late_data(spark):
 
     got2 = {(r.win_start.hour, r.n) for r in spark.read.parquet(out).collect()}
     assert got2 == {(0, 2), (1, 1), (2, 1), (3, 1)}
+
+
+def test_dedup_stream_drops_in_watermark_dups(spark):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on md5(text)):
+    a cross-batch duplicate arriving within the watermark is dropped (state
+    persists through the checkpoint across availableNow restarts); distinct
+    texts all pass; the emitted set equals batch exact_dedup's canonical
+    rows for this bounded replay."""
+    import datetime as dt
+    import os
+
+    from glasseenterprise_mcp_spark.streaming.dedup_stream import (
+        run_dedup_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src, out, ckpt = (tempfile.mkdtemp() for _ in range(3))
+    schema = "doc_id long, text string, ts timestamp"
+    batch1 = [
+        (1, "alpha beta gamma", t0),
+        (2, "delta epsilon zeta", t0 + dt.timedelta(seconds=30)),
+        (3, "alpha beta gamma", t0 + dt.timedelta(seconds=60)),  # in-batch dup
+    ]
+    batch2 = [
+        (4, "alpha beta gamma", t0 + dt.timedelta(seconds=120)),  # x-batch dup
+        (5, "eta theta iota", t0 + dt.timedelta(seconds=150)),
+    ]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    q = run_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    q = run_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+
+    assert os.path.exists(out)
+    rows = spark.read.parquet(out).collect()
+    # exactly ONE representative per distinct text (in-batch the survivor
+    # is processing-order-dependent — doc 1 OR 3 — so assert the contract,
+    # not an ordering Spark does not promise) …
+    assert len(rows) == 3
+    assert {r.text for r in rows} == {
+        "alpha beta gamma", "delta epsilon zeta", "eta theta iota",
+    }
+    # … and the CROSS-batch duplicate (doc 4, within the watermark) must
+    # always lose to batch 1's representative already in state
+    assert 4 not in {r.doc_id for r in rows}
