@@ -292,6 +292,12 @@ def q_token_stats(spark, sf_dir):
     return T.token_stats(_docs(spark, sf_dir))
 
 
+def q_stratified_sample(spark, sf_dir):
+    """tx4: deterministic hash-gated stratified sampling (data mixing) —
+    reproducible and monotone in the per-stratum rate."""
+    return T.stratified_sample(_docs(spark, sf_dir))
+
+
 def q_curate_corpus(spark, sf_dir):
     """cur1: end-to-end curation decision (quality gate → near-dup
     keep-first) with per-document keep/reason."""
@@ -763,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx1_lang_scores": q_lang_scores,
         "tx2_token_stats": q_token_stats,
         "tx3_fingerprints": q_fingerprints,
+        "tx4_stratified_sample": q_stratified_sample,
         "cur1_corpus_curation": q_curate_corpus,
         "sim1_ann_bruteforce": q_ann_brute,
         "sim2_ann_lsh": q_ann_lsh,
@@ -882,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
         "tx3_fingerprints": "WITH "
         + ",\n".join([D.shingles_cte(), T.fingerprints_cte()])
         + "\nSELECT doc_id, fingerprint FROM fingerprints",
+        "tx4_stratified_sample": T.stratified_sample_sql(),
         "cur1_corpus_curation": "WITH "
         + ",\n".join([D.shingles_cte(), T.fingerprints_cte(), T.curate_corpus_cte()])
         + "\nSELECT doc_id, keep, reason FROM curated",

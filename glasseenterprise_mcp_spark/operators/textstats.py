@@ -215,3 +215,61 @@ def curate_corpus_cte(min_quality: int = 60) -> str:
               WHEN COALESCE(fp_rank, 1) > 1 THEN 'near-dup' ELSE 'kept' END AS reason
   FROM ts LEFT JOIN fp USING (doc_id)
 )"""
+
+
+# Deterministic stratified sampling — the data-mixing primitive a training
+# pipeline uses to rebalance language/source strata. Hash-gated, NOT
+# random: keep a document iff the first byte of md5(doc_id) is below the
+# stratum's rate (in 256ths). Properties a mixing pipeline relies on, both
+# by construction: (a) reproducible across runs/engines (no RNG state, no
+# partition-order dependence — contrast df.sample, whose output changes
+# with the split layout); (b) MONOTONE — raising a stratum's rate only
+# ADDS documents, so remixes are supersets and downstream caches stay
+# valid. The hex-string comparison (lexicographic on lowercase hex ==
+# byte order) is bit-identical in Spark and DuckDB.
+DEFAULT_MIX: dict[str, int] = {"en": 224, "es": 128, "de": 128, "fr": 96, "zh": 96}
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, int] | None = None,
+    default_rate: int = 64,
+) -> DataFrame:
+    """(doc_id, lang, bucket, rate): the kept sample. ``bucket`` is the
+    gating hash byte (hex) and ``rate`` the stratum's threshold — exposed
+    so the oracle checks the gate itself, not just the survivor set.
+    Narrow (one map, no shuffle)."""
+    rates = DEFAULT_MIX if rates is None else rates
+    bucket = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    rate_col = F.lit(f"{default_rate:02x}")
+    for lang, r in sorted(rates.items()):
+        rate_col = F.when(F.col("lang") == lang, F.lit(f"{r:02x}")).otherwise(
+            rate_col
+        )
+    return (
+        documents.select(
+            "doc_id",
+            "lang",
+            bucket.alias("bucket"),
+            rate_col.alias("rate"),
+        )
+        .filter(F.col("bucket") < F.col("rate"))
+    )
+
+
+def stratified_sample_sql(
+    rates: dict[str, int] | None = None, default_rate: int = 64
+) -> str:
+    rates = DEFAULT_MIX if rates is None else rates
+    arms = " ".join(
+        f"WHEN lang = '{lang}' THEN '{r:02x}'" for lang, r in sorted(rates.items())
+    )
+    return f"""
+SELECT doc_id, lang,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+       CASE {arms} ELSE '{default_rate:02x}' END AS rate
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      < CASE {arms} ELSE '{default_rate:02x}' END"""

@@ -511,3 +511,29 @@ def test_query_router_advanced_templates(spark):
     r.df.count()  # bipartite graph: no cycles expected, must run clean
     m.unpersist()
     edges.unpersist()
+
+
+def test_stratified_sample_monotone_and_reproducible(spark):
+    """tx4: raising a stratum's rate only ADDS documents (monotone — the
+    superset property data-mixing pipelines rely on for cache validity);
+    the sample is identical across repartitionings (hash-gated, no RNG /
+    partition-order dependence)."""
+    from glasseenterprise_mcp_spark.operators.textstats import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    low = {r.doc_id for r in stratified_sample(docs, {"en": 64}, 32).collect()}
+    high = {r.doc_id for r in stratified_sample(docs, {"en": 192}, 96).collect()}
+    assert low < high  # strict superset on this data
+    again = {
+        r.doc_id
+        for r in stratified_sample(docs.repartition(13), {"en": 64}, 32).collect()
+    }
+    assert again == low
+    # per-stratum rates actually differ: en keeps a higher share
+    sampled = stratified_sample(docs).groupBy("lang").count()
+    base = docs.groupBy("lang").count().withColumnRenamed("count", "total")
+    shares = {
+        r.lang: r["count"] / r.total
+        for r in sampled.join(base, "lang").collect()
+    }
+    assert shares["en"] > shares["zh"]
