@@ -292,6 +292,12 @@ def q_token_stats(spark, sf_dir):
     return T.token_stats(_docs(spark, sf_dir))
 
 
+def q_redact_mentions(spark, sf_dir):
+    """tx5: PII-style redaction report — every @-mention replaced by a
+    placeholder; oracle checks the md5 of the full rewritten text."""
+    return T.redact_mentions(_t(spark, sf_dir))
+
+
 def q_stratified_sample(spark, sf_dir):
     """tx4: deterministic hash-gated stratified sampling (data mixing) —
     reproducible and monotone in the per-stratum rate."""
@@ -770,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx2_token_stats": q_token_stats,
         "tx3_fingerprints": q_fingerprints,
         "tx4_stratified_sample": q_stratified_sample,
+        "tx5_redact_mentions": q_redact_mentions,
         "cur1_corpus_curation": q_curate_corpus,
         "sim1_ann_bruteforce": q_ann_brute,
         "sim2_ann_lsh": q_ann_lsh,
@@ -890,6 +897,10 @@ def oracle_sql() -> dict[str, str]:
         + ",\n".join([D.shingles_cte(), T.fingerprints_cte()])
         + "\nSELECT doc_id, fingerprint FROM fingerprints",
         "tx4_stratified_sample": T.stratified_sample_sql(),
+        "tx5_redact_mentions": O.oracle(
+            "SELECT conv_id, turn_idx, n_redactions, redacted_md5 FROM redacted",
+            T.redact_mentions_cte(),
+        ),
         "cur1_corpus_curation": "WITH "
         + ",\n".join([D.shingles_cte(), T.fingerprints_cte(), T.curate_corpus_cte()])
         + "\nSELECT doc_id, keep, reason FROM curated",

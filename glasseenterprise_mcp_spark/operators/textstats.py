@@ -273,3 +273,38 @@ SELECT doc_id, lang,
 FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
       < CASE {arms} ELSE '{default_rate:02x}' END"""
+
+
+# PII-style redaction over transcripts — the anonymization pass a
+# training-data pipeline runs before release: replace every @-mention
+# (the fixture's personal-identifier analogue) with a fixed placeholder
+# token, and report the redaction count plus an md5 of the redacted text
+# so the oracle checks the FULL rewritten string, not just the count.
+# Pure column expressions (regexp_replace + regexp_extract_all) — narrow,
+# JVM-side, no shuffle; the same regex is valid in Java and RE2.
+REDACT_RX = r"@[A-Za-z_][A-Za-z0-9_]*"
+REDACT_TOKEN = "@REDACTED"
+
+
+def redact_mentions(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, n_redactions, redacted_md5): per-turn redaction
+    report. Turns with no mention pass through with n_redactions = 0 and
+    the hash of the unchanged text (every turn gets a row — same
+    every-record-gets-a-decision contract as curate_corpus)."""
+    red = F.regexp_replace(F.col("text"), REDACT_RX, REDACT_TOKEN)
+    n = F.size(F.regexp_extract_all(F.col("text"), F.lit(REDACT_RX), 0))
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        n.cast("int").alias("n_redactions"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+def redact_mentions_cte() -> str:
+    return f"""redacted AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(regexp_extract_all(text, '{REDACT_RX}', 0)) AS INT) AS n_redactions,
+         md5(regexp_replace(text, '{REDACT_RX}', '{REDACT_TOKEN}', 'g')) AS redacted_md5
+  FROM transcripts
+)"""

@@ -189,3 +189,18 @@ def test_disjunctive_match_precedence(spark):
     )
     out = disjunctive_match(left, right, [("email", "r_email"), ("name", "r_name")])
     assert [(r.lid, r.rid, r.via) for r in out.collect()] == [("l1", "r1", 1)]
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """dd6: the eval side must broadcast (it is the small curated set) and
+    the shingle join must be a real equi join — no cartesian product, no
+    shuffle of the train side onto eval keys."""
+    from glasseenterprise_mcp_spark.operators.dedup import (
+        contamination_pairs,
+        shingles,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = _plan(contamination_pairs(shingles(docs)))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
