@@ -289,3 +289,71 @@ def test_dedup_stream_drops_in_watermark_dups(spark):
     # … and the CROSS-batch duplicate (doc 4, within the watermark) must
     # always lose to batch 1's representative already in state
     assert 4 not in {r.doc_id for r in rows}
+
+
+def test_incremental_components_equals_one_shot(spark):
+    """Incremental canonicalization invariant: after any sequence of
+    micro-batches, the persisted components table equals a one-shot CC
+    over the union of all edges ever seen — including the hard case where
+    a later batch BRIDGES two previously separate components (both must
+    relabel to the global min), while untouched components keep their
+    rows."""
+    from glasseenterprise_mcp_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from glasseenterprise_mcp_spark.streaming.incremental import (
+        incremental_components,
+    )
+
+    sink = GraphSink(spark, tempfile.mkdtemp())
+    b1 = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("x", "y")], ["subj", "obj"]
+    )
+    b2 = spark.createDataFrame(
+        [("b", "c"), ("e", "f")], ["subj", "obj"]  # bridge + new comp
+    )
+    incremental_components(spark, sink, b1)
+    after1 = {r.id: r.comp for r in sink.read("components").collect()}
+    assert after1 == {"a": "a", "b": "a", "c": "c", "d": "c", "x": "x", "y": "x"}
+
+    incremental_components(spark, sink, b2)
+    got = {r.id: r.comp for r in sink.read("components").collect()}
+    want = {
+        r.id: r.comp
+        for r in connected_components(
+            b1.unionByName(b2), src="subj", dst="obj"
+        ).collect()
+    }
+    assert got == want  # a,b,c,d → a (bridged); e,f → e; x,y untouched
+    assert got["x"] == "x" and got["d"] == "a"
+
+
+def test_incremental_update_maintains_components(spark, split_batches):
+    """End-to-end: two transcript deltas through incremental_update with
+    component maintenance on — the persisted components table must equal a
+    one-shot CC over the sink's final refers-to graph (which the edge-
+    parity test already pins to the batch pipeline's graph)."""
+    from glasseenterprise_mcp_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from glasseenterprise_mcp_spark.streaming.incremental import (
+        incremental_update,
+    )
+
+    _, a, b = split_batches
+    sink = GraphSink(spark, tempfile.mkdtemp())
+    incremental_update(spark, sink, a, "b1", with_components=True)
+    incremental_update(spark, sink, b, "b2", with_components=True)
+
+    refers = sink.read("edges").filter(F.col("pred") == "refers-to")
+    want = {
+        (bytes(r.id), bytes(r.comp))
+        for r in connected_components(
+            refers.select("subj", "obj"), src="subj", dst="obj"
+        ).collect()
+    }
+    got = {
+        (bytes(r.id), bytes(r.comp))
+        for r in sink.read("components").select("id", "comp").collect()
+    }
+    assert got == want and len(got) > 0
