@@ -22,7 +22,9 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Arrow batch size for the extract UDF: large enough to amortize per-batch
     # Python/Arrow overhead, small enough to bound batch memory for fat turns.
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
+        "SPARK_GRAFT_ARROW_BATCH", "10000"
+    ),
     # Broadcast threshold: small dims (tool/config/resource registries) are
     # broadcast; 32MB is conservative for 100TB-scale fact sides.
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
