@@ -292,6 +292,13 @@ def q_token_stats(spark, sf_dir):
     return T.token_stats(_docs(spark, sf_dir))
 
 
+def q_asof_join(spark, sf_dir):
+    """ev3: temporal AS-OF join (latest view at-or-before each click per
+    user) via the scalable union-and-carry window; oracle = DuckDB's
+    NATIVE ASOF LEFT JOIN (independent implementation)."""
+    return A.asof_join_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_redact_mentions(spark, sf_dir):
     """tx5: PII-style redaction report — every @-mention replaced by a
     placeholder; oracle checks the md5 of the full rewritten text."""
@@ -763,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev1_sessionize": q_sessionize,
         "ev2_tumbling_counts": q_tumbling_counts,
         # ---- entry 51+: plumbing variants + LLM-data-pipeline family ----
+        "ev3_asof_join": q_asof_join,
         "w4_tool_transitions": q_tool_transitions,
         "a8_mentions_by_type": q_mentions_by_type,
         "dd1_exact_dedup": q_exact_dedup,
@@ -959,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
             ).canonicalize_edges_cte("all_edges"),
         ),
         "ev2_tumbling_counts": A.tumbling_event_counts_sql(),
+        "ev3_asof_join": A.asof_join_events_sql(),
         "j6_queries_table": O.oracle(
             "SELECT split_part(norm, '.', 1) AS tbl, "
             "CAST(COUNT(DISTINCT (conv_id, turn_idx)) AS BIGINT) AS n_turns, "

@@ -538,3 +538,81 @@ def new_entities_cte() -> str:
   early AS (SELECT DISTINCT norm FROM e WHERE turn_idx <= mid)
   SELECT l.norm FROM late l ANTI JOIN early x ON l.norm = x.norm
 )"""
+
+
+def asof_join_events(events: DataFrame) -> DataFrame:
+    """AS-OF JOIN — the temporal operator Spark lacks natively (the brief's
+    canonical custom-operator example): for every 'click' event, the
+    LATEST 'view' event of the same user at-or-before the click's
+    timestamp (funnel attribution).
+
+    Implementation is the scalable union-and-carry formulation, NOT a
+    range join: tag views 0 / clicks 1, union, ONE window per user ordered
+    by (ts, tag) carrying last_value(view cols, ignoreNulls) — a single
+    shuffle on user_id and a linear per-user scan. A range-join
+    formulation (views ⋈ clicks ON user ∧ v.ts ≤ c.ts → max per click)
+    multiplies every click by ALL its preceding views before aggregating —
+    quadratic per hot user; the carry form costs each user exactly its own
+    event count. Tag orders views BEFORE clicks at equal ts, making the
+    join at-or-before inclusive (same tie rule as DuckDB's native ASOF,
+    which is the oracle — an INDEPENDENT implementation, not a
+    re-derivation).
+
+    Output: (click_id, user_id, click_ts, view_id nullable, view_ts
+    nullable) with epochs as BIGINT seconds."""
+    ev = events.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("ts_s"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("v_id"),
+        F.col("ts_s").alias("v_ts"),
+        F.lit(None).cast("long").alias("c_id"),
+        F.lit(None).cast("long").alias("c_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("v_id"),
+        F.lit(None).cast("long").alias("v_ts"),
+        F.col("event_id").alias("c_id"),
+        F.col("ts_s").alias("c_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = views.unionByName(clicks).select(
+        "user_id",
+        "tag",
+        "c_id",
+        "c_ts",
+        F.last("v_id", ignorenulls=True).over(w).alias("view_id"),
+        F.last("v_ts", ignorenulls=True).over(w).alias("view_ts"),
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        F.col("c_id").alias("click_id"),
+        "user_id",
+        F.col("c_ts").alias("click_ts"),
+        "view_id",
+        "view_ts",
+    )
+
+
+def asof_join_events_sql() -> str:
+    """Oracle: DuckDB's NATIVE ASOF LEFT JOIN — a genuinely independent
+    implementation of the same semantics (greatest v.ts ≤ c.ts per user)."""
+    return """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     views  AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT c.event_id AS click_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts,
+       v.event_id AS view_id,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts"""

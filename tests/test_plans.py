@@ -204,3 +204,20 @@ def test_contamination_broadcasts_eval_side(spark):
     plan = _plan(contamination_pairs(shingles(docs)))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_window_carry_not_range_join(spark):
+    """ev3: the as-of join must compile to the union-and-carry shape — a
+    Window over ONE hash exchange on user_id, with NO join operator in the
+    plan at all (a range-join formulation would multiply every click by
+    all its preceding views — quadratic per hot user)."""
+    from glasseenterprise_mcp_spark.operators.analytics import asof_join_events
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    plan = _plan(asof_join_events(ev))
+    assert "Window" in plan
+    for join_op in (
+        "SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+        "BroadcastNestedLoopJoin", "ShuffledHashJoin",
+    ):
+        assert join_op not in plan, join_op
