@@ -299,6 +299,19 @@ def q_asof_join(spark, sf_dir):
     return A.asof_join_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_hypertable_rollup(spark, sf_dir):
+    """ev4: hierarchical hour→day→week continuous-aggregate rollup; the
+    flat-from-raw oracle proves the reaggregation identity."""
+    return A.hypertable_rollup(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """sk1: KMV distinct-count sketch per event_type (deterministic md5
+    hash, salted two-phase k-minima merge, integer estimator) with the
+    exact count alongside."""
+    return A.kmv_distinct(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_redact_mentions(spark, sf_dir):
     """tx5: PII-style redaction report — every @-mention replaced by a
     placeholder; oracle checks the md5 of the full rewritten text."""
@@ -771,6 +784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev2_tumbling_counts": q_tumbling_counts,
         # ---- entry 51+: plumbing variants + LLM-data-pipeline family ----
         "ev3_asof_join": q_asof_join,
+        "ev4_hypertable_rollup": q_hypertable_rollup,
+        "sk1_kmv_distinct": q_kmv_distinct,
         "w4_tool_transitions": q_tool_transitions,
         "a8_mentions_by_type": q_mentions_by_type,
         "dd1_exact_dedup": q_exact_dedup,
@@ -968,6 +983,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ev2_tumbling_counts": A.tumbling_event_counts_sql(),
         "ev3_asof_join": A.asof_join_events_sql(),
+        "ev4_hypertable_rollup": A.hypertable_rollup_sql(),
+        "sk1_kmv_distinct": A.kmv_distinct_sql(),
         "j6_queries_table": O.oracle(
             "SELECT split_part(norm, '.', 1) AS tbl, "
             "CAST(COUNT(DISTINCT (conv_id, turn_idx)) AS BIGINT) AS n_turns, "

@@ -616,3 +616,172 @@ SELECT c.event_id AS click_id, c.user_id,
        CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts
 FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND v.ts <= c.ts"""
+
+
+def hypertable_rollup(events: DataFrame) -> DataFrame:
+    """Multi-resolution time-bucket rollup — the hypertable /
+    continuous-aggregate pattern (the brief's named example): HOUR buckets
+    aggregate raw events; DAY buckets reaggregate the HOURLY partials;
+    WEEK buckets reaggregate the DAILY partials. Raw data is touched
+    exactly once — each higher level reads ~24x / 7x fewer rows than the
+    one below, which is what makes refreshing a year of rollups at 100TB a
+    cascade of tiny aggregations instead of three full scans.
+
+    Values are summed as integer cents (round(value·100)), so the
+    hierarchical reaggregation is EXACT at any nesting depth — summing
+    doubles level-by-level would drift in the last bits vs a flat sum and
+    break the oracle, which computes every level FLAT from raw: equality
+    therefore proves the reaggregation identity itself (sum of hourly
+    partials == direct day aggregate), not just the arithmetic. Weeks are
+    epoch-aligned (floor(day/604800)), documented rather than ISO.
+
+    Output: (level ∈ {hour,day,week}, bucket_start epoch-seconds,
+    event_type, n, sum_cents)."""
+    base = events.select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long").alias("b"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    hourly = base.groupBy("b", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    daily = (
+        hourly.withColumn("b", (F.floor(F.col("b") / 86400) * 86400).cast("long"))
+        .groupBy("b", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+    )
+    weekly = (
+        daily.withColumn("b", (F.floor(F.col("b") / 604800) * 604800).cast("long"))
+        .groupBy("b", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+    def lvl(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("level"),
+            F.col("b").alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+
+    return lvl(hourly, "hour").unionByName(lvl(daily, "day")).unionByName(
+        lvl(weekly, "week")
+    )
+
+
+def hypertable_rollup_sql() -> str:
+    """Oracle: every level computed FLAT from the raw table (no cascade) —
+    equality with the engine's hierarchical form proves the reaggregation
+    identity."""
+    base = (
+        "SELECT event_type,"
+        " CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS h,"
+        " CAST(round(value * 100) AS BIGINT) AS cents FROM events"
+    )
+    def flat(bucket: str, name: str) -> str:
+        return (
+            f"SELECT '{name}' AS level, {bucket} AS bucket_start, event_type,"
+            " CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents"
+            f" FROM base GROUP BY 2, 3"
+        )
+    day = "CAST(floor(h / 86400) * 86400 AS BIGINT)"
+    week = "CAST(floor(floor(h / 86400) * 86400 / 604800) * 604800 AS BIGINT)"
+    return (
+        f"WITH base AS ({base})\n"
+        + flat("h", "hour")
+        + "\nUNION ALL "
+        + flat(day, "day")
+        + "\nUNION ALL "
+        + flat(week, "week")
+    )
+
+
+KMV_K = 16
+KMV_SALT = 8
+
+
+def kmv_distinct(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event_type — the
+    mergeable cardinality sketch family (HLL's simpler cousin) with a
+    DETERMINISTIC hash so the sketch itself is oracle-checkable: hash each
+    user_id to a 32-bit value (md5 prefix), keep the k smallest DISTINCT
+    hashes, estimate distinct ≈ (k-1)·2³² / kth_min (the classic KMV
+    estimator — uniform order statistics).
+
+    Scale shape (the salted two-phase kernel, same pattern as
+    two_phase_count): stage 1 computes per-(type, salt) k-minima — each
+    reducer holds only its salt bucket's distinct hashes; stage 2 merges
+    the ≤ salt·k survivors per type. No global sort, no unpartitioned
+    window; sketches merge associatively, which is exactly why KMV works
+    as a distributed/streaming accumulator.
+
+    Output: (event_type, kth_hash, est_distinct, exact_distinct) — the
+    exact count rides along so the estimator's error is visible; all
+    arithmetic is integer (div, not floats) for oracle parity."""
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    dh = events.select("event_type", h.alias("h")).distinct()
+    stage1 = (
+        dh.withColumn("salt", (F.col("h") % KMV_SALT).cast("int"))
+        .groupBy("event_type", "salt")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("mins"))
+    )
+    merged = (
+        stage1.select("event_type", F.explode("mins").alias("h"))
+        .groupBy("event_type")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("mins"))
+    )
+    kth = F.element_at("mins", k)
+    est = F.when(
+        F.size("mins") >= k,
+        F.expr(f"CAST(({k} - 1) * 4294967296 AS BIGINT) div element_at(mins, {k})"),
+    ).otherwise(F.size("mins").cast("long"))
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        merged.select(
+            "event_type",
+            kth.cast("long").alias("kth_hash"),
+            est.cast("long").alias("est_distinct"),
+        )
+        .join(exact, "event_type")
+    )
+
+
+def kmv_distinct_sql(k: int = KMV_K) -> str:
+    """Oracle: flat k smallest distinct hashes per type + the same integer
+    estimator (// = the engine's div)."""
+    return f"""
+WITH dh AS (
+  SELECT DISTINCT event_type,
+         CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM events
+), mins AS (
+  SELECT event_type, list_sort(list(h))[1:{k}] AS mins
+  FROM (SELECT event_type, h FROM dh) GROUP BY event_type
+), est AS (
+  SELECT event_type,
+         CAST(mins[{k}] AS BIGINT) AS kth_hash,
+         CAST(CASE WHEN len(mins) >= {k}
+              THEN ({k} - 1) * 4294967296 // mins[{k}]
+              ELSE len(mins) END AS BIGINT) AS est_distinct
+  FROM mins
+)
+SELECT e.event_type, e.kth_hash, e.est_distinct,
+       CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+FROM est e JOIN (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+) x USING (event_type)"""

