@@ -34,15 +34,38 @@ def _spark(master=None):
 
 
 def cmd_scan(args):
+    from functools import reduce
+
+    import pyspark.sql.functions as F
+
     from glasseenterprise_mcp_spark.operators.materialize import GraphSink
     from glasseenterprise_mcp_spark.pipeline import run_pipeline
     from glasseenterprise_mcp_spark.sources.transcripts import derive_transcripts
 
     spark = _spark(args.master)
-    if args.input.startswith("synth:"):
-        t = derive_transcripts(spark, args.input[len("synth:"):])
+
+    def _load(inp: str):
+        if inp.startswith("synth:"):
+            return derive_transcripts(spark, inp[len("synth:"):])
+        return spark.read.parquet(inp)
+
+    inputs = args.input
+    if len(inputs) == 1:
+        t = _load(inputs[0])
     else:
-        t = spark.read.parquet(args.input)
+        # S12 multi-root co-ingest (reference scans N roots in ONE pass so
+        # cross-root links form): union all roots in a single job — the
+        # global linking shuffle sees every root. Conversation ids are
+        # namespaced per root ("rt<i>:") so two roots' c0 never merge.
+        t = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                _load(inp).withColumn(
+                    "conv_id", F.concat(F.lit(f"rt{i}:"), F.col("conv_id"))
+                )
+                for i, inp in enumerate(inputs)
+            ],
+        )
     sink = GraphSink(spark, args.graph)
     res = run_pipeline(spark, t, sink=sink, snapshot_version=args.snapshot)
     summary = {
@@ -223,7 +246,10 @@ def main():
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("scan")
-    p.add_argument("--input", required=True)
+    p.add_argument(
+        "--input", required=True, action="append",
+        help="repeatable: N roots co-ingest in ONE job (S12) so cross-root links form",
+    )
     p.add_argument("--graph", required=True)
     p.add_argument("--snapshot", default=None)
     p.set_defaults(fn=cmd_scan)

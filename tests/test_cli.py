@@ -51,3 +51,42 @@ def test_cli_scan_query_ann_roundtrip():
     )
     assert ann["index"] == "ivf" and len(ann["results"]) == 3
     assert [r["rank"] for r in ann["results"]] == [1, 2, 3]
+
+
+def test_cli_multi_root_scan_forms_cross_root_links():
+    """S12 multi-root co-ingest: two roots scanned in ONE job produce a
+    single graph whose conversations are namespaced per root, and whose
+    refers-to linking joined ACROSS roots (a consumed url in one root can
+    match an endpoint provided by the other — the reason the reference
+    scans all roots in one pass)."""
+    graph = tempfile.mkdtemp()
+    scan = _run(
+        "scan",
+        "--input", "synth:/root/testdata/sf0.001",
+        "--input", "synth:/root/testdata/sf0.001",
+        "--graph", graph,
+    )
+    assert scan["nodes"] > 0 and scan["edges"] > 0
+
+    q = _run(
+        "query", "--graph", graph,
+        "SQL: SELECT count(*) AS n FROM edges WHERE pred = 'refers-to'",
+    )
+    # identical roots define identical url/resource entities, so the
+    # linking dedups to EXACTLY the single-root link set (the stable-id
+    # contract: re-ingesting the same content adds no edges) …
+    assert q["rows"][0]["n"] == 155
+
+    # … while per-conversation state is namespaced per root: both roots'
+    # conversation families exist side by side
+    q2 = _run(
+        "query", "--graph", graph,
+        "SQL: SELECT count(*) AS n FROM nodes "
+        "WHERE type = 'conversation' AND name LIKE 'rt1:%'",
+    )
+    q0 = _run(
+        "query", "--graph", graph,
+        "SQL: SELECT count(*) AS n FROM nodes WHERE type = 'conversation'",
+    )
+    assert q2["rows"][0]["n"] > 0
+    assert q0["rows"][0]["n"] == 2 * q2["rows"][0]["n"]
