@@ -553,3 +553,50 @@ def test_kmv_sketch_accuracy(spark):
         assert abs(r.est_distinct - r.exact_distinct) / r.exact_distinct < 0.3, (
             r.event_type, r.est_distinct, r.exact_distinct,
         )
+
+
+def test_query_router_never_throws_on_arbitrary_prompts(spark):
+    """Q2/Q3 robustness: the NL router must route ANY non-SQL prompt to a
+    runnable plan — arbitrary unicode, regex metacharacters, quotes, empty
+    and whitespace-only strings (the fallback tokenizer and the template
+    regexes must never raise, and the routed plan must execute)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from glasseenterprise_mcp_spark.operators.extract import extract_mentions
+    from glasseenterprise_mcp_spark.operators.link import mentions_in_edges
+    from glasseenterprise_mcp_spark.operators.materialize import (
+        build_edges,
+        build_nodes,
+    )
+    from glasseenterprise_mcp_spark.plans.query_router import QueryRouter
+    from glasseenterprise_mcp_spark.sources.transcripts import derive_transcripts
+
+    from .conftest import SF_SMALL
+
+    t = derive_transcripts(spark, SF_SMALL)
+    m = extract_mentions(t).cache()
+    nodes = build_nodes(t, m, "s").cache()
+    edges = build_edges([mentions_in_edges(m).drop("subj_kind")], "s").cache()
+    router = QueryRouter(spark, nodes, edges)
+
+    # deterministic adversarial corpus (fast path — each .route() builds a
+    # plan; executing all of them would dominate the suite)
+    adversarial = [
+        "", "   ", "\n\t", "((((", "[a-z]+(", "'; DROP TABLE nodes; --",
+        '"quoted"', "\\", "a" * 5000, "什么调用了 tool_1", "🤖🤖🤖",
+        "sqlish but not a passthrough", "which turns call tool .*",
+    ]
+    for p in adversarial:
+        routed = router.route(p)
+        routed.df.count()  # the plan must actually execute
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.text(max_size=80))
+    def _fuzz(prompt):
+        if prompt.strip().upper().startswith("SQL:"):
+            return  # passthrough executes raw SQL by contract
+        router.route(prompt)  # building the plan must never raise
+
+    _fuzz()
+    m.unpersist(); nodes.unpersist(); edges.unpersist()
