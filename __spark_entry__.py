@@ -305,6 +305,14 @@ def q_hypertable_rollup(spark, sf_dir):
     return A.hypertable_rollup(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """tx6: GPT-style sequence packing — global token-offset placement via
+    a TWO-PHASE distributed prefix sum (range partition → per-partition
+    totals → broadcast base offsets → intra-partition cumsum); oracle is
+    the single global window, proving the decomposition exact."""
+    return T.pack_sequences(_docs(spark, sf_dir))
+
+
 def q_kmv_distinct(spark, sf_dir):
     """sk1: KMV distinct-count sketch per event_type (deterministic md5
     hash, salted two-phase k-minima merge, integer estimator) with the
@@ -786,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev3_asof_join": q_asof_join,
         "ev4_hypertable_rollup": q_hypertable_rollup,
         "sk1_kmv_distinct": q_kmv_distinct,
+        "tx6_pack_sequences": q_pack_sequences,
         "w4_tool_transitions": q_tool_transitions,
         "a8_mentions_by_type": q_mentions_by_type,
         "dd1_exact_dedup": q_exact_dedup,
@@ -985,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         "ev3_asof_join": A.asof_join_events_sql(),
         "ev4_hypertable_rollup": A.hypertable_rollup_sql(),
         "sk1_kmv_distinct": A.kmv_distinct_sql(),
+        "tx6_pack_sequences": T.pack_sequences_sql(),
         "j6_queries_table": O.oracle(
             "SELECT split_part(norm, '.', 1) AS tbl, "
             "CAST(COUNT(DISTINCT (conv_id, turn_idx)) AS BIGINT) AS n_turns, "

@@ -308,3 +308,86 @@ def redact_mentions_cte() -> str:
          md5(regexp_replace(text, '{REDACT_RX}', '{REDACT_TOKEN}', 'g')) AS redacted_md5
   FROM transcripts
 )"""
+
+
+# Sequence packing — the pretraining batch-prep op: documents are
+# concatenated in global doc_id order and cut into fixed ctx-token bins
+# (docs may span bin boundaries — the standard packed-pretraining layout).
+# Each document's placement is a pure function of the EXCLUSIVE prefix sum
+# of token counts, so the operator is really "distributed prefix sum done
+# right": a naive single window ORDER BY doc_id funnels the whole corpus
+# through ONE task (the r3 top_entities anti-pattern at 10^9 docs); here
+# the cumsum is two-phase —
+#   stage 1: range-partition by doc_id, per-partition token totals (P tiny
+#            rows) collected and turned into per-partition base offsets
+#            (the only driver step: P = shuffle-partition count, a
+#            size-bounded scheduler constant, NOT data-dependent);
+#   stage 2: intra-partition exclusive cumsum (window partitioned BY the
+#            range-partition id — each sort is one partition's rows) plus
+#            the broadcast base offset.
+# The oracle computes the same placement with DuckDB's global window — the
+# equality proves the two-phase decomposition exact.
+PACK_CTX = 512
+
+
+def pack_sequences(documents: DataFrame, ctx: int = PACK_CTX) -> DataFrame:
+    """(doc_id, n_tokens, start_tok, first_bin, last_bin): global packed
+    placement of every document at ctx-token bin width."""
+    n = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    d = documents.select("doc_id", n.alias("n_tokens"))
+    d = d.repartitionByRange(max(d.sparkSession.sparkContext.defaultParallelism, 1), "doc_id")
+    d = d.withColumn("_pid", F.spark_partition_id())
+
+    # stage 1: per-partition totals -> exclusive base offsets (P rows)
+    parts = d.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
+    base, acc = {}, 0
+    for r in sorted(parts, key=lambda r: r._pid):
+        base[r._pid] = acc
+        acc += r.t
+    if base:
+        base_col = F.create_map(
+            *[F.lit(x) for kv in sorted(base.items()) for x in kv]
+        )[F.col("_pid")]
+    else:  # empty corpus: no partitions reported; offset is trivially 0
+        base_col = F.lit(0)
+
+    # stage 2: intra-partition exclusive cumsum + broadcast base
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + base_col
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        start.cast("long").alias("start_tok"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        F.expr(f"start_tok div {ctx}").cast("long").alias("first_bin"),
+        F.expr(f"(start_tok + greatest(n_tokens - 1, 0)) div {ctx}")
+        .cast("long")
+        .alias("last_bin"),
+    )
+
+
+def pack_sequences_sql(ctx: int = PACK_CTX) -> str:
+    """Oracle: the single global window (fine at oracle scale) — equality
+    with the engine's two-phase prefix sum proves the decomposition."""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {ctx} AS BIGINT) AS first_bin,
+       CAST((COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + GREATEST(n_tokens - 1, 0)) // {ctx} AS BIGINT) AS last_bin
+FROM d"""

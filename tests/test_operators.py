@@ -600,3 +600,33 @@ def test_query_router_never_throws_on_arbitrary_prompts(spark):
 
     _fuzz()
     m.unpersist(); nodes.unpersist(); edges.unpersist()
+
+
+def test_pack_sequences_contiguous_and_distributed(spark):
+    """tx6: (a) packed placement is CONTIGUOUS — in global doc_id order
+    each document starts exactly where the previous one ended (the
+    concat-and-chunk contract), ending at the corpus token total; (b) the
+    plan's window is partitioned (two-phase prefix sum), never an
+    unpartitioned global ORDER BY funneling the corpus through one task."""
+    from glasseenterprise_mcp_spark.operators.textstats import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = pack_sequences(docs)
+    rows = sorted(out.collect(), key=lambda r: r.doc_id)
+    pos = 0
+    for r in rows:
+        assert r.start_tok == pos, (r.doc_id, r.start_tok, pos)
+        assert r.first_bin == r.start_tok // 512
+        pos += r.n_tokens
+    assert pos == sum(r.n_tokens for r in rows)
+
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    # every Window node must carry a partition spec (the _pid column);
+    # an unpartitioned global-sort window would read "Window [...], [...]"
+    # with an empty partition list
+    for m in re.finditer(r"\(\d+\) Window\n(.*?)(?=\n\(\d+\))", plan, re.S):
+        assert "_pid" in m.group(1), m.group(1)
