@@ -336,7 +336,12 @@ def pack_sequences(documents: DataFrame, ctx: int = PACK_CTX) -> DataFrame:
     n = F.size(F.split(F.col("text"), r"\s+")).cast("long")
     d = documents.select("doc_id", n.alias("n_tokens"))
     d = d.repartitionByRange(max(d.sparkSession.sparkContext.defaultParallelism, 1), "doc_id")
-    d = d.withColumn("_pid", F.spark_partition_id())
+    # Materialize ONCE: repartitionByRange SAMPLES its boundaries per job,
+    # so without pinning, the stage-1 totals job and the stage-2 window job
+    # could see DIFFERENT partition layouts — the broadcast base offsets
+    # would then be keyed to stale pids (observed at sf0.1: 62% of bins
+    # shifted). The checkpoint freezes the layout both stages read.
+    d = d.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
 
     # stage 1: per-partition totals -> exclusive base offsets (P rows)
     parts = d.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
