@@ -280,6 +280,31 @@ def q_contamination(spark, sf_dir):
     return D.contamination_pairs(_sh(spark, sf_dir))
 
 
+def q_dup_clusters(spark, sf_dir):
+    """dd7: duplicate CLUSTERS — the dedup endgame. Near-dup pairs are only
+    half the job: transitively-linked docs (A~B, B~C) must collapse into
+    one group with one canonical survivor. Composes the engine's own
+    operators: SimHash banded pairs → iterative connected components →
+    min-id canonical + cluster size. Only clustered docs appear (singletons
+    need no decision)."""
+    from glasseenterprise_mcp_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    pairs = D.simhash_near_dups(_sh(spark, sf_dir)).select(
+        F.col("a").alias("subj"), F.col("b").alias("obj")
+    )
+    comp = connected_components(pairs, src="subj", dst="obj")
+    sizes = comp.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return comp.join(sizes, "comp").select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("canonical_doc_id"),
+        "cluster_size",
+    )
+
+
 def q_fingerprints(spark, sf_dir):
     return T.fingerprints(_sh(spark, sf_dir))
 
@@ -804,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd4b_simhash_near_dups": q_simhash_near_dups,
         "dd5_embedding_near_dups": q_embedding_near_dups,
         "dd6_contamination": q_contamination,
+        "dd7_dup_clusters": q_dup_clusters,
         "tx1_lang_scores": q_lang_scores,
         "tx2_token_stats": q_token_stats,
         "tx3_fingerprints": q_fingerprints,
@@ -923,6 +949,24 @@ def oracle_sql() -> dict[str, str]:
         "dd6_contamination": "WITH "
         + ",\n".join([D.shingles_cte(), D.contamination_cte()])
         + "\nSELECT train_doc_id, eval_doc_id, n_shared FROM contamination",
+        "dd7_dup_clusters": "WITH "
+        + ",\n".join(
+            [
+                D.shingles_cte(),
+                D.simhash_cte(),
+                D.simhash_near_dups_cte(),
+                "dup_edges AS (SELECT a AS subj, b AS obj FROM simhash_pairs)",
+                __import__(
+                    "glasseenterprise_mcp_spark.operators.canonicalize",
+                    fromlist=["x"],
+                ).connected_components_cte("dup_edges"),
+                "sizes AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size"
+                " FROM cc GROUP BY comp)",
+            ]
+        )
+        + "\nSELECT CAST(cc.id AS BIGINT) AS doc_id,"
+        " CAST(cc.comp AS BIGINT) AS canonical_doc_id, sizes.cluster_size"
+        " FROM cc JOIN sizes USING (comp)",
         "tx1_lang_scores": T.lang_scores_sql(),
         "tx2_token_stats": T.token_stats_sql(),
         "tx3_fingerprints": "WITH "
