@@ -357,6 +357,13 @@ def q_stratified_sample(spark, sf_dir):
     return T.stratified_sample(_docs(spark, sf_dir))
 
 
+def q_prepare_manifest(spark, sf_dir):
+    """cur2: the composed training manifest — quality → near-dup →
+    contamination → sampling precedence, packed placement over survivors;
+    one oracle chains every gate's CTE twin."""
+    return T.prepare_manifest(_docs(spark, sf_dir), _sh(spark, sf_dir))
+
+
 def q_curate_corpus(spark, sf_dir):
     """cur1: end-to-end curation decision (quality gate → near-dup
     keep-first) with per-document keep/reason."""
@@ -836,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx4_stratified_sample": q_stratified_sample,
         "tx5_redact_mentions": q_redact_mentions,
         "cur1_corpus_curation": q_curate_corpus,
+        "cur2_prepare_manifest": q_prepare_manifest,
         "sim1_ann_bruteforce": q_ann_brute,
         "sim2_ann_lsh": q_ann_lsh,
         "sim3_ann_ivf": q_ann_ivf,
@@ -980,6 +988,17 @@ def oracle_sql() -> dict[str, str]:
         "cur1_corpus_curation": "WITH "
         + ",\n".join([D.shingles_cte(), T.fingerprints_cte(), T.curate_corpus_cte()])
         + "\nSELECT doc_id, keep, reason FROM curated",
+        "cur2_prepare_manifest": "WITH "
+        + ",\n".join(
+            [
+                D.shingles_cte(),
+                T.fingerprints_cte(),
+                T.curate_corpus_cte(),
+                D.contamination_cte(),
+                T.prepare_manifest_sql(),
+            ]
+        )
+        + "\nSELECT doc_id, status, start_tok, first_bin FROM manifest",
         "sim1_ann_bruteforce": S.brute_force_topk_sql(ANN_QUERY_WHERE),
         "sim2_ann_lsh": S.lsh_topk_sql(ANN_QUERY_WHERE),
         "sim3_ann_ivf": S.ivf_topk_sql(ANN_QUERY_WHERE),

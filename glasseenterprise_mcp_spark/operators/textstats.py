@@ -396,3 +396,106 @@ SELECT doc_id, n_tokens,
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             + GREATEST(n_tokens - 1, 0)) // {ctx} AS BIGINT) AS last_bin
 FROM d"""
+
+
+def prepare_manifest(
+    documents: DataFrame,
+    sh: DataFrame,
+    min_quality: int = 60,
+    rates: dict[str, int] | None = None,
+    default_rate: int = 64,
+    ctx: int = PACK_CTX,
+) -> DataFrame:
+    """The composed end-to-end training-data product: one pass that takes a
+    raw corpus to a TRAINING MANIFEST — per document, the first failing
+    gate (quality → near-dup → contamination → sampling, in that
+    precedence) or 'kept', and for kept documents their packed placement
+    (start token offset + first ctx-bin) over the surviving set.
+
+    Composes the already-gated operators verbatim (curate_corpus,
+    contamination_pairs, stratified_sample, pack_sequences), so the oracle
+    chains their CTE twins; precedence is mirrored exactly. Shape at
+    scale: each gate is the underlying operator's shape; the packing runs
+    over survivors only.
+
+    Output: (doc_id, status ∈ {'low-quality','near-dup','contaminated',
+    'not-sampled','kept'}, start_tok, first_bin — NULL unless kept)."""
+    from .dedup import contamination_pairs
+
+    decisions = curate_corpus(documents, sh, min_quality).select(
+        "doc_id", F.col("reason").alias("cur_reason")
+    )
+    contam = (
+        contamination_pairs(sh)
+        .select(F.col("train_doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+    sampled = (
+        stratified_sample(documents, rates, default_rate)
+        .select("doc_id")
+        .withColumn("is_sampled", F.lit(True))
+    )
+    status = (
+        F.when(F.col("cur_reason") != "kept", F.col("cur_reason"))
+        .when(F.coalesce(F.col("is_contam"), F.lit(False)), F.lit("contaminated"))
+        .when(~F.coalesce(F.col("is_sampled"), F.lit(False)), F.lit("not-sampled"))
+        .otherwise(F.lit("kept"))
+    )
+    flags = (
+        documents.select("doc_id")
+        .join(decisions, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(sampled, "doc_id", "left")
+        .select("doc_id", status.alias("status"))
+    )
+    kept = documents.join(
+        flags.filter(F.col("status") == "kept").select("doc_id"), "doc_id"
+    )
+    packed = pack_sequences(kept, ctx).select("doc_id", "start_tok", "first_bin")
+    return flags.join(packed, "doc_id", "left").select(
+        "doc_id", "status", "start_tok", "first_bin"
+    )
+
+
+def prepare_manifest_sql(
+    min_quality: int = 60,
+    rates: dict[str, int] | None = None,
+    default_rate: int = 64,
+    ctx: int = PACK_CTX,
+) -> str:
+    """Oracle: the same precedence chained over the operators' CTE twins
+    (expects ``shingles``/``fingerprints``/``curated``/``contamination``
+    upstream); packing over survivors via the single global window."""
+    rates = DEFAULT_MIX if rates is None else rates
+    arms = " ".join(
+        f"WHEN lang = '{lang}' THEN '{r:02x}'" for lang, r in sorted(rates.items())
+    )
+    rate_case = f"CASE {arms} ELSE '{default_rate:02x}' END"
+    return f"""manifest AS (
+  WITH flags AS (
+    SELECT d.doc_id,
+           CASE WHEN c.reason <> 'kept' THEN c.reason
+                WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+                WHEN NOT (substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < {rate_case})
+                     THEN 'not-sampled'
+                ELSE 'kept' END AS status
+    FROM documents d
+    JOIN curated c USING (doc_id)
+    LEFT JOIN (SELECT DISTINCT train_doc_id AS doc_id FROM contamination) ct
+      USING (doc_id)
+  ), kept AS (
+    SELECT d.doc_id,
+           CAST(len(regexp_split_to_array(d.text, '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents d JOIN flags USING (doc_id) WHERE flags.status = 'kept'
+  ), packed AS (
+    SELECT doc_id,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+    FROM kept
+  )
+  SELECT f.doc_id, f.status,
+         p.start_tok,
+         CAST(p.start_tok // {ctx} AS BIGINT) AS first_bin
+  FROM flags f LEFT JOIN packed p USING (doc_id)
+)"""

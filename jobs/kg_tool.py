@@ -205,6 +205,16 @@ def cmd_curate(args):
         for r in decisions.groupBy("reason").count().withColumnRenamed("count", "n").collect()
     }
     result = {"decisions": stats, "out": args.out}
+    if args.manifest:
+        # the full composed gate chain + packed placement over survivors
+        from glasseenterprise_mcp_spark.operators.textstats import prepare_manifest
+
+        man = prepare_manifest(docs, sh, min_quality=args.min_quality)
+        man.write.mode("overwrite").parquet(str(Path(args.out) / "manifest"))
+        result["manifest"] = {
+            r.status: r.n
+            for r in man.groupBy("status").count().withColumnRenamed("count", "n").collect()
+        }
     if args.report_pairs:
         pairs = simhash_near_dups(sh)
         pairs.write.mode("overwrite").parquet(str(Path(args.out) / "near_dup_pairs"))
@@ -280,6 +290,11 @@ def main():
     p.add_argument("--out", required=True)
     p.add_argument("--min-quality", type=int, default=60)
     p.add_argument("--report-pairs", action="store_true")
+    p.add_argument(
+        "--manifest", action="store_true",
+        help="also write the composed training manifest (quality -> near-dup "
+        "-> contamination -> sampling gates + packed placement of survivors)",
+    )
     p.set_defaults(fn=cmd_curate)
 
     p = sub.add_parser("ann")
