@@ -619,6 +619,18 @@ def q_manifest_deps(spark, sf_dir):
     return manifest_deps(_t(spark, sf_dir))
 
 
+def q_jpeg_check(spark, sf_dir):
+    """mm10: REAL lossy codec (baseline JPEG, grayscale) — encode the
+    closed-form image, decode it back, report header dims + a
+    within-quant-tolerance boolean; the oracle expects TRUE everywhere, so
+    any DCT/Huffman/stuffing bug fails the value hash."""
+    from glasseenterprise_mcp_spark.operators.multimodal import (
+        synthesize_and_check_jpeg,
+    )
+
+    return synthesize_and_check_jpeg(_docs(spark, sf_dir))
+
+
 def q_xml_deps(spark, sf_dir):
     """S5 second format: XML-ish dependency declarations parsed by regex
     (the reference's pom.xml/csproj mechanism)."""
@@ -856,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm7_wav_decode": q_wav_decode,
         "mm8_y4m_frames": q_y4m_frames,
         "mm9_png_decode": q_png_decode,
+        "mm10_jpeg_check": q_jpeg_check,
         "s5b_xml_deps": q_xml_deps,
     }
 
@@ -1261,4 +1274,7 @@ def oracle_sql() -> dict[str, str]:
         "mm9_png_decode": __import__(
             "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]
         ).png_decode_sql(),
+        "mm10_jpeg_check": __import__(
+            "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]
+        ).jpeg_check_sql(),
     }

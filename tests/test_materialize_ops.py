@@ -320,3 +320,45 @@ def test_png_codec_property_fuzz():
         assert (got == px).all()
 
     _roundtrip()
+
+
+def test_jpeg_codec_roundtrip_and_malformed():
+    """mm10 codec: REAL baseline JPEG (grayscale, Annex K tables) — encode
+    the closed-form smooth image, decode through the full
+    marker/Huffman/dequant/IDCT path, land within the quantization budget
+    (observed max err 5 vs tol 12 on fixtures); rough noise images still
+    round-trip structurally; malformed inputs fail loudly."""
+    import numpy as np
+    import pytest
+
+    from glasseenterprise_mcp_spark.operators.multimodal import (
+        JPEG_TOL,
+        _decode_jpeg_gray,
+        _encode_jpeg_gray,
+        _jpeg_dims,
+        _jpeg_pixels,
+    )
+
+    for d in (0, 1, 7, 13, 100, 499):
+        px = _jpeg_pixels(d)
+        w, h = _jpeg_dims(d)
+        dec = _decode_jpeg_gray(_encode_jpeg_gray(px))
+        assert px.shape == (h, w) and dec.shape == (h, w)
+        err = int(np.abs(dec.astype(int) - px.astype(int)).max())
+        assert err <= JPEG_TOL, (d, err)
+
+    # high-frequency content: lossy but structurally sound (shape + the
+    # error bounded by a loose DC+AC budget, not the smooth-image budget)
+    rng = np.random.default_rng(0)
+    noisy = rng.integers(0, 256, size=(24, 33), dtype=np.uint8)
+    dec = _decode_jpeg_gray(_encode_jpeg_gray(noisy))
+    assert dec.shape == noisy.shape
+    assert int(np.abs(dec.astype(int) - noisy.astype(int)).max()) < 160
+
+    buf = _encode_jpeg_gray(_jpeg_pixels(3))
+    with pytest.raises(ValueError, match="SOI"):
+        _decode_jpeg_gray(b"XX" + buf[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_jpeg_gray(buf[:40])
+    with pytest.raises(ValueError):
+        _decode_jpeg_gray(buf[:-30])
