@@ -1091,11 +1091,6 @@ def _jpeg_dims(d: int) -> tuple[int, int]:
     return d % 14 + 5, d % 11 + 5  # (width, height) — exercises edge pad
 
 
-# closed-form grayscale pixel: SMOOTH (low-frequency) so quantization error
-# stays small and the tolerance gate below is tight
-_JPEG_PX = "(128 + 60 * cos-ish…)"  # documentation only; see _jpeg_pixels
-
-
 def _jpeg_pixels(d: int):
     """Deterministic smooth grayscale image for doc d (integer closed form:
     a clipped bilinear ramp — low-frequency, so quant error is tiny)."""
