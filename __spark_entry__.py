@@ -132,6 +132,16 @@ def _embsig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _MEMO[k]
 
 
+def _simpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized SimHash near-dup pair table (dd4b reports the pairs, dd7
+    clusters them — one banded self-join feeds both, same sharing pattern
+    as _embsig)."""
+    k = (id(spark), "simpairs", sf_dir)
+    if k not in _MEMO:
+        _MEMO[k] = D.simhash_near_dups(_sh(spark, sf_dir)).cache()
+    return _MEMO[k]
+
+
 def _n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized node table (d_nodes/a8/g1/g1b all read the same build)."""
     k = (id(spark), "n", sf_dir)
@@ -265,7 +275,7 @@ def q_simhash(spark, sf_dir):
 def q_simhash_near_dups(spark, sf_dir):
     """dd4b: SimHash near-dup pairs — banded candidates (lossless at
     hamming ≤ 3 by pigeonhole) + exact hamming verify."""
-    return D.simhash_near_dups(_sh(spark, sf_dir))
+    return _simpairs(spark, sf_dir)
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -291,7 +301,7 @@ def q_dup_clusters(spark, sf_dir):
         connected_components,
     )
 
-    pairs = D.simhash_near_dups(_sh(spark, sf_dir)).select(
+    pairs = _simpairs(spark, sf_dir).select(
         F.col("a").alias("subj"), F.col("b").alias("obj")
     )
     comp = connected_components(pairs, src="subj", dst="obj")

@@ -564,14 +564,28 @@ def asof_join_events(events: DataFrame) -> DataFrame:
         "event_id", "user_id", "ts", "event_type",
         F.floor(F.unix_timestamp("ts")).cast("long").alias("ts_s"),
     )
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id",
-        "ts",
-        F.lit(0).alias("tag"),
-        F.col("event_id").alias("v_id"),
-        F.col("ts_s").alias("v_ts"),
-        F.lit(None).cast("long").alias("c_id"),
-        F.lit(None).cast("long").alias("c_ts"),
+    # Tie rule made EXPLICIT: several views at the identical (user, ts)
+    # collapse to the max event_id BEFORE the carry — otherwise both the
+    # carried last() and DuckDB's native ASOF pick an arbitrary survivor
+    # and the result is partition-order nondeterministic (review catch;
+    # the fixtures only have microsecond-unique timestamps, a real feed
+    # with second granularity would flap).
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("v_id"),
+            F.max("ts_s").alias("v_ts"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("tag"),
+            "v_id",
+            "v_ts",
+            F.lit(None).cast("long").alias("c_id"),
+            F.lit(None).cast("long").alias("c_ts"),
+        )
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
@@ -609,7 +623,12 @@ def asof_join_events_sql() -> str:
     implementation of the same semantics (greatest v.ts ≤ c.ts per user)."""
     return """
 WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-     views  AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+     views  AS (
+       -- tied (user, ts) views collapse to max event_id (same rule as the
+       -- engine) so ASOF's survivor is deterministic
+       SELECT MAX(event_id) AS event_id, user_id, ts
+       FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+     )
 SELECT c.event_id AS click_id, c.user_id,
        CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts,
        v.event_id AS view_id,
@@ -742,7 +761,11 @@ def kmv_distinct(events: DataFrame, k: int = KMV_K) -> DataFrame:
         .groupBy("event_type")
         .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("mins"))
     )
-    kth = F.element_at("mins", k)
+    # kth must be when()-guarded too: Spark 4 ANSI mode (default) makes an
+    # unconditional element_at(mins, k) THROW whenever a type has fewer
+    # than k distinct hashes (sf0.001 has exactly 15 users — review catch);
+    # DuckDB's mins[k] returns NULL there, so NULL is also oracle parity.
+    kth = F.when(F.size("mins") >= k, F.element_at("mins", k))
     est = F.when(
         F.size("mins") >= k,
         F.expr(f"CAST(({k} - 1) * 4294967296 AS BIGINT) div element_at(mins, {k})"),

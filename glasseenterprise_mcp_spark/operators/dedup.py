@@ -386,12 +386,17 @@ def contamination_pairs(
     above ``min_shared`` are contamination candidates for removal or
     decontamination review.
 
-    Scale shape: the eval side is a small curated set (benchmarks are
-    KB–MB, the corpus is TB) — broadcast it; the join is keyed by shingle,
-    never all-pairs, so per-shingle fan-out is bounded by the eval side's
-    occurrences of that shingle; the pair aggregation shuffles only rows
-    that actually matched. The shingle table is already distinct per
-    (doc, sh), so COUNT(*) is a distinct-shingle overlap count.
+    Scale shape: a REAL eval set is a small curated corpus (benchmarks are
+    KB–MB, the corpus is TB), so Catalyst auto-broadcasts it under the
+    32 MB threshold; the hint is deliberately NOT forced — the default
+    modulo eval_filter here is a fixture stand-in whose size grows with
+    the corpus, and a forced broadcast would collect a corpus-proportional
+    relation to the driver (review catch). Oversized eval sides therefore
+    degrade to a safe shuffle join instead of an OOM. The join is keyed by
+    shingle, never all-pairs, so per-shingle fan-out is bounded by the
+    eval side's occurrences of that shingle; the pair aggregation shuffles
+    only rows that actually matched. The shingle table is already distinct
+    per (doc, sh), so COUNT(*) is a distinct-shingle overlap count.
 
     Output: (train_doc_id, eval_doc_id, n_shared)."""
     ev = sh.filter(F.expr(eval_filter)).select(
@@ -401,7 +406,7 @@ def contamination_pairs(
         F.col("doc_id").alias("train_doc_id"), "sh"
     )
     return (
-        tr.join(F.broadcast(ev), "sh")
+        tr.join(ev, "sh")
         .groupBy("train_doc_id", "eval_doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

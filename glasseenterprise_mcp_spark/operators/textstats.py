@@ -230,6 +230,17 @@ def curate_corpus_cte(min_quality: int = 60) -> str:
 DEFAULT_MIX: dict[str, int] = {"en": 224, "es": 128, "de": 128, "fr": 96, "zh": 96}
 
 
+def _rate_hex(r: int) -> str:
+    """Rate (in 256ths) → the 2-char comparison threshold. 256 = keep-all
+    maps to 'zz' (lexicographically above every hex pair, so the gate is
+    always true). Out-of-range rates raise instead of silently inverting:
+    f'{256:02x}' is the 3-char '100' and the string compare would keep
+    only buckets starting '0' (~6%) — a review-caught monotonicity break."""
+    if not 0 <= r <= 256:
+        raise ValueError(f"stratum rate must be in 0..256, got {r}")
+    return "zz" if r == 256 else f"{r:02x}"
+
+
 def stratified_sample(
     documents: DataFrame,
     rates: dict[str, int] | None = None,
@@ -238,14 +249,15 @@ def stratified_sample(
     """(doc_id, lang, bucket, rate): the kept sample. ``bucket`` is the
     gating hash byte (hex) and ``rate`` the stratum's threshold — exposed
     so the oracle checks the gate itself, not just the survivor set.
+    Rates are 0..256 (256 = keep the whole stratum).
     Narrow (one map, no shuffle)."""
     rates = DEFAULT_MIX if rates is None else rates
     bucket = F.substring(
         F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
     )
-    rate_col = F.lit(f"{default_rate:02x}")
+    rate_col = F.lit(_rate_hex(default_rate))
     for lang, r in sorted(rates.items()):
-        rate_col = F.when(F.col("lang") == lang, F.lit(f"{r:02x}")).otherwise(
+        rate_col = F.when(F.col("lang") == lang, F.lit(_rate_hex(r))).otherwise(
             rate_col
         )
     return (
@@ -264,15 +276,16 @@ def stratified_sample_sql(
 ) -> str:
     rates = DEFAULT_MIX if rates is None else rates
     arms = " ".join(
-        f"WHEN lang = '{lang}' THEN '{r:02x}'" for lang, r in sorted(rates.items())
+        f"WHEN lang = '{lang}' THEN '{_rate_hex(r)}'"
+        for lang, r in sorted(rates.items())
     )
     return f"""
 SELECT doc_id, lang,
        substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
-       CASE {arms} ELSE '{default_rate:02x}' END AS rate
+       CASE {arms} ELSE '{_rate_hex(default_rate)}' END AS rate
 FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-      < CASE {arms} ELSE '{default_rate:02x}' END"""
+      < CASE {arms} ELSE '{_rate_hex(default_rate)}' END"""
 
 
 # PII-style redaction over transcripts — the anonymization pass a
@@ -469,9 +482,10 @@ def prepare_manifest_sql(
     upstream); packing over survivors via the single global window."""
     rates = DEFAULT_MIX if rates is None else rates
     arms = " ".join(
-        f"WHEN lang = '{lang}' THEN '{r:02x}'" for lang, r in sorted(rates.items())
+        f"WHEN lang = '{lang}' THEN '{_rate_hex(r)}'"
+        for lang, r in sorted(rates.items())
     )
-    rate_case = f"CASE {arms} ELSE '{default_rate:02x}' END"
+    rate_case = f"CASE {arms} ELSE '{_rate_hex(default_rate)}' END"
     return f"""manifest AS (
   WITH flags AS (
     SELECT d.doc_id,

@@ -190,11 +190,18 @@ def incremental_components(
     Returns the updated full components table (read back from the sink)."""
     from ..operators.canonicalize import connected_components
 
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     try:
         comp = sink.read("components").select("id", "comp").localCheckpoint(
             eager=True
         )
-    except Exception:
+    except AnalysisException:
+        # missing table = genuinely the first batch. ONLY this case may
+        # fall back to delta-only labels: a transient read failure (FS
+        # hiccup, a concurrent upsert's rename window) must propagate —
+        # treating it as first-batch would recompute labels from the delta
+        # alone and silently overwrite valid history (review catch).
         comp = None
 
     graph = new_edges.select("subj", "obj")

@@ -10,6 +10,15 @@ append-mode row) and opens a new one. Sessions still open when input is
 drained stay in state (standard streaming semantics — they would close on
 a later batch or a timeout policy).
 
+Late-data contract (cross-batch out-of-order events): an event within one
+gap of the open session's [start, last] span merges into it with min/max
+bounds; an event more than a gap BEFORE start is emitted as its own
+immediately-closed singleton session (it belongs to an earlier,
+already-emitted epoch — merging it would produce one mega-session where
+the batch sessionizer yields two). Documented approximation vs batch:
+multiple such stragglers each close separately even if batch order would
+have grouped them.
+
 Scale shape: state is keyed by user_id — one row of fixed size per live
 user, hash-partitioned across executors by the state store; each
 micro-batch shuffles only that batch's events on user_id. Skewed users
@@ -53,12 +62,20 @@ def _session_fn(key: Any, pdfs: Iterator[pd.DataFrame], state, gap_s: int):
         elif t - last_ts > gap_s:
             out.append((user_id, start, last_ts, n))
             start, last_ts, n = t, t, 1
+        elif t < start - gap_s:
+            # Cross-batch event MORE than a gap BEFORE the open session's
+            # start: it belongs to an earlier, already-gone session — emit
+            # it as its own immediately-closed singleton rather than
+            # merging it (merging produced one mega-session where the
+            # batch sessionizer yields two — review catch). Documented
+            # approximation: two such stragglers that would have been
+            # adjacent in batch order each close separately.
+            out.append((user_id, t, t, 1))
         else:
-            # Cross-batch out-of-order event (t can precede the open
-            # session's bounds since only the CURRENT batch is sorted):
-            # extend with max/min so session_end never moves backwards and
-            # session_start covers the earliest event — keeps parity with
-            # the batch sessionizer's bounds (r3 ADVICE).
+            # Cross-batch out-of-order event within a gap of the open
+            # session's span: extend with min/max so session_end never
+            # moves backwards and session_start covers the earliest event
+            # (r3 ADVICE).
             start, last_ts, n = min(start, t), max(last_ts, t), n + 1
     state.update((start, last_ts, n))
     if out:

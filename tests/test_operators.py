@@ -630,3 +630,38 @@ def test_pack_sequences_contiguous_and_distributed(spark):
     # with an empty partition list
     for m in re.finditer(r"\(\d+\) Window\n(.*?)(?=\n\(\d+\))", plan, re.S):
         assert "_pid" in m.group(1), m.group(1)
+
+
+def test_kmv_small_stratum_no_ansi_crash(spark):
+    """sk1 under-k strata: sf0.001 has exactly 15 distinct users (< k=16)
+    per event_type — the sketch must degrade to the exact small-set count
+    with a NULL kth hash instead of throwing ANSI
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT (review catch; DuckDB's mins[k]
+    NULL is the oracle's behavior)."""
+    from glasseenterprise_mcp_spark.operators.analytics import kmv_distinct
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = kmv_distinct(ev).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.kth_hash is None
+        assert r.est_distinct == r.exact_distinct  # exact in the small regime
+
+
+def test_stratified_sample_rate_bounds(spark):
+    """tx4 rate validation: 256 means keep-ALL of the stratum (the 'zz'
+    sentinel, above every hex bucket); out-of-range rates raise instead of
+    silently inverting via 3-char hex compare (review catch: f'{256:02x}'
+    is '100' and would keep ~6%)."""
+    import pytest
+
+    from glasseenterprise_mcp_spark.operators.textstats import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n_en = docs.filter(F.col("lang") == "en").count()
+    kept_en = stratified_sample(docs, {"en": 256}, 0).count()
+    assert kept_en == n_en  # whole stratum kept, all other strata dropped
+    with pytest.raises(ValueError, match="0..256"):
+        stratified_sample(docs, {"en": 300})
+    with pytest.raises(ValueError, match="0..256"):
+        stratified_sample(docs, {"en": -1})

@@ -192,9 +192,10 @@ def test_disjunctive_match_precedence(spark):
 
 
 def test_contamination_broadcasts_eval_side(spark):
-    """dd6: the eval side must broadcast (it is the small curated set) and
-    the shingle join must be a real equi join — no cartesian product, no
-    shuffle of the train side onto eval keys."""
+    """dd6: a small eval side AUTO-broadcasts under the engine threshold
+    (no forced hint — an oversized eval side must degrade to a shuffle
+    join, not a driver OOM) and the shingle join is a real equi join —
+    no cartesian product."""
     from glasseenterprise_mcp_spark.operators.dedup import (
         contamination_pairs,
         shingles,

@@ -357,3 +357,41 @@ def test_incremental_update_maintains_components(spark, split_batches):
         for r in sink.read("components").select("id", "comp").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_session_far_straggler_closes_separately(spark):
+    """An event MORE than a gap before the open session's start must not
+    merge into it (batch would treat them as two sessions — review catch):
+    it closes immediately as a singleton; the open session's bounds stay
+    untouched and close normally later."""
+    import os
+
+    from glasseenterprise_mcp_spark.streaming.stateful_sessions import (
+        run_session_stream,
+    )
+
+    t0 = 1_700_000_000
+    src, out, ckpt = (tempfile.mkdtemp() for _ in range(3))
+    schema = "user_id string, ts_s long"
+    spark.createDataFrame(
+        [("erin", t0 + 10_000), ("erin", t0 + 10_100)], schema
+    ).write.mode("append").parquet(src)
+    q = run_session_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    # straggler 10000s (>gap=1800) BEFORE start + a closer that ends the
+    # open session
+    spark.createDataFrame(
+        [("erin", t0), ("erin", t0 + 60_000)], schema
+    ).write.mode("append").parquet(src)
+    q = run_session_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+
+    assert os.path.exists(out)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("erin", t0, t0, 1),                       # straggler: singleton
+        ("erin", t0 + 10_000, t0 + 10_100, 2),     # untouched open session
+    }
