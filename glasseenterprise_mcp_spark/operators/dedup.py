@@ -416,11 +416,16 @@ def contamination_pairs(
 def contamination_cte(
     eval_filter: str = "doc_id % 101 = 7", min_shared: int = 2
 ) -> str:
-    """Expects the ``shingles`` CTE upstream."""
+    """Expects the ``shingles`` CTE upstream.
+
+    The eval_filter is applied in pre-aliased subqueries (not as
+    ``e.{filter}``), so ANY valid predicate — function calls, parenthesized
+    expressions — renders identically to the engine side's F.expr over the
+    unaliased frame (r4 advisor item)."""
     return f"""contamination AS (
   SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_shared
-  FROM shingles t JOIN shingles e ON t.sh = e.sh
-  WHERE (e.{eval_filter}) AND NOT (t.{eval_filter})
+  FROM (SELECT * FROM shingles WHERE NOT ({eval_filter})) t
+  JOIN (SELECT * FROM shingles WHERE {eval_filter}) e ON t.sh = e.sh
   GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
 )"""

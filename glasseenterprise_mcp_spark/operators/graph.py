@@ -197,8 +197,13 @@ def find_cycles(
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
     e = e.localCheckpoint(eager=True)
-    if e.count() <= driver_threshold:
-        return _find_cycles_driver_side(edges.sparkSession, e, max_len)
+    # single-job probe (the canonicalize.py:62 / link.py:811 pattern): pull
+    # at most threshold+1 rows — if the graph fits, those rows ARE the
+    # driver-path input, so no separate full-scan count() job runs on huge
+    # edge sets just to decide the branch
+    probe = e.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        return _find_cycles_driver_side(edges.sparkSession, probe, max_len)
 
     # start paths only from nodes that can canonically lead a cycle
     paths = e.select(
@@ -241,11 +246,12 @@ def find_cycles(
     return cycles.groupBy("start").agg(F.min("cycle_len").cast("int").alias("cycle_len"))
 
 
-def _find_cycles_driver_side(spark, e: DataFrame, max_len: int) -> DataFrame:
-    """Per-start bounded BFS on the collected edge list. A cycle is reported
-    by its minimal node s: shortest closed walk s→s inside the subgraph
-    {v : v >= s} (BFS paths are simple, so this equals the minimal simple
-    cycle the distributed enumeration finds)."""
+def _find_cycles_driver_side(spark, rows, max_len: int) -> DataFrame:
+    """Per-start bounded BFS on the collected edge list (``rows`` — the
+    probe's already-collected rows, reused rather than re-scanned). A cycle
+    is reported by its minimal node s: shortest closed walk s→s inside the
+    subgraph {v : v >= s} (BFS paths are simple, so this equals the minimal
+    simple cycle the distributed enumeration finds)."""
     from collections import defaultdict, deque
 
     def _k(v):
@@ -255,7 +261,7 @@ def _find_cycles_driver_side(spark, e: DataFrame, max_len: int) -> DataFrame:
 
     adj: dict = defaultdict(list)
     binary = False
-    for row in e.collect():
+    for row in rows:
         a, b = _k(row[0]), _k(row[1])
         binary = binary or isinstance(a, bytes)
         adj[a].append(b)

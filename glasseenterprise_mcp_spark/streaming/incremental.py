@@ -175,8 +175,12 @@ def incremental_components(
     — valid because our CC labels are the min member id, so a label IS a
     member and no phantom nodes appear); (4) upsert the relabeled members
     + any brand-new nodes. Untouched components are never read beyond the
-    label semi-join, never recomputed, never rewritten — per-batch cost is
-    O(delta + affected-component membership), not O(history). A bridge
+    label semi-join, never recomputed — the RELABELING COMPUTE is
+    O(delta + affected-component membership), not O(history). (The write
+    path matches that bound only on the Iceberg MERGE branch; this
+    sandbox's parquet MoR fallback in GraphSink.upsert re-reads and
+    rewrites the full components table per upsert — the partition pruning
+    limits reads, not the fallback's whole-table rewrite.) A bridge
     edge between two old components relabels both to the global min, same
     as a full recompute (invariant pinned by
     tests/test_streaming.py::test_incremental_components_equals_one_shot).

@@ -9,8 +9,12 @@ run the same operations against this engine:
     python jobs/kg_tool.py learn  --graph /tmp/kg
     python jobs/kg_tool.py query  --graph /tmp/kg "which turns call tool tool_1"
     python jobs/kg_tool.py query  --graph /tmp/kg "SQL: SELECT pred, count(*) n FROM edges GROUP BY pred"
-    python jobs/kg_tool.py impact --graph /tmp/kg --conv c3 --turn 2 --depth 3
-    python jobs/kg_tool.py reset  --graph /tmp/kg --conv-prefix c3
+    python jobs/kg_tool.py impact --graph /tmp/kg --conv rt0:c3 --turn 2 --depth 3
+    python jobs/kg_tool.py reset  --graph /tmp/kg --conv-prefix rt0:c3
+
+Conversation ids in a scanned graph are always namespaced by input position
+("rt<i>:"), so re-scans are id-stable whether a root is ingested alone or
+alongside others.
     python jobs/kg_tool.py curate --docs .../documents.parquet --out /tmp/cur --report-pairs
     python jobs/kg_tool.py ann    --embeddings .../embeddings.parquet --query-where "vec_id = 50" --index ivf
 """
@@ -50,22 +54,22 @@ def cmd_scan(args):
         return spark.read.parquet(inp)
 
     inputs = args.input
-    if len(inputs) == 1:
-        t = _load(inputs[0])
-    else:
-        # S12 multi-root co-ingest (reference scans N roots in ONE pass so
-        # cross-root links form): union all roots in a single job — the
-        # global linking shuffle sees every root. Conversation ids are
-        # namespaced per root ("rt<i>:") so two roots' c0 never merge.
-        t = reduce(
-            lambda a, b: a.unionByName(b),
-            [
-                _load(inp).withColumn(
-                    "conv_id", F.concat(F.lit(f"rt{i}:"), F.col("conv_id"))
-                )
-                for i, inp in enumerate(inputs)
-            ],
-        )
+    # S12 multi-root co-ingest (reference scans N roots in ONE pass so
+    # cross-root links form): union all roots in a single job — the global
+    # linking shuffle sees every root. Conversation ids are namespaced per
+    # root ("rt<i>:"), INCLUDING the single-input case: a graph first built
+    # from one root and later re-scanned with that root as --input #0 keeps
+    # identical rt0:-prefixed ids, so the stable-id re-ingest contract holds
+    # across the single→multi transition (r4 advisor item).
+    t = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            _load(inp).withColumn(
+                "conv_id", F.concat(F.lit(f"rt{i}:"), F.col("conv_id"))
+            )
+            for i, inp in enumerate(inputs)
+        ],
+    )
     sink = GraphSink(spark, args.graph)
     res = run_pipeline(spark, t, sink=sink, snapshot_version=args.snapshot)
     summary = {
