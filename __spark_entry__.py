@@ -48,6 +48,8 @@ from glasseenterprise_mcp_spark.operators.materialize import (
     build_nodes,
     build_nodes_with_attrs,
     node_attrs_cte,
+    versioned_readback_cte,
+    versioned_upsert_readback,
 )
 from glasseenterprise_mcp_spark.pipeline import run_pipeline
 from glasseenterprise_mcp_spark.sources.transcripts import derive_transcripts
@@ -716,6 +718,24 @@ def q_routed_fallback(spark, sf_dir):
     return routed.df
 
 
+def q_routed_impact(spark, sf_dir):
+    """Q2/G1 routed end-to-end: an 'impact of turn …' prompt through the
+    NL router's impact template against a recursive-BFS oracle (the one
+    router template family that had no oracle-gated instance). Seed c0#3
+    exists at every sf (conversations are c0..c<n/10>, 10 turns each)."""
+    routed = _router(spark, sf_dir).route("impact of turn c0#3 depth 2")
+    assert routed.template == "impact_of_turn", routed.template
+    return routed.df
+
+
+def q_versioned_readback(spark, sf_dir):
+    """S8/S9: the versioned-sink read path EXECUTED — two GraphSink.upsert
+    generations (v2 updates half the ids, adds others), then both versions
+    read back from the persisted tables; oracle is the closed form of the
+    two-INSERT…ON CONFLICT history."""
+    return versioned_upsert_readback(_t(spark, sf_dir))
+
+
 def q_ppm_decode(spark, sf_dir):
     """mm5: REAL codec round trip — numpy-encoded P6 PPM blobs parsed back
     by a real header+buffer decoder, reduced to integer channel sums; the
@@ -839,12 +859,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- materialize / pipeline (S8-S12, U1, A1) ---
         "d_nodes_materialize": q_nodes,
         "pipeline_all_triples": q_all_triples,
-        # --- query routing (Q2/Q3) + event ops ---
+        "s8_versioned_readback": q_versioned_readback,
+        # --- query routing (Q1-Q4) ---
         "q2_routed_count_by_type": q_routed_count_by_type,
         "q3_routed_fallback": q_routed_fallback,
+        "q4_routed_impact": q_routed_impact,
+        # ---- entry 51+: plumbing variants + LLM-data-pipeline family ----
+        # (ev1/ev2 moved below in r5 to make window room for the S8 sink
+        # gate and the routed-impact gate; they stay oracle-gated via the
+        # full-sweep replay test)
         "ev1_sessionize": q_sessionize,
         "ev2_tumbling_counts": q_tumbling_counts,
-        # ---- entry 51+: plumbing variants + LLM-data-pipeline family ----
         "ev3_asof_join": q_asof_join,
         "ev4_hypertable_rollup": q_hypertable_rollup,
         "sk1_kmv_distinct": q_kmv_distinct,
@@ -1287,4 +1312,29 @@ def oracle_sql() -> dict[str, str]:
         "mm10_jpeg_check": __import__(
             "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]
         ).jpeg_check_sql(),
+        "s8_versioned_readback": O.oracle(
+            "SELECT tbl, k1, k2, val, snapshot_version FROM versioned",
+            versioned_readback_cte(),
+        ),
+        # Q4: the routed impact template — BFS from the turn seed over the
+        # 4-family edge union, per-type counts; the router's default LIMIT
+        # never truncates (≤ #node types rows), same headroom argument as q2
+        "q4_routed_impact": O.oracle(
+            "SELECT n.type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(MIN(b.dist) AS INT) AS min_dist "
+            "FROM bfs b JOIN nodes n USING (id) GROUP BY n.type "
+            "ORDER BY type LIMIT 100",
+            O.mentions_in_cte(),
+            O.replies_to_cte(),
+            O.calls_tool_cte(),
+            O.refers_to_cte(),
+            """all_edges AS (
+  SELECT subj, obj FROM mentions_in
+  UNION ALL SELECT subj, obj FROM replies_to
+  UNION ALL SELECT subj, obj FROM calls_tool
+  UNION ALL SELECT subj, obj FROM refers_to
+)""",
+            O.nodes_cte(),
+            G.bfs_cte(2, "type = 'turn' AND name = 'c0#3'"),
+        ),
     }

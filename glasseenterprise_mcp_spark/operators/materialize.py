@@ -24,7 +24,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.ids import node_id_col, node_id_sql
+from ..functions.ids import node_id_col, node_id_sql, stable_id_sql
 from .link import MENTION_NODE_KIND, turn_id_col, turn_id_sql
 
 
@@ -423,3 +423,166 @@ def write_graph(
 ) -> None:
     sink.upsert(nodes, "nodes", keys=["id"], partition_by=["type"])
     sink.upsert(edges, "edges", keys=["subj", "pred", "obj"], partition_by=["pred"])
+
+
+def versioned_upsert_readback(transcripts: DataFrame) -> DataFrame:
+    """S8/S9 END-TO-END versioned-sink gate: the reference's core
+    persistence semantic is MERGE-by-stable-id with a ``snapshotVersion``
+    stamped on every node and edge (src/neo4j/saveNodes.ts:137-158,
+    saveRelationships.ts:28-44) — a later ingest updates matched ids in
+    place (last-writer-wins, new stamp) and inserts new ids, while
+    untouched rows keep their earlier stamp; queries then read the stored
+    graph with both generations visible.
+
+    This operator ACTUALLY EXECUTES that contract through the sink: it
+    derives two deterministic batches from the corpus, runs
+    ``GraphSink.upsert`` TWICE per table (nodes keyed by id, edges by
+    (subj, pred, obj)) with stamps 'v1' then 'v2' — the second batch
+    UPDATES the ids whose md5 gate is 0-7 (value changes n_turns → n_user)
+    and ADDS new ids (gate 8-b, a 'convmeta' key space / a new predicate)
+    — then reads the persisted tables back. The DuckDB twin computes the
+    same final state in closed form: batch2 ∪ (batch1 anti-join batch2 on
+    the key), which is exactly the fixpoint of two
+    ``INSERT … ON CONFLICT (key) DO UPDATE`` statements.
+
+    Result rows (tbl, k1, k2, val, snapshot_version): nodes as
+    (hex id, name), edges as (hex subj, pred|hex obj); rows carry BOTH
+    'v1' (untouched batch-1 survivors) and 'v2' (updated + inserted), so a
+    hash match proves last-writer-wins per stable id AND that earlier-
+    generation rows survive a later upsert untouched — end-to-end through
+    the sink's write path, not a unit twin."""
+    import shutil
+    import tempfile
+
+    spark = transcripts.sparkSession
+    conv = (
+        transcripts.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.count(F.when(F.col("role") == "user", F.lit(1)))
+            .cast("long")
+            .alias("n_user"),
+        )
+        .withColumn(
+            "_g", F.substring(F.md5(F.col("conv_id").cast("binary")), 1, 1)
+        )
+        # referenced by all four batch builds — materialize once
+        .localCheckpoint(eager=True)
+    )
+    cid = node_id_col("conv", F.col("conv_id"))
+    mid = node_id_col("convmeta", F.col("conv_id"))
+    stat_t = node_id_col("stat", F.lit("n_turns"))
+    stat_u = node_id_col("stat", F.lit("n_user"))
+
+    def nbatch(df, idc, valc, stamp):
+        return df.select(
+            idc.alias("id"),
+            F.col("conv_id").alias("name"),
+            F.col(valc).alias("val"),
+            F.lit(stamp).alias("snapshot_version"),
+        )
+
+    def ebatch(df, predl, objc, valc, stamp):
+        return df.select(
+            cid.alias("subj"),
+            F.lit(predl).alias("pred"),
+            objc.alias("obj"),
+            F.col(valc).alias("val"),
+            F.lit(stamp).alias("snapshot_version"),
+        )
+
+    upd = conv.filter(F.col("_g") <= "7")
+    new = conv.filter((F.col("_g") >= "8") & (F.col("_g") <= "b"))
+    b1n = nbatch(conv, cid, "n_turns", "v1")
+    b2n = nbatch(upd, cid, "n_user", "v2").unionByName(
+        nbatch(new, mid, "n_turns", "v2")
+    )
+    b1e = ebatch(conv, "has-stat", stat_t, "n_turns", "v1")
+    b2e = ebatch(upd, "has-stat", stat_t, "n_user", "v2").unionByName(
+        ebatch(new, "has-user-stat", stat_u, "n_user", "v2")
+    )
+
+    base = tempfile.mkdtemp(prefix="kg_versioned_gate_")
+    try:
+        sink = GraphSink(spark, base)
+        sink.upsert(b1n, "nodes", keys=["id"], partition_by=["snapshot_version"])
+        sink.upsert(b2n, "nodes", keys=["id"], partition_by=["snapshot_version"])
+        sink.upsert(
+            b1e, "edges", keys=["subj", "pred", "obj"],
+            partition_by=["snapshot_version"],
+        )
+        sink.upsert(
+            b2e, "edges", keys=["subj", "pred", "obj"],
+            partition_by=["snapshot_version"],
+        )
+        n = sink.read("nodes").select(
+            F.lit("nodes").alias("tbl"),
+            F.lower(F.hex(F.col("id"))).alias("k1"),
+            F.col("name").alias("k2"),
+            F.col("val"),
+            F.col("snapshot_version"),
+        )
+        e = sink.read("edges").select(
+            F.lit("edges").alias("tbl"),
+            F.lower(F.hex(F.col("subj"))).alias("k1"),
+            F.concat_ws("|", F.col("pred"), F.lower(F.hex(F.col("obj")))).alias("k2"),
+            F.col("val"),
+            F.col("snapshot_version"),
+        )
+        # materialize before deleting the sink dir the plan reads from
+        return n.unionByName(e).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def versioned_readback_cte() -> str:
+    """DuckDB twin of :func:`versioned_upsert_readback` — the closed form
+    of the two-upsert history (INSERT … ON CONFLICT DO UPDATE ×2):
+    final = batch2 ∪ (batch1 ▷ batch2) per table. Expects ``transcripts``."""
+    cid = stable_id_sql("'conv'", "conv_id")
+    mid = stable_id_sql("'convmeta'", "conv_id")
+    stat_t = stable_id_sql("'stat'", "'n_turns'")
+    stat_u = stable_id_sql("'stat'", "'n_user'")
+    return f"""versioned AS (
+  WITH conv AS (
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(COUNT(CASE WHEN role = 'user' THEN 1 END) AS BIGINT) AS n_user,
+           substr(md5(conv_id), 1, 1) AS g
+    FROM transcripts GROUP BY conv_id
+  ), b1n AS (
+    SELECT {cid} AS k1, conv_id AS k2, n_turns AS val,
+           'v1' AS snapshot_version
+    FROM conv
+  ), b2n AS (
+    SELECT {cid} AS k1, conv_id AS k2, n_user AS val,
+           'v2' AS snapshot_version
+    FROM conv WHERE g <= '7'
+    UNION ALL
+    SELECT {mid}, conv_id, n_turns, 'v2' FROM conv WHERE g BETWEEN '8' AND 'b'
+  ), b1e AS (
+    SELECT {cid} AS sj, 'has-stat' AS pred, {stat_t} AS ob, n_turns AS val,
+           'v1' AS snapshot_version
+    FROM conv
+  ), b2e AS (
+    SELECT {cid} AS sj, 'has-stat' AS pred, {stat_t} AS ob, n_user AS val,
+           'v2' AS snapshot_version
+    FROM conv WHERE g <= '7'
+    UNION ALL
+    SELECT {cid}, 'has-user-stat', {stat_u}, n_user, 'v2'
+    FROM conv WHERE g BETWEEN '8' AND 'b'
+  ), nf AS (
+    SELECT * FROM b2n
+    UNION ALL
+    SELECT * FROM b1n WHERE NOT EXISTS (
+      SELECT 1 FROM b2n WHERE b2n.k1 = b1n.k1)
+  ), ef AS (
+    SELECT * FROM b2e
+    UNION ALL
+    SELECT * FROM b1e WHERE NOT EXISTS (
+      SELECT 1 FROM b2e
+      WHERE b2e.sj = b1e.sj AND b2e.pred = b1e.pred AND b2e.ob = b1e.ob)
+  )
+  SELECT 'nodes' AS tbl, k1, k2, val, snapshot_version FROM nf
+  UNION ALL
+  SELECT 'edges', sj, pred || '|' || ob, val, snapshot_version FROM ef
+)"""

@@ -209,6 +209,15 @@ class QueryRouter:
         seeds = self.spark.createDataFrame(
             [(conv, turn)], "conv_id string, turn_idx int"
         ).select(turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("id"))
+        # seed-not-found contract (reference impactCommand.ts:25-44): the
+        # seed is resolved against the graph first; an unknown seed returns
+        # a DISTINCT marker row (same schema as the impact report) instead
+        # of a silently-empty traversal. The probe is one broadcast semi
+        # join of a 1-row literal against the node dim.
+        if self.nodes.join(F.broadcast(seeds), "id", "left_semi").limit(1).count() == 0:
+            return self.spark.createDataFrame(
+                [("seed-not-found", 0, None)], "type string, n long, min_dist int"
+            )
         return impact(self.edges, self.nodes, seeds, depth=depth)
 
     def _list_kind(self, kind: str) -> DataFrame:

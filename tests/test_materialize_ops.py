@@ -122,6 +122,34 @@ def test_sink_upsert_composite_key_merge_parity(spark, tmp_path):
     assert got == want
 
 
+def test_versioned_readback_invariants(spark):
+    """S8/S9 end-to-end gate invariants at sf0.001, beyond the oracle hash:
+    every id appears EXACTLY once per table (MERGE, not append); updated
+    ids carry v2 with the new value; untouched ids keep their v1 row; new
+    ids exist only under v2; both versions are present in one read."""
+    from collections import Counter
+
+    from glasseenterprise_mcp_spark.operators.materialize import (
+        versioned_upsert_readback,
+    )
+    from glasseenterprise_mcp_spark.sources.transcripts import derive_transcripts
+
+    t = derive_transcripts(spark, "/root/testdata/sf0.001")
+    rows = versioned_upsert_readback(t).collect()
+    for tbl in ("nodes", "edges"):
+        sub = [r for r in rows if r.tbl == tbl]
+        keys = Counter((r.k1, r.k2) for r in sub)
+        assert keys and max(keys.values()) == 1, f"{tbl}: duplicate keys"
+        stamps = {r.snapshot_version for r in sub}
+        assert stamps == {"v1", "v2"}, f"{tbl}: {stamps}"
+    # new-id families appear only under v2
+    new_nodes = [
+        r for r in rows
+        if r.tbl == "edges" and r.k2.startswith("has-user-stat|")
+    ]
+    assert new_nodes and all(r.snapshot_version == "v2" for r in new_nodes)
+
+
 def test_iceberg_gate_raises_without_runtime(spark):
     """S10: create_all must fail loudly (not silently no-op) when the
     Iceberg runtime is absent, so a cluster misconfiguration can't corrupt

@@ -308,6 +308,36 @@ def test_query_router(spark):
     assert r.template == "fallback_search" and r.df.count() > 0
 
 
+def test_routed_impact_seed_not_found(spark):
+    """Q2 impact template seed contract (reference impactCommand.ts:25-44):
+    a seed turn that doesn't resolve in the graph returns the DISTINCT
+    'seed-not-found' marker row (stable schema), not an empty traversal;
+    a resolving seed returns real per-type counts with the turn at dist 0."""
+    from glasseenterprise_mcp_spark.operators.extract import extract_mentions
+    from glasseenterprise_mcp_spark.operators.link import mentions_in_edges
+    from glasseenterprise_mcp_spark.operators.materialize import build_edges, build_nodes
+    from glasseenterprise_mcp_spark.plans.query_router import QueryRouter
+    from glasseenterprise_mcp_spark.sources.transcripts import derive_transcripts
+
+    t = derive_transcripts(spark, "/root/testdata/sf0.001")
+    m = extract_mentions(t)
+    nodes = build_nodes(t, m, "s")
+    edges = build_edges([mentions_in_edges(m).drop("subj_kind")], "s")
+    router = QueryRouter(spark, nodes, edges)
+
+    r = router.route("impact of turn nope_conv#99 depth 2")
+    assert r.template == "impact_of_turn"
+    rows = r.df.collect()
+    assert len(rows) == 1 and rows[0].type == "seed-not-found" and rows[0].n == 0
+    assert r.df.columns == ["type", "n", "min_dist"]
+
+    r2 = router.route("impact of turn c0#3 depth 2")
+    assert r2.template == "impact_of_turn"
+    got = {row.type: row for row in r2.df.collect()}
+    assert "seed-not-found" not in got
+    assert got["turn"].min_dist == 0 and got["turn"].n >= 1
+
+
 def test_routed_queries_limit_headroom(spark):
     """The two oracle-gated routed queries (q2/q3) rely on their result
     cardinality staying far below the router's default LIMIT — otherwise the
@@ -318,8 +348,11 @@ def test_routed_queries_limit_headroom(spark):
 
     n2 = E.q_routed_count_by_type(spark, "/root/testdata/sf0.01").count()
     n3 = E.q_routed_fallback(spark, "/root/testdata/sf0.01").count()
+    n4 = E.q_routed_impact(spark, "/root/testdata/sf0.01").count()
     assert 0 < n2 <= 50, n2
     assert 0 < n3 <= 50, n3
+    # impact report has one row per node TYPE — bounded by the label set
+    assert 0 < n4 <= 20, n4
 
 
 def test_type_schemas_and_clean_names(spark):
