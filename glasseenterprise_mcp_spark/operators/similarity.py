@@ -31,12 +31,28 @@ independent of corpus size — the broadcast bound is O(C·DIM) longs and the
 assignment O(N·C), both safe at 100×) via one broadcast map with a per-row
 argmax — no window shuffle — and probes the query's ``nprobe`` nearest
 cells. Seeds are sharpened by ``n_refine`` k-means sweeps (``ivf_refine``,
-DIM fused sum columns in one groupBy). Measured recall@5 on the sf0.01
-testdata (near-uniform vectors — the hard case), C=16:
-nprobe 2/3/4 → seeds only 0.38/0.44/0.56; one Lloyd sweep (the default)
-0.40/0.58/0.62; two sweeps 0.46/0.56/0.64. Real embedding corpora
-cluster, so cell-local neighbors recall far higher. At 100TB the corpus
-stays bucketed by cell; only centroids and queries broadcast.
+DIM fused sum columns in one groupBy; default 2 sweeps).
+
+Recall@5, measured (C=16). On a CLUSTERED corpus — the case real
+embedding corpora present — IVF is essentially exact: the planted-cluster
+fixture (tests/test_operators.py::test_ivf_recall_clustered) reads
+**1.00 at nprobe=1..3 for every n_refine**, because k-means cells align
+with the data's modes and a query's neighbors live in its own cell. On the
+sf0.01 testdata (NEAR-UNIFORM random vectors — the adversarial case with
+no cluster structure), recall is information-theoretically bounded by the
+probed corpus fraction, and the curve reflects it:
+
+  n_refine   nprobe=2  3     4     6     8
+  0 (seeds)  0.38      0.44  0.56  0.64  0.76
+  1          0.40      0.58  0.62  0.80  0.86
+  2 (dflt)   0.46      0.56  0.64  0.80  0.88
+  3          0.50      0.60  0.68  0.88  0.92
+
+So ≥0.8 on unstructured data needs nprobe≈6 (probing ~37% of the corpus —
+the honest price when there is no structure to exploit; pinned at
+nprobe=6/n_refine=2 ≥ 0.75), while structured corpora get ≥0.9 at
+nprobe=3 (pinned). At 100TB the corpus stays bucketed by cell; only
+centroids and queries broadcast.
 """
 
 from __future__ import annotations
@@ -298,7 +314,7 @@ def ivf_topk(
     n_centroids: int = IVF_CENTROIDS,
     k: int = 5,
     nprobe: int = 3,
-    n_refine: int = 1,
+    n_refine: int = 2,
 ) -> DataFrame:
     """ANN via an IVF (inverted-file) index: a FIXED number of
     deterministically sampled seed centroids (``ivf_centroids``) sharpened
@@ -366,13 +382,47 @@ def ivf_topk_sql(
     n_centroids: int = IVF_CENTROIDS,
     k: int = 5,
     nprobe: int = 3,
+    n_refine: int = 2,
 ) -> str:
-    # one k-means sweep mirrored exactly: floor-mean per dimension over the
-    # seed-assigned members (64 SUM terms, generated)
+    # each k-means sweep mirrored exactly: floor-mean per dimension over
+    # the previous assignment's members (64 SUM terms, generated), then a
+    # window-argmax re-assignment (oracle-side only; the engine broadcasts
+    # the cid-sorted centroid array and runs a per-row higher-order
+    # aggregate argmax whose strict ``>`` keeps the FIRST maximum — the
+    # same (dot DESC, cid ASC) tie rule as this window). The CTE chain
+    # assigned0 → centroids1 → assigned1 → … → centroids{n} → assigned is
+    # the twin of the engine's n_refine ivf_refine loop + final ivf_assign.
     mean_terms = ", ".join(
         f"CAST(FLOOR(SUM(qv[{i + 1}]) / COUNT(*)) AS BIGINT)"
         for i in range(DIM)
     )
+
+    def assign_cte(name: str, csrc: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT q.vec_id, q.qv, c.cid AS cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY CAST(list_dot_product(q.qv, c.c_qv) AS BIGINT) DESC, c.cid ASC
+           ) AS rn
+    FROM q, {csrc} c
+  ) WHERE rn = 1
+)"""
+
+    chain = [assign_cte("assigned0" if n_refine else "assigned", "seeds")]
+    prev = "assigned0"
+    final_centroids = "seeds"
+    for s in range(1, n_refine + 1):
+        final_centroids = f"centroids{s}"
+        chain.append(
+            f"""{final_centroids} AS (
+  SELECT cell AS cid, [{mean_terms}] AS c_qv FROM {prev} GROUP BY cell
+)"""
+        )
+        name = "assigned" if s == n_refine else f"assigned{s}"
+        chain.append(assign_cte(name, final_centroids))
+        prev = name
+    sweeps = ",\n".join(chain)
     return f"""
 WITH q AS (
   SELECT vec_id,
@@ -383,35 +433,7 @@ WITH q AS (
   -- identical to the engine's ivf_centroids TakeOrdered
   SELECT vec_id AS cid, qv AS c_qv FROM q
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
-), assigned0 AS (
-  -- seed-nearest assignment (window argmax; engine: broadcast-array argmax)
-  SELECT vec_id, qv, cell FROM (
-    SELECT q.vec_id, q.qv, s.cid AS cell,
-           row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY CAST(list_dot_product(q.qv, s.c_qv) AS BIGINT) DESC, s.cid ASC
-           ) AS rn
-    FROM q, seeds s
-  ) WHERE rn = 1
-), centroids AS (
-  -- one Lloyd sweep: integer floor-mean of each cell's members (cell id
-  -- keeps the seed cid; memberless seeds drop out) — twin of ivf_refine
-  SELECT cell AS cid, [{mean_terms}] AS c_qv
-  FROM assigned0 GROUP BY cell
-), assigned AS (
-  -- naive window argmax (oracle-side only; the engine broadcasts the
-  -- cid-sorted centroid array and runs a per-row higher-order aggregate
-  -- argmax over it, whose strict ``>`` keeps the FIRST maximum — the same
-  -- (dot DESC, cid ASC) tie rule as this window)
-  SELECT vec_id, qv, cell FROM (
-    SELECT q.vec_id, q.qv, c.cid AS cell,
-           row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY CAST(list_dot_product(q.qv, c.c_qv) AS BIGINT) DESC, c.cid ASC
-           ) AS rn
-    FROM q, centroids c
-  ) WHERE rn = 1
-), queries AS (
+), {sweeps}, queries AS (
   SELECT vec_id AS query_id, qv AS q_qv FROM q WHERE {query_where}
 ), qcells AS (
   SELECT query_id, q_qv, cid AS cell,
@@ -419,7 +441,7 @@ WITH q AS (
            PARTITION BY query_id
            ORDER BY CAST(list_dot_product(q_qv, c_qv) AS BIGINT) DESC, cid ASC
          ) AS crank
-  FROM queries, centroids
+  FROM queries, {final_centroids}
 ), probes AS (
   SELECT query_id, q_qv, cell FROM qcells WHERE crank <= {nprobe}
 ), scored AS (
