@@ -1110,6 +1110,13 @@ def _encode_jpeg_gray_batch(images) -> list:
       the whole batch, split afterwards at per-image byte offsets;
     - 0xFF byte stuffing as an np.insert post-pass per image.
 
+    Determinism: output is bit-stable for a given numpy build (the oracle
+    contract). It is NOT byte-identical to the previous per-block serial
+    encoder in ~3% of images: the einsum DCT sums floats in a different
+    order, which can flip a coefficient sitting exactly on a ±.5
+    quantization boundary by one step — immaterial for a lossy codec
+    (decode stays within JPEG_TOL either way; measured worst err 7 of 12).
+
     Returns list[bytes], one complete JFIF-less baseline JPEG per input."""
     if not len(images):
         return []
