@@ -162,6 +162,80 @@ def run_stream(
     return writer.start()
 
 
+def run_composed_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink: GraphSink,
+    checkpoint_dir: str,
+    snapshot_version: str,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+    processing_time: str = "1 second",
+    post_batch_hook=None,
+):
+    """The COMPOSED streaming stack — the 100TB operating mode in one
+    Structured Streaming job (each stage is proven in isolation elsewhere;
+    this chains them end-to-end):
+
+      1. ingest dedup: ``dropDuplicatesWithinWatermark`` on the turn
+         content hash (the dedup_stream operator applied to the transcript
+         feed) — retried/replayed turns are dropped at ingest, state is
+         bounded by the watermark;
+      2. ``foreachBatch`` → :func:`incremental_update` with
+         ``with_components=True``: extract → link (delta + persisted
+         registries) → MERGE upsert of nodes/edges/link registry →
+         incremental connected-component maintenance.
+
+    Crash contract: the stream checkpoint commits AFTER foreachBatch
+    returns, so a crash mid-batch or in the commit window replays the
+    whole micro-batch on restart; every sink write is an idempotent
+    MERGE-by-stable-id and the dedup/state stores restore their
+    pre-batch version, so replayed effects converge to the one-shot batch
+    graph (pinned by tests/test_streaming.py::
+    test_composed_stream_crash_resume_equals_one_shot).
+
+    ``post_batch_hook(batch_id, n_rows)`` is an observability seam called
+    after the batch's upserts and before the checkpoint commit (used by
+    the crash test as the fault-injection point; in production, a metrics
+    emitter)."""
+    from ..schemas import TRANSCRIPTS_SCHEMA
+
+    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(source_dir)
+    deduped = (
+        stream.withColumn(
+            "turn_hash",
+            F.md5(
+                F.concat_ws(
+                    "|", "conv_id", F.col("turn_idx").cast("string"), "text"
+                )
+            ),
+        )
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["turn_hash"])
+        .drop("turn_hash")
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        incremental_update(
+            spark, sink, batch_df, f"{snapshot_version}-b{batch_id}",
+            with_components=True,
+        )
+        if post_batch_hook is not None:
+            post_batch_hook(batch_id, batch_df.count())
+        batch_df.unpersist()
+
+    writer = (
+        deduped.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def incremental_components(
     spark: SparkSession, sink: GraphSink, new_edges: DataFrame
 ) -> DataFrame:

@@ -359,6 +359,86 @@ def test_incremental_update_maintains_components(spark, split_batches):
     assert got == want and len(got) > 0
 
 
+def test_composed_stream_crash_resume_equals_one_shot(spark, split_batches):
+    """The FULL streaming stack composed in ONE job (ingest dedup →
+    extract/link → versioned upsert → incremental components) with a
+    crash injected in the checkpoint-commit window, then resumed:
+
+    - feed batch 1 with in-batch duplicate turns → the dedup stage must
+      drop them (processed-row count == distinct turns);
+    - feed batch 2 with new conversations + replays of batch-1 turns →
+      cross-batch dedup drops the replays (state survives restart);
+    - the second run CRASHES after its upserts but before the checkpoint
+      commit (partial effects persisted!); the resumed run replays the
+      batch and the idempotent MERGE converges;
+    - final edges == the one-shot batch pipeline on the full corpus, and
+      the persisted components == one-shot CC over the final refers graph.
+    """
+    import pytest as _pytest
+
+    from glasseenterprise_mcp_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from glasseenterprise_mcp_spark.streaming.incremental import (
+        run_composed_stream,
+    )
+
+    t, a, b = split_batches
+    src, ckpt = tempfile.mkdtemp(), tempfile.mkdtemp()
+    sink = GraphSink(spark, tempfile.mkdtemp())
+
+    # batch 1: conversations A + 40 duplicated turns inside the same feed
+    a.unionByName(a.limit(40)).coalesce(1).write.mode("append").parquet(src)
+    counts1 = []
+    q = run_composed_stream(
+        spark, src, sink, ckpt, "snapC", watermark="3650 days",
+        post_batch_hook=lambda bid, n: counts1.append(n),
+    )
+    q.awaitTermination(300)
+    assert sum(counts1) == a.count()  # in-batch duplicates dropped
+
+    # batch 2: conversations B + 30 replayed batch-1 turns; crash in the
+    # commit window of every not-yet-committed batch of this run
+    b.unionByName(a.limit(30)).coalesce(1).write.mode("append").parquet(src)
+
+    def boom(bid, n):
+        raise RuntimeError("injected crash before checkpoint commit")
+
+    q = run_composed_stream(
+        spark, src, sink, ckpt, "snapC", watermark="3650 days",
+        post_batch_hook=boom,
+    )
+    with _pytest.raises(Exception):
+        q.awaitTermination(300)
+
+    # resume from the same checkpoint: the crashed batch replays fully
+    counts3 = []
+    q = run_composed_stream(
+        spark, src, sink, ckpt, "snapC", watermark="3650 days",
+        post_batch_hook=lambda bid, n: counts3.append(n),
+    )
+    q.awaitTermination(300)
+    assert sum(counts3) == b.count()  # replays of batch-1 turns dropped
+
+    got = _triples(sink.read("edges"))
+    one_shot = run_pipeline(spark, t, sink=None, snapshot_version="snap1",
+                            with_components=False)
+    assert got == _triples(one_shot.edges)
+
+    refers = sink.read("edges").filter(F.col("pred") == "refers-to")
+    want_cc = {
+        (bytes(r.id), bytes(r.comp))
+        for r in connected_components(
+            refers.select("subj", "obj"), src="subj", dst="obj"
+        ).collect()
+    }
+    got_cc = {
+        (bytes(r.id), bytes(r.comp))
+        for r in sink.read("components").select("id", "comp").collect()
+    }
+    assert got_cc == want_cc and len(got_cc) > 0
+
+
 def test_stateful_session_far_straggler_closes_separately(spark):
     """An event MORE than a gap before the open session's start must not
     merge into it (batch would treat them as two sessions — review catch):
