@@ -502,6 +502,15 @@ def versioned_upsert_readback(transcripts: DataFrame) -> DataFrame:
         ebatch(new, "has-user-stat", stat_u, "n_user", "v2")
     )
 
+    out_schema = (
+        "tbl string, k1 string, k2 string, val bigint, snapshot_version string"
+    )
+    # Empty corpus: nothing to upsert — an empty partitioned write would
+    # leave a schemaless parquet dir and fail the read-back (the
+    # empty-corpus robustness contract, tests/test_empty_corpus.py).
+    if not conv.limit(1).count():
+        return spark.createDataFrame([], out_schema)
+
     base = tempfile.mkdtemp(prefix="kg_versioned_gate_")
     try:
         sink = GraphSink(spark, base)
