@@ -477,30 +477,51 @@ def embedding_near_dup_pairs(
     floor of 100·cos for reporting. Pass ``banded`` (a materialized
     ``signatures()`` table) to share the projection pass with ``lsh_topk``;
     the self-join references the table twice, so compute-on-demand
-    checkpoints it rather than paying the 32 projections per side."""
+    checkpoints it rather than paying the 32 projections per side.
+
+    Plan shape (r5 10x-sweep finding): candidate generation is ID-ONLY —
+    the band self-join and the OR-construction pair dedup move (band,
+    bucket, id) rows, never the 64-long quantized arrays; the surviving
+    candidate pairs then fetch both vectors by two equi joins against the
+    dim-sized vector table. The previous shape dragged BOTH sides' arrays
+    through the band explosion and the dedup shuffle — at a 10x corpus
+    (3M+ candidates x ~1KB of array per row) that was a multi-GB shuffle
+    and ran 7x slower than this form (153s → well under the oracle's own
+    22s)."""
     q = (
         banded
         if banded is not None
         else signatures(embeddings).localCheckpoint(eager=True)
     )
-    l = q.select(
-        "band", "bucket", F.col("vec_id").alias("a"), F.col("qv").alias("qa"),
-        F.col("self_dot").alias("naa"),
-    )
-    r = q.select(
-        "band", "bucket", F.col("vec_id").alias("b"), F.col("qv").alias("qb"),
-        F.col("self_dot").alias("nbb"),
-    )
+    vecs = q.select("vec_id", "qv", "self_dot").dropDuplicates(["vec_id"])
+    l = q.select("band", "bucket", F.col("vec_id").alias("a"))
+    r = q.select("band", "bucket", F.col("vec_id").alias("b"))
     pairs = (
         l.join(r, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
         # OR-construction: multi-band collisions collapse to one candidate
         .dropDuplicates(["a", "b"])
     )
+    fetched = (
+        pairs.join(
+            vecs.select(
+                F.col("vec_id").alias("a"), F.col("qv").alias("qa"),
+                F.col("self_dot").alias("naa"),
+            ),
+            "a",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("b"), F.col("qv").alias("qb"),
+                F.col("self_dot").alias("nbb"),
+            ),
+            "b",
+        )
+    )
     d2 = F.floor(_dot("qa", "qb") / 1000).cast("long")
     na2 = F.floor(F.col("naa") / 1000).cast("long")
     nb2 = F.floor(F.col("nbb") / 1000).cast("long")
-    scored = pairs.select(
+    scored = fetched.select(
         "a", "b", d2.alias("d2"), na2.alias("na2"), nb2.alias("nb2")
     ).filter(
         (F.col("d2") > 0)

@@ -136,6 +136,14 @@ def cmd_impact(args):
     seeds = spark.createDataFrame(
         [(args.conv, args.turn)], "conv_id string, turn_idx int"
     ).select(turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("id"))
+    # seed-not-found contract (reference impactCommand.ts:25-44): resolve
+    # the seed against the graph first and emit a distinct error payload
+    # instead of a silently-empty traversal
+    if nodes.join(F.broadcast(seeds), "id", "left_semi").limit(1).count() == 0:
+        print(json.dumps({"seed": f"{args.conv}#{args.turn}",
+                          "error": "seed-not-found"}))
+        spark.stop()
+        return
     out = impact(edges, nodes, seeds, depth=args.depth)
     print(json.dumps({"seed": f"{args.conv}#{args.turn}", "depth": args.depth,
                       "reached": [r.asDict() for r in out.collect()]}))

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Cross-scale oracle sweep runner with a per-oracle time budget.
+
+Replays the driver's rows+schema+values comparison for every ``queries()``
+entry at an arbitrary sf-dir (e.g. the 10x dir from jobs/make_scale.py).
+Unlike the plain pytest replay, each DuckDB oracle runs under a watchdog
+(``connection.interrupt()`` after ``--oracle-budget`` seconds): at 10x the
+near-duplicate replica corpus makes the quadratic dedup-family oracles
+(candidate self-joins over 10x-denser buckets) intractable in DuckDB even
+though the ENGINE side finishes — a timed-out oracle is recorded as
+``oracle_timeout`` (with the engine's row count and wall time, which still
+smoke-tests the engine at scale) instead of wedging the whole sweep.
+Queries whose oracle times out here should be re-swept at a smaller factor
+(the sample-gate VERDICT r4 #5 anticipated) and the cap logged.
+
+Usage:
+    python jobs/make_scale.py --out /root/repo/.tmpdata/sf1.0 --factor 10
+    python jobs/scale_sweep.py --sf-dir /root/repo/.tmpdata/sf1.0 \
+        --out /tmp/sweep_sf1.json [--only dd2,dd3] [--oracle-budget 180]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def compare(sp_df, du_df) -> dict:
+    import pandas as pd
+
+    res = {
+        "rows_match": len(sp_df) == len(du_df),
+        "schema_match": sorted(sp_df.columns) == sorted(du_df.columns),
+        "hash_match": False,
+        "spark_rows": len(sp_df),
+        "oracle_rows": len(du_df),
+    }
+    if res["rows_match"] and res["schema_match"]:
+        cols = sorted(sp_df.columns)
+        a = sp_df[cols].sort_values(cols).reset_index(drop=True)
+        b = du_df[cols].sort_values(cols).reset_index(drop=True)
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False)
+            res["hash_match"] = True
+        except AssertionError:
+            res["hash_match"] = False
+    return res
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--oracle-budget", type=int, default=180)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query-name prefixes to run")
+    ap.add_argument("--cores", type=int, default=16)
+    a = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as E
+    from glasseenterprise_mcp_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-sweep", master=f"local[{a.cores}]",
+                      shuffle_partitions=a.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{a.sf_dir}/{t}.parquet'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    names = sorted(qs)
+    if a.only:
+        pfx = tuple(a.only.split(","))
+        names = [n for n in names if n.startswith(pfx)]
+    results: dict = {}
+    for name in names:
+        row: dict = {}
+        t0 = time.time()
+        try:
+            sp_df = qs[name](spark, a.sf_dir).toPandas()
+            row["engine_sec"] = round(time.time() - t0, 1)
+        except Exception as exc:  # engine failure IS a sweep finding
+            results[name] = {"err": f"engine: {exc}"[:300],
+                             "engine_sec": round(time.time() - t0, 1)}
+            print(name, "ENGINE-ERR", results[name]["err"][:120], flush=True)
+            continue
+        if name not in oracles:
+            row.update({"rows_only": True, "spark_rows": len(sp_df)})
+            results[name] = row
+            print(name, "rows-only", len(sp_df), flush=True)
+            continue
+        holder: dict = {}
+
+        def run_oracle():
+            try:
+                holder["df"] = con.sql(oracles[name]).df()
+            except Exception as exc:  # includes InterruptException
+                holder["err"] = str(exc)[:300]
+
+        t1 = time.time()
+        th = threading.Thread(target=run_oracle, daemon=True)
+        th.start()
+        th.join(a.oracle_budget)
+        if th.is_alive():
+            con.interrupt()
+            th.join(30)
+            row.update({"oracle_timeout": True,
+                        "oracle_budget_sec": a.oracle_budget,
+                        "spark_rows": len(sp_df)})
+            results[name] = row
+            print(name, "ORACLE-TIMEOUT", f"engine={row['engine_sec']}s",
+                  f"rows={len(sp_df)}", flush=True)
+            continue
+        row["oracle_sec"] = round(time.time() - t1, 1)
+        if "err" in holder:
+            row["err"] = f"oracle: {holder['err']}"
+        else:
+            row.update(compare(sp_df, holder["df"]))
+        results[name] = row
+        ok = row.get("hash_match")
+        print(name, "OK" if ok else f"FAIL {row}", f"({row['engine_sec']}s/"
+              f"{row.get('oracle_sec', '?')}s)", flush=True)
+    Path(a.out).write_text(json.dumps(results, indent=1))
+    n_ok = sum(1 for r in results.values() if r.get("hash_match"))
+    n_to = sum(1 for r in results.values() if r.get("oracle_timeout"))
+    n_ro = sum(1 for r in results.values() if r.get("rows_only"))
+    n_bad = len(results) - n_ok - n_to - n_ro
+    print(json.dumps({"total": len(results), "hash_ok": n_ok,
+                      "oracle_timeout": n_to, "rows_only": n_ro,
+                      "bad": n_bad}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,22 @@ def test_cli_scan_query_ann_roundtrip():
     assert [r["rank"] for r in ann["results"]] == [1, 2, 3]
 
 
+def test_cli_impact_seed_contract():
+    """Q2/impact CLI surface: a resolvable seed returns per-type reach; an
+    unknown seed returns the DISTINCT seed-not-found error payload
+    (reference impactCommand.ts:25-44), never a silently-empty report."""
+    graph = tempfile.mkdtemp()
+    _run("scan", "--input", "synth:/root/testdata/sf0.001", "--graph", graph)
+
+    ok = _run("impact", "--graph", graph, "--conv", "rt0:c3", "--turn", "2",
+              "--depth", "2")
+    assert ok["seed"] == "rt0:c3#2" and len(ok["reached"]) > 0
+    assert any(r["type"] == "turn" for r in ok["reached"])
+
+    nf = _run("impact", "--graph", graph, "--conv", "nope", "--turn", "99")
+    assert nf == {"seed": "nope#99", "error": "seed-not-found"}
+
+
 def test_cli_multi_root_scan_forms_cross_root_links():
     """S12 multi-root co-ingest: two roots scanned in ONE job produce a
     single graph whose conversations are namespaced per root, and whose
