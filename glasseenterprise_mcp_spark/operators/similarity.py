@@ -66,12 +66,25 @@ N_BANDS = 4  # independent signatures (OR-construction)
 
 
 def quantized(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, label, qv array<long>): round(x*1000)."""
-    return embeddings.select(
+    """(vec_id, label, qv array<long>): round(x*1000).
+
+    Small-scan guard: a dim-sized embeddings table arrives as one or two
+    parquet splits, and every downstream integer dot product (interpreted
+    higher-order ``aggregate``/``zip_with`` — not codegen'd) then runs on
+    ONE task; the 10x sweep clocked brute-force at 55s single-task. When
+    the scan yields fewer splits than the session parallelism, repartition
+    UP so the dot-product maps parallelize; at real corpus scale the scan
+    already produces >= cores splits and this is a no-op (no shuffle
+    added)."""
+    q = embeddings.select(
         "vec_id",
         "label",
         F.expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").alias("qv"),
     )
+    sc = embeddings.sparkSession.sparkContext
+    if embeddings.rdd.getNumPartitions() < sc.defaultParallelism:
+        q = q.repartition(sc.defaultParallelism)
+    return q
 
 
 def _dot(a: str, b: str) -> Column:
@@ -333,14 +346,15 @@ def ivf_topk(
     Output shape matches brute force: (query_id, neighbor_id, rank, dot)."""
     q = quantized(embeddings)
     centroids = ivf_centroids(q, n_centroids)
+    # Checkpoint the C-row centroid table after EVERY sweep (not just the
+    # last): each ivf_assign embeds the centroid plan inside its broadcast
+    # argmax expression, so without the per-sweep cut sweep k's plan nests
+    # sweep k-1's whole aggregation — plan size (and optimizer time) grew
+    # geometrically with n_refine and dominated wall time at n_refine=2
+    # (bench: sim3 4.1s → ~2s). C rows, so the materialization is free at
+    # any corpus scale; this is the CC-loop lineage pattern.
     for _ in range(n_refine):
-        centroids = ivf_refine(q, centroids)
-    # the refined centroid table is referenced by both the corpus
-    # assignment and the query probe below — materialize it once (it is
-    # C rows; the localCheckpoint also cuts the lineage of the iterative
-    # refinement, the CC-loop pattern)
-    if n_refine > 0:
-        centroids = centroids.localCheckpoint(eager=True)
+        centroids = ivf_refine(q, centroids).localCheckpoint(eager=True)
     assigned = ivf_assign(q, centroids)
 
     # queries probe their nprobe nearest cells (Q·C rows — window is fine,
