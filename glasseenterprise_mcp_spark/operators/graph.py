@@ -25,11 +25,28 @@ from ..functions.normalize import norm_name_sql
 from .link import turn_id_sql
 
 
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Materialized symmetric closure of (subj, obj) — the traversal input
+    shared by every BFS caller. Build it ONCE per edge table and pass it
+    as ``und`` to bfs_expand/impact/impact_nodes when several traversals
+    run over the same graph (g1/g1b/routed-impact each paid the
+    union+distinct+checkpoint separately before r5)."""
+    return (
+        edges.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .unionByName(
+            edges.select(F.col("obj").alias("a"), F.col("subj").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def bfs_expand(
     edges: DataFrame,
     seeds: DataFrame,
     depth: int = 3,
     directed: bool = False,
+    und: DataFrame | None = None,
 ) -> DataFrame:
     """G1: bounded BFS from ``seeds`` (single column ``id``) over the edge
     set; returns (id, dist) with the minimal hop distance ≤ depth.
@@ -37,13 +54,18 @@ def bfs_expand(
     Iterative frontier expansion: each round joins only the *frontier*
     (newly discovered nodes) against the edges — the classic Spark BFS that
     keeps per-round work proportional to the frontier, not the visited set.
+    Pass ``und`` (a materialized :func:`undirected_edges`) to share the
+    symmetric-closure build across traversals.
     """
-    e = edges.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
-    if not directed:
-        e = e.unionByName(
-            edges.select(F.col("obj").alias("a"), F.col("subj").alias("b"))
-        ).distinct()
-    e = e.localCheckpoint(eager=True)
+    if und is not None and not directed:
+        e = und
+    else:
+        e = edges.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        if not directed:
+            e = e.unionByName(
+                edges.select(F.col("obj").alias("a"), F.col("subj").alias("b"))
+            ).distinct()
+        e = e.localCheckpoint(eager=True)
 
     visited = seeds.select(F.col("id"), F.lit(0).alias("dist")).distinct()
     frontier = visited
@@ -86,12 +108,13 @@ def bfs_cte(depth: int, seed_where: str, directed: bool = False) -> str:
 
 
 def impact(
-    edges: DataFrame, nodes: DataFrame, seeds: DataFrame, depth: int = 3
+    edges: DataFrame, nodes: DataFrame, seeds: DataFrame, depth: int = 3,
+    und: DataFrame | None = None,
 ) -> DataFrame:
     """G1 complete: BFS + label classification + per-type counts ordered,
     the shape of the reference's impact report (top-50 per category is the
     caller's ``limit``)."""
-    reached = bfs_expand(edges, seeds, depth)
+    reached = bfs_expand(edges, seeds, depth, und=und)
     return (
         reached.join(nodes.select("id", "type"), "id")
         .groupBy("type")
@@ -109,12 +132,13 @@ def impact_nodes(
     seeds: DataFrame,
     depth: int = 3,
     per_type: int = 50,
+    und: DataFrame | None = None,
 ) -> DataFrame:
     """G1b: the actual touched entities, top-``per_type`` per category
     (reference impactCommand.ts:104-180 returns the node lists, not just
     counts). Deterministic ordering: distance first, then id. Output:
     (type, rank, id, dist, name)."""
-    reached = bfs_expand(edges, seeds, depth)
+    reached = bfs_expand(edges, seeds, depth, und=und)
     joined = reached.join(nodes.select("id", "type", "name"), "id")
     w = Window.partitionBy("type").orderBy(F.asc("dist"), F.asc("id"))
     return (

@@ -38,11 +38,15 @@ class QueryRouter:
         nodes: DataFrame,
         edges: DataFrame,
         limit: int = DEFAULT_LIMIT,
+        und_edges: DataFrame | None = None,
     ):
         self.spark = spark
         self.nodes = nodes
         self.edges = edges
         self.limit = limit
+        # optional pre-materialized symmetric edge closure shared with
+        # other traversal callers (operators/graph.py::undirected_edges)
+        self.und_edges = und_edges
         nodes.createOrReplaceTempView("nodes")
         edges.createOrReplaceTempView("edges")
         # precedence-ordered templates (regex, handler) — Q2. The advanced
@@ -218,7 +222,9 @@ class QueryRouter:
             return self.spark.createDataFrame(
                 [("seed-not-found", 0, None)], "type string, n long, min_dist int"
             )
-        return impact(self.edges, self.nodes, seeds, depth=depth)
+        return impact(
+            self.edges, self.nodes, seeds, depth=depth, und=self.und_edges
+        )
 
     def _list_kind(self, kind: str) -> DataFrame:
         return (
