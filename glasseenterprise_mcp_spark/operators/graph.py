@@ -107,6 +107,17 @@ def bfs_cte(depth: int, seed_where: str, directed: bool = False) -> str:
 )"""
 
 
+def seed_found(nodes: DataFrame, seeds: DataFrame) -> bool:
+    """Seed-not-found contract probe (reference impactCommand.ts:25-44):
+    the seed is resolved against the graph before traversing, so callers
+    can emit a DISTINCT marker/error payload instead of a silently-empty
+    result. One broadcast left-semi join of the literal seed frame against
+    the node dim, short-circuited at the first hit. Shared by the NL
+    router's impact template and the CLI impact command so the contract
+    cannot diverge between the two surfaces."""
+    return nodes.join(F.broadcast(seeds), "id", "left_semi").limit(1).count() > 0
+
+
 def impact(
     edges: DataFrame, nodes: DataFrame, seeds: DataFrame, depth: int = 3,
     und: DataFrame | None = None,

@@ -61,8 +61,10 @@ class QueryRouter:
             ),
             (
                 "impact_of_turn",
+                # ':' admitted in the conv-id class: kg_tool-scanned graphs
+                # always namespace conversation ids as "rt<i>:<conv>"
                 re.compile(
-                    r"impact.*turn\s+['\"]?([A-Za-z0-9_\-]+)#(\d+)['\"]?(?:.*depth\s+(\d+))?",
+                    r"impact.*turn\s+['\"]?([A-Za-z0-9_\-:]+)#(\d+)['\"]?(?:.*depth\s+(\d+))?",
                     re.I,
                 ),
                 self._impact_of_turn,
@@ -80,7 +82,7 @@ class QueryRouter:
             (
                 "configs_in_conversation",
                 re.compile(
-                    r"(?:what|which).*configs?.*conversation\s+['\"]?([A-Za-z0-9_\-]+)['\"]?",
+                    r"(?:what|which).*configs?.*conversation\s+['\"]?([A-Za-z0-9_\-:]+)['\"]?",
                     re.I,
                 ),
                 self._configs_in_conversation,
@@ -107,7 +109,7 @@ class QueryRouter:
             ),
             (
                 "replies_chain",
-                re.compile(r"repl(?:y|ies).*(?:in|for)\s+conversation\s+([A-Za-z0-9_.\-]+)", re.I),
+                re.compile(r"repl(?:y|ies).*(?:in|for)\s+conversation\s+([A-Za-z0-9_.:\-]+)", re.I),
                 self._replies_chain,
             ),
         ]
@@ -205,7 +207,7 @@ class QueryRouter:
         return find_cycles(g, "subj", "obj", max_len=8)
 
     def _impact_of_turn(self, m: re.Match) -> DataFrame:
-        from ..operators.graph import impact
+        from ..operators.graph import impact, seed_found
         from ..operators.link import turn_id_col
 
         conv, turn = m.group(1), int(m.group(2))
@@ -213,12 +215,10 @@ class QueryRouter:
         seeds = self.spark.createDataFrame(
             [(conv, turn)], "conv_id string, turn_idx int"
         ).select(turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("id"))
-        # seed-not-found contract (reference impactCommand.ts:25-44): the
-        # seed is resolved against the graph first; an unknown seed returns
-        # a DISTINCT marker row (same schema as the impact report) instead
-        # of a silently-empty traversal. The probe is one broadcast semi
-        # join of a 1-row literal against the node dim.
-        if self.nodes.join(F.broadcast(seeds), "id", "left_semi").limit(1).count() == 0:
+        # seed-not-found contract (reference impactCommand.ts:25-44): an
+        # unknown seed returns a DISTINCT marker row (same schema as the
+        # impact report) instead of a silently-empty traversal.
+        if not seed_found(self.nodes, seeds):
             return self.spark.createDataFrame(
                 [("seed-not-found", 0, None)], "type string, n long, min_dist int"
             )

@@ -64,14 +64,40 @@ def incremental_update(
     delta_transcripts: DataFrame,
     snapshot_version: str,
     with_components: bool = False,
-) -> None:
+) -> int:
     """Process one delta batch: extract → link (delta + against stored
     registries) → MERGE upsert. Append-only, idempotent on replay.
     ``with_components=True`` additionally maintains the persisted
     canonicalization table incrementally (``incremental_components`` —
-    O(delta + affected components) per batch, never O(history))."""
+    O(delta + affected components) per batch, never O(history)).
+
+    Returns the number of delta rows processed, counted while the batch
+    is still cached — callers (the composed stream's post-batch hook)
+    must NOT re-count the batch DataFrame themselves: the cache is
+    dropped before return, so a later ``count()`` would recompute the
+    deduped batch from source."""
     t = delta_transcripts.cache()
     mentions = extract_mentions(t).cache()
+    try:
+        return _incremental_update_body(
+            spark, sink, t, mentions, snapshot_version, with_components
+        )
+    finally:
+        # unpersist even when a sink upsert throws mid-batch (the
+        # crash-resume scenario): a retried batch must not leak one
+        # cache entry per attempt
+        mentions.unpersist()
+        t.unpersist()
+
+
+def _incremental_update_body(
+    spark: SparkSession,
+    sink: "GraphSink",
+    t: DataFrame,
+    mentions: DataFrame,
+    snapshot_version: str,
+    with_components: bool,
+) -> int:
 
     e_mentions_in = mentions_in_edges(mentions).drop("subj_kind")
     e_replies = replies_to_edges(t, mentions)
@@ -121,8 +147,7 @@ def incremental_update(
     )
     if with_components:
         incremental_components(spark, sink, e_refers.select("subj", "obj"))
-    mentions.unpersist()
-    t.unpersist()
+    return t.count()
 
 
 def run_stream(
@@ -216,14 +241,16 @@ def run_composed_stream(
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.cache()
-        incremental_update(
+        # incremental_update caches the batch for its own fan-out and
+        # returns the row count taken while cached; counting here instead
+        # would recompute the deduped batch from source (its unpersist
+        # drops the shared cache entry — cache() is not refcounted)
+        n_rows = incremental_update(
             spark, sink, batch_df, f"{snapshot_version}-b{batch_id}",
             with_components=True,
         )
         if post_batch_hook is not None:
-            post_batch_hook(batch_id, batch_df.count())
-        batch_df.unpersist()
+            post_batch_hook(batch_id, n_rows)
 
     writer = (
         deduped.writeStream.foreachBatch(_process)

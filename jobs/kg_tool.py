@@ -60,13 +60,21 @@ def cmd_scan(args):
     # root ("rt<i>:"), INCLUDING the single-input case: a graph first built
     # from one root and later re-scanned with that root as --input #0 keeps
     # identical rt0:-prefixed ids, so the stable-id re-ingest contract holds
-    # across the single→multi transition (r4 advisor item).
+    # across the single→multi transition (r4 advisor item). --namespace none
+    # is the migration path for graphs persisted under the older unprefixed
+    # scheme (only valid with a single --input: multi-root co-ingest without
+    # namespacing would collide conversation ids across roots).
+    namespaced = getattr(args, "namespace", "auto") != "none"
+    if not namespaced and len(inputs) > 1:
+        raise SystemExit("--namespace none requires exactly one --input")
     t = reduce(
         lambda a, b: a.unionByName(b),
         [
             _load(inp).withColumn(
                 "conv_id", F.concat(F.lit(f"rt{i}:"), F.col("conv_id"))
             )
+            if namespaced
+            else _load(inp)
             for i, inp in enumerate(inputs)
         ],
     )
@@ -126,7 +134,7 @@ def cmd_query(args):
 def cmd_impact(args):
     import pyspark.sql.functions as F
 
-    from glasseenterprise_mcp_spark.operators.graph import impact
+    from glasseenterprise_mcp_spark.operators.graph import impact, seed_found
     from glasseenterprise_mcp_spark.operators.link import turn_id_col
     from glasseenterprise_mcp_spark.operators.materialize import GraphSink
 
@@ -139,7 +147,7 @@ def cmd_impact(args):
     # seed-not-found contract (reference impactCommand.ts:25-44): resolve
     # the seed against the graph first and emit a distinct error payload
     # instead of a silently-empty traversal
-    if nodes.join(F.broadcast(seeds), "id", "left_semi").limit(1).count() == 0:
+    if not seed_found(nodes, seeds):
         print(json.dumps({"seed": f"{args.conv}#{args.turn}",
                           "error": "seed-not-found"}))
         spark.stop()
@@ -274,6 +282,15 @@ def main():
     )
     p.add_argument("--graph", required=True)
     p.add_argument("--snapshot", default=None)
+    p.add_argument(
+        "--namespace", choices=["auto", "none"], default="auto",
+        help="conv-id namespacing: 'auto' prefixes rt<i>: per --input "
+        "position (the stable-id contract for new graphs); 'none' keeps "
+        "raw conv ids — the migration path for graphs persisted before "
+        "the always-prefix change (their stable ids were minted over "
+        "un-prefixed conv ids, so a prefixed re-scan would duplicate "
+        "every node/edge instead of MERGE-updating)",
+    )
     p.set_defaults(fn=cmd_scan)
 
     p = sub.add_parser("learn")

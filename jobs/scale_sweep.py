@@ -75,9 +75,14 @@ def main() -> None:
     spark = get_spark(app_name="scale-sweep", master=f"local[{a.cores}]",
                       shuffle_partitions=a.cores)
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{a.sf_dir}/{t}.parquet'")
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{a.sf_dir}/{t}.parquet'")
+        return c
+
+    con = fresh_con()
+    stuck: threading.Thread | None = None  # timed-out oracle still running on `con`
 
     qs, oracles = E.queries(), E.oracle_sql()
     names = sorted(qs)
@@ -101,11 +106,18 @@ def main() -> None:
             results[name] = row
             print(name, "rows-only", len(sp_df), flush=True)
             continue
+        # a previously timed-out oracle may STILL be executing on this
+        # connection even after interrupt() (DuckDB connections don't
+        # support concurrent queries) — abandon the poisoned connection
+        # and open a fresh one before the next oracle starts
+        if stuck is not None and stuck.is_alive():
+            con = fresh_con()
+        stuck = None
         holder: dict = {}
 
-        def run_oracle():
+        def run_oracle(c=con):
             try:
-                holder["df"] = con.sql(oracles[name]).df()
+                holder["df"] = c.sql(oracles[name]).df()
             except Exception as exc:  # includes InterruptException
                 holder["err"] = str(exc)[:300]
 
@@ -116,6 +128,8 @@ def main() -> None:
         if th.is_alive():
             con.interrupt()
             th.join(30)
+            if th.is_alive():
+                stuck = th
             row.update({"oracle_timeout": True,
                         "oracle_budget_sec": a.oracle_budget,
                         "spark_rows": len(sp_df)})

@@ -69,6 +69,31 @@ def test_cli_impact_seed_contract():
     assert nf == {"seed": "nope#99", "error": "seed-not-found"}
 
 
+def test_cli_scan_namespace_none_migration_path():
+    """Graphs persisted before the always-prefix change minted stable ids
+    over UN-prefixed conv ids; `scan --namespace none` keeps raw conv ids
+    so a re-scan MERGE-updates that history instead of duplicating every
+    node, and is rejected for multi-root scans (un-namespaced co-ingest
+    would collide conversation ids across roots)."""
+    import pytest
+
+    graph = tempfile.mkdtemp()
+    _run("scan", "--input", "synth:/root/testdata/sf0.001", "--graph", graph,
+         "--namespace", "none")
+    q = _run(
+        "query", "--graph", graph,
+        "SQL: SELECT count(*) AS n FROM nodes "
+        "WHERE type = 'conversation' AND name LIKE 'rt%:%'",
+    )
+    assert q["rows"][0]["n"] == 0
+
+    with pytest.raises(subprocess.CalledProcessError):
+        _run("scan",
+             "--input", "synth:/root/testdata/sf0.001",
+             "--input", "synth:/root/testdata/sf0.001",
+             "--graph", tempfile.mkdtemp(), "--namespace", "none")
+
+
 def test_cli_multi_root_scan_forms_cross_root_links():
     """S12 multi-root co-ingest: two roots scanned in ONE job produce a
     single graph whose conversations are namespaced per root, and whose
