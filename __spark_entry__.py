@@ -327,6 +327,20 @@ def q_dup_clusters(spark, sf_dir):
     )
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """dd8: span-level exact-substring dedup (Lee et al. 2021 w-gram
+    formulation) — maximal duplicated token spans INSIDE documents, the
+    passages an exact-substring dedup pass would cut (doc-level dd1–dd7
+    can't see boilerplate shared between otherwise-distinct docs)."""
+    return D.duplicate_spans(D.positional_windows(_docs(spark, sf_dir)))
+
+
+def q_repetition_stats(spark, sf_dir):
+    """tx7: Gopher-style duplicate-bigram fraction per document — the
+    intra-document repetition quality heuristic."""
+    return T.repetition_stats(D.positional_windows(_docs(spark, sf_dir), w=2))
+
+
 def q_fingerprints(spark, sf_dir):
     return T.fingerprints(_sh(spark, sf_dir))
 
@@ -900,10 +914,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd5_embedding_near_dups": q_embedding_near_dups,
         "dd6_contamination": q_contamination,
         "dd7_dup_clusters": q_dup_clusters,
+        "dd8_duplicate_spans": q_duplicate_spans,
         "tx1_lang_scores": q_lang_scores,
         "tx2_token_stats": q_token_stats,
         "tx3_fingerprints": q_fingerprints,
         "tx4_stratified_sample": q_stratified_sample,
+        "tx7_repetition_stats": q_repetition_stats,
         "tx5_redact_mentions": q_redact_mentions,
         "cur1_corpus_curation": q_curate_corpus,
         "cur2_prepare_manifest": q_prepare_manifest,
@@ -1039,6 +1055,13 @@ def oracle_sql() -> dict[str, str]:
         + "\nSELECT CAST(cc.id AS BIGINT) AS doc_id,"
         " CAST(cc.comp AS BIGINT) AS canonical_doc_id, sizes.cluster_size"
         " FROM cc JOIN sizes USING (comp)",
+        "dd8_duplicate_spans": "WITH "
+        + ",\n".join([D.positional_windows_cte(), D.duplicate_spans_cte()])
+        + "\nSELECT doc_id, span_start, span_end, span_tokens FROM dup_spans",
+        "tx7_repetition_stats": "WITH "
+        + D.positional_windows_cte(2)
+        + "\n"
+        + T.repetition_stats_sql(),
         "tx1_lang_scores": T.lang_scores_sql(),
         "tx2_token_stats": T.token_stats_sql(),
         "tx3_fingerprints": "WITH "

@@ -20,7 +20,7 @@ Every operator's DuckDB-oracle twin sits next to it.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 # MinHash parameters: K seeds, B bands of R rows (K = B*R).
 MINHASH_K = 8
@@ -428,4 +428,132 @@ def contamination_cte(
   FROM (SELECT * FROM shingles WHERE NOT ({eval_filter})) t
   JOIN (SELECT * FROM shingles WHERE {eval_filter}) e ON t.sh = e.sh
   GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+)"""
+
+
+# Exact-substring (span-level) dedup: window width in tokens. 6 is wide
+# enough that random w-gram collisions are negligible at the synth vocab
+# (30^6 keys vs ~25k windows at sf0.01) while genuine near-duplicate
+# replicas still share long runs; production corpora use ~50 (see
+# duplicate_spans docstring).
+DUP_SPAN_W = 6
+
+
+def positional_windows(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
+    """(doc_id, i, h): md5 over every w-token rolling window of the
+    document, with its 1-based start token index. Narrow (explode only,
+    no shuffle). Deliberately NOT distinct — span-level dedup needs every
+    occurrence, including a window repeated inside one document."""
+    toks = F.split(F.col("text"), _TOKENIZE)
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(w))
+    # same short-doc guard as shingles(): sequence(1, 0) is DESCENDING in
+    # Spark, so <w-token docs must emit array() (the oracle's empty range)
+    wins = F.expr(
+        f"CASE WHEN size(toks) >= {w} THEN"
+        f" transform(sequence(1, size(toks) - {w - 1}),"
+        f" i -> struct(i AS i, md5(concat_ws(' ', {parts})) AS h))"
+        f" ELSE array() END"
+    )
+    return (
+        documents.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(wins).alias("x"))
+        .select("doc_id", F.col("x.i").alias("i"), F.col("x.h").alias("h"))
+    )
+
+
+def positional_windows_cte(w: int = DUP_SPAN_W) -> str:
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(w))
+    return f"""wins AS (
+  SELECT doc_id, CAST(i AS INT) AS i, md5({parts}) AS h
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+       unnest(range(1, greatest(len(toks) - {w - 1}, 0) + 1)) AS t(i)
+)"""
+
+
+def duplicate_spans(wins: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
+    """Span-level exact-substring duplication — the w-gram formulation of
+    exact-substring dedup from Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (2021): a w-token window whose hash
+    occurs MORE THAN ONCE corpus-wide (across documents, or repeated
+    within one) marks its token span as duplicated; overlapping or
+    abutting marked windows merge into maximal spans per document —
+    exactly the spans that paper removes (doc-level dedup like dd1–dd7
+    keeps one copy of a duplicated document; THIS finds the duplicated
+    passages inside otherwise-distinct documents: boilerplate, licenses,
+    quoted chunks).
+
+    Returns (doc_id, span_start, span_end, span_tokens) with 1-based
+    inclusive token indices of each maximal duplicated span.
+
+    100TB shape: the window table is one narrow pass; the duplicated-hash
+    set is one partially-aggregated shuffle on the uniform md5 key; the
+    position join shuffles on the SAME key, so the exchange layout is
+    reused; span merging is a per-document window function — partitioned
+    by doc_id, never a global sort. The paper's suffix-array formulation
+    is O(n) total work but inherently sequential per shard; the w-gram
+    form trades w× hashing volume for full shuffle parallelism — the
+    right trade on a 1000-executor cluster (production width ~50 tokens;
+    the window count is tokens−w+1 ≈ corpus token count either way)."""
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    marked = wins.join(dup, "h").select(
+        "doc_id", "i", (F.col("i") + (w - 1)).alias("e")
+    )
+    # gaps-and-islands merge: a window starts a new island iff its span
+    # begins past (running max end) + 1 — i.e. it neither overlaps nor
+    # abuts any earlier marked window of the document
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = marked.withColumn(
+        "brk",
+        F.when(
+            F.col("i") > F.coalesce(F.max("e").over(prev), F.lit(-1)) + 1, 1
+        ).otherwise(0),
+    ).withColumn("g", F.sum("brk").over(run))
+    return (
+        grouped.groupBy("doc_id", "g")
+        .agg(F.min("i").alias("span_start"), F.max("e").alias("span_end"))
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("int")
+            .alias("span_tokens"),
+        )
+    )
+
+
+def duplicate_spans_cte(w: int = DUP_SPAN_W) -> str:
+    """Expects the ``wins`` CTE upstream (``positional_windows_cte``)."""
+    return f"""dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+marked AS (SELECT doc_id, i, i + {w - 1} AS e FROM wins JOIN dup USING (h)),
+islands AS (
+  SELECT doc_id, i, e,
+         CASE WHEN i > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM marked),
+grouped AS (
+  SELECT doc_id, i, e,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM islands),
+dup_spans AS (
+  SELECT doc_id, CAST(MIN(i) AS INT) AS span_start,
+         CAST(MAX(e) AS INT) AS span_end,
+         CAST(MAX(e) - MIN(i) + 1 AS INT) AS span_tokens
+  FROM grouped GROUP BY doc_id, g
 )"""

@@ -137,6 +137,41 @@ SELECT doc_id,
 FROM documents"""
 
 
+def repetition_stats(wins: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition signal (Rae et al. 2021,
+    "Scaling Language Models: … Gopher", app. A quality heuristics —
+    "fraction of duplicate n-grams"): per document, the share of n-gram
+    occurrences that repeat an n-gram already seen in the SAME document,
+    as an integer percentage. High values flag machine-generated or
+    boiler-plate text a curation pass should drop.
+
+    Input is the positional window table (``dedup.positional_windows`` at
+    the chosen n) — one partially-aggregated shuffle keyed on doc_id; the
+    distinct count is exact (two-phase), never an approximation, so the
+    oracle matches bit-for-bit. Integer `div` keeps Spark and DuckDB
+    rounding identical (double-cast rounding differs between them)."""
+    return (
+        wins.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.countDistinct("h").cast("long").alias("n_distinct"),
+        )
+        .withColumn(
+            "rep_pct",
+            F.expr("(n_grams - n_distinct) * 100 div n_grams").cast("int"),
+        )
+    )
+
+
+def repetition_stats_sql() -> str:
+    """Expects the ``wins`` CTE upstream (``dedup.positional_windows_cte``)."""
+    return """
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+       CAST(((COUNT(*) - COUNT(DISTINCT h)) * 100) // COUNT(*) AS INT) AS rep_pct
+FROM wins GROUP BY doc_id"""
+
+
 def fingerprints(sh: DataFrame, n: int = 4) -> DataFrame:
     """Winnowing-style document fingerprint: the n smallest shingle hashes
     (md5-hex, lexicographic) joined — a compact rolling-hash-family sketch.

@@ -338,6 +338,39 @@ def test_routed_impact_seed_not_found(spark):
     assert got["turn"].min_dist == 0 and got["turn"].n >= 1
 
 
+def test_router_accepts_namespaced_conv_ids(spark):
+    """kg_tool-scanned graphs namespace every conversation id as
+    'rt<i>:<conv>'; the router's conv-id character classes must admit ':'
+    or every turn/conversation-addressed prompt against a scanned graph
+    silently falls through to fallback_search (review catch)."""
+    from glasseenterprise_mcp_spark.operators.extract import extract_mentions
+    from glasseenterprise_mcp_spark.operators.link import mentions_in_edges
+    from glasseenterprise_mcp_spark.operators.materialize import build_edges, build_nodes
+    from glasseenterprise_mcp_spark.plans.query_router import QueryRouter
+    from glasseenterprise_mcp_spark.sources.transcripts import derive_transcripts
+
+    t = derive_transcripts(spark, "/root/testdata/sf0.001").withColumn(
+        "conv_id", F.concat(F.lit("rt0:"), F.col("conv_id"))
+    )
+    m = extract_mentions(t)
+    nodes = build_nodes(t, m, "s")
+    edges = build_edges([mentions_in_edges(m).drop("subj_kind")], "s")
+    router = QueryRouter(spark, nodes, edges)
+
+    r = router.route("impact of turn rt0:c0#3 depth 2")
+    assert r.template == "impact_of_turn"
+    got = {row.type: row for row in r.df.collect()}
+    assert "seed-not-found" not in got
+    assert got["turn"].min_dist == 0 and got["turn"].n >= 1
+
+    r = router.route("which configs are used in conversation rt0:c0?")
+    assert r.template == "configs_in_conversation"
+    r.df.count()  # plan must at least execute against the namespaced graph
+
+    r = router.route("show replies in conversation rt0:c0")
+    assert r.template == "replies_chain"
+
+
 def test_routed_queries_limit_headroom(spark):
     """The two oracle-gated routed queries (q2/q3) rely on their result
     cardinality staying far below the router's default LIMIT — otherwise the
@@ -451,6 +484,81 @@ def test_shingles_short_docs_and_curate_coverage(spark):
     got = {r.doc_id: r.reason for r in decisions.collect()}
     assert set(got) == {1, 2, 3}  # EVERY doc gets a decision row
     assert got[3] == "kept"
+
+
+def test_duplicate_spans_semantics(spark):
+    """dd8 exact-substring span dedup on a crafted fixture pinning every
+    semantic the sf corpus may not exercise: (a) a run shared ACROSS two
+    docs yields one maximal span in each, positioned per-doc; (b) a run
+    repeated INSIDE one doc marks both occurrences; (c) two marked spans
+    separated by a one-token gap must NOT merge; (d) a unique doc yields
+    nothing; (e) the DuckDB oracle twin agrees on the crafted fixture
+    (the sf0.01 contract check can't see intra-doc repeats)."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.dedup import (
+        duplicate_spans,
+        duplicate_spans_cte,
+        positional_windows,
+        positional_windows_cte,
+    )
+    from .conftest import compare_query
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1/2 share the 9-token run t4..t12
+            (1, " ".join(f"t{i}" for i in range(1, 13)), "en", "s", 0),
+            (2, " ".join(f"t{i}" for i in range(4, 16)), "en", "s", 0),
+            # doc 3: 6-token run repeated with a ONE-token gap at pos 7
+            (3, "x1 x2 x3 x4 x5 x6 gap x1 x2 x3 x4 x5 x6", "en", "s", 0),
+            (4, " ".join(f"u{i}" for i in range(1, 13)), "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    spans = duplicate_spans(positional_windows(docs))
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in spans.collect()
+    }
+    assert got == {
+        (1, 4, 12, 9),  # shared run, doc-1 coordinates
+        (2, 1, 9, 9),  # same run, doc-2 coordinates
+        (3, 1, 6, 6),  # first occurrence of the internal repeat …
+        (3, 8, 13, 6),  # … second occurrence; gap token 7 keeps them apart
+    }
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    compare_query(
+        spark,
+        con,
+        spans,
+        "WITH "
+        + ",\n".join([positional_windows_cte(), duplicate_spans_cte()])
+        + "\nSELECT doc_id, span_start, span_end, span_tokens FROM dup_spans",
+    )
+
+
+def test_repetition_stats_semantics(spark):
+    """tx7 duplicate-bigram fraction: 'p q p q p q' has 5 bigram
+    occurrences of 2 distinct → 60%; an all-unique doc reads 0; a
+    one-token doc emits no row (no bigrams ⇒ no division by zero)."""
+    from glasseenterprise_mcp_spark.operators.dedup import positional_windows
+    from glasseenterprise_mcp_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q p q p q", "en", "s", 0),
+            (2, "a b c d e", "en", "s", 0),
+            (3, "solo", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_distinct, r.rep_pct)
+        for r in repetition_stats(positional_windows(docs, w=2)).collect()
+    }
+    assert got == {1: (5, 2, 60), 2: (4, 4, 0)}
 
 
 def test_ivf_topk_properties(spark):
