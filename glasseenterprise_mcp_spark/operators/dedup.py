@@ -485,15 +485,22 @@ def duplicate_spans(wins: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     Returns (doc_id, span_start, span_end, span_tokens) with 1-based
     inclusive token indices of each maximal duplicated span.
 
-    100TB shape: the window table is one narrow pass; the duplicated-hash
-    set is one partially-aggregated shuffle on the uniform md5 key; the
-    position join shuffles on the SAME key, so the exchange layout is
-    reused; span merging is a per-document window function — partitioned
-    by doc_id, never a global sort. The paper's suffix-array formulation
-    is O(n) total work but inherently sequential per shard; the w-gram
-    form trades w× hashing volume for full shuffle parallelism — the
-    right trade on a 1000-executor cluster (production width ~50 tokens;
-    the window count is tokens−w+1 ≈ corpus token count either way)."""
+    100TB shape (plan audited at sf0.01): the duplicated-hash set is one
+    partially-aggregated shuffle of (h, count) on the uniform md5 key —
+    far smaller than the raw window table — and joins back as a
+    BroadcastHashJoin while the dup set fits the threshold (the common
+    case: duplicated hashes ≪ windows), degrading to a shuffle join on
+    the same uniform key when it doesn't. The window table is computed
+    twice (once to count, once to locate) as two NARROW scan+hash passes
+    — deliberate: recomputing a map-only stage beats caching
+    corpus-token-scale windows. Span merging runs both window functions
+    over ONE doc_id exchange + sort, and the final (doc_id, g) aggregate
+    reuses that partitioning with no further shuffle — never a global
+    sort. The paper's suffix-array formulation is O(n) total work but
+    inherently sequential per shard; the w-gram form trades w× hashing
+    volume for full shuffle parallelism — the right trade on a
+    1000-executor cluster (production width ~50 tokens; the window count
+    is tokens−w+1 ≈ corpus token count either way)."""
     dup = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -222,3 +222,28 @@ def test_asof_join_is_window_carry_not_range_join(spark):
         "BroadcastNestedLoopJoin", "ShuffledHashJoin",
     ):
         assert join_op not in plan, join_op
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """dd8: the span-merge stage must run BOTH window functions (running
+    max-end, island sum) over ONE doc_id exchange, the final (doc_id, g)
+    aggregate must reuse that partitioning (no further exchange after the
+    windows), every Window must carry a partition spec (no global sort),
+    and the dup-hash set must join back as a broadcast while small."""
+    from glasseenterprise_mcp_spark.operators.dedup import (
+        duplicate_spans,
+        positional_windows,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = _plan(duplicate_spans(positional_windows(docs)))
+    assert plan.count("Window") >= 2
+    assert "windowspecdefinition(doc_id" in plan
+    # no partition-spec-free window anywhere
+    assert "windowspecdefinition(," not in plan.replace(" ", "")
+    # exactly two data exchanges: the dup-hash partial aggregate and the
+    # doc_id repartition for the merge windows (broadcast exchanges are
+    # not hashpartitioning)
+    assert plan.count("hashpartitioning") == 2, plan.count("hashpartitioning")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
