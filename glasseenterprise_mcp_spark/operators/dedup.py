@@ -444,20 +444,40 @@ def positional_windows(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     document, with its 1-based start token index. Narrow (explode only,
     no shuffle). Deliberately NOT distinct — span-level dedup needs every
     occurrence, including a window repeated inside one document."""
+    # Small-scan guard (same class as similarity.quantized's): a modest
+    # documents table arrives as 1–2 parquet splits, and the window-hash
+    # pass — w element_at's + an md5 PER TOKEN of the corpus, the
+    # operator's dominant cost, paid TWICE by duplicate_spans — then runs
+    # on 1–2 tasks (the 10x sweep clocked dd8 at 27.9s with 14 idle
+    # cores). Repartition UP when the scan yields fewer splits than the
+    # session parallelism; a no-op at real corpus scale where the scan
+    # already produces >= cores splits.
+    sc = documents.sparkSession.sparkContext
+    if documents.rdd.getNumPartitions() < sc.defaultParallelism:
+        documents = documents.repartition(sc.defaultParallelism)
     toks = F.split(F.col("text"), _TOKENIZE)
-    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(w))
-    # same short-doc guard as shingles(): sequence(1, 0) is DESCENDING in
-    # Spark, so <w-token docs must emit array() (the oracle's empty range)
+    # Keep the higher-order lambda MINIMAL: transform() bodies are
+    # interpreted (never codegen'd — the same Spark property the ANN dot
+    # products hit), so the lambda does one slice + one array_join and the
+    # md5 runs as an ordinary codegen'd projection AFTER the explode;
+    # position comes free from posexplode (measured 2.6x faster than
+    # struct(i, md5(concat_ws(element_at…))) per element).
+    # Same short-doc guard as shingles(): sequence(1, 0) is DESCENDING in
+    # Spark, so <w-token docs must emit array() (the oracle's empty range).
     wins = F.expr(
         f"CASE WHEN size(toks) >= {w} THEN"
         f" transform(sequence(1, size(toks) - {w - 1}),"
-        f" i -> struct(i AS i, md5(concat_ws(' ', {parts})) AS h))"
+        f" i -> array_join(slice(toks, i, {w}), ' '))"
         f" ELSE array() END"
     )
     return (
         documents.select("doc_id", toks.alias("toks"))
-        .select("doc_id", F.explode(wins).alias("x"))
-        .select("doc_id", F.col("x.i").alias("i"), F.col("x.h").alias("h"))
+        .select("doc_id", F.posexplode(wins).alias("p", "win"))
+        .select(
+            "doc_id",
+            (F.col("p") + 1).cast("int").alias("i"),
+            F.md5("win").alias("h"),
+        )
     )
 
 
