@@ -341,6 +341,34 @@ def q_repetition_stats(spark, sf_dir):
     return T.repetition_stats(D.positional_windows(_docs(spark, sf_dir), w=2))
 
 
+def q_segment_dedup(spark, sf_dir):
+    """dd9: C4-style segment-level keep-first dedup report — the text cut
+    into aligned K-token segments, every corpus-wide repeat dropped with
+    the globally-first occurrence as keeper (the keep/drop CALL per
+    segment, where dd8 only reports duplicated regions)."""
+    return D.segment_dedup_report(_docs(spark, sf_dir))
+
+
+def q_charlm_quality(spark, sf_dir):
+    """tx8: CCNet-style char-bigram LM quality scores against the
+    corpus-trained bigram model — rare-transition counts and mean corpus
+    frequency, integer-exact."""
+    return T.charlm_quality(_docs(spark, sf_dir))
+
+
+def q_bpe_merge_candidates(spark, sf_dir):
+    """bpe1: tokenizer-training step — the first BPE merge-candidate
+    table (top adjacent char pairs weighted by word frequency), computed
+    over the vocabulary, not the corpus."""
+    return T.bpe_merge_candidates(_docs(spark, sf_dir))
+
+
+def q_mixture_weights(spark, sf_dir):
+    """cur3: domain-mixture reweighting to a uniform source target —
+    per-source sampling weights in ppm, integer-exact."""
+    return T.mixture_weights(_docs(spark, sf_dir))
+
+
 def q_fingerprints(spark, sf_dir):
     return T.fingerprints(_sh(spark, sf_dir))
 
@@ -915,14 +943,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd6_contamination": q_contamination,
         "dd7_dup_clusters": q_dup_clusters,
         "dd8_duplicate_spans": q_duplicate_spans,
+        "dd9_segment_dedup": q_segment_dedup,
         "tx1_lang_scores": q_lang_scores,
         "tx2_token_stats": q_token_stats,
         "tx3_fingerprints": q_fingerprints,
         "tx4_stratified_sample": q_stratified_sample,
         "tx7_repetition_stats": q_repetition_stats,
+        "tx8_charlm_quality": q_charlm_quality,
         "tx5_redact_mentions": q_redact_mentions,
+        "bpe1_merge_candidates": q_bpe_merge_candidates,
         "cur1_corpus_curation": q_curate_corpus,
         "cur2_prepare_manifest": q_prepare_manifest,
+        "cur3_mixture_weights": q_mixture_weights,
         "sim1_ann_bruteforce": q_ann_brute,
         "sim2_ann_lsh": q_ann_lsh,
         "sim3_ann_ivf": q_ann_ivf,
@@ -1062,6 +1094,13 @@ def oracle_sql() -> dict[str, str]:
         + D.positional_windows_cte(2)
         + "\n"
         + T.repetition_stats_sql(),
+        "dd9_segment_dedup": "WITH "
+        + D.segment_dedup_cte()
+        + "\nSELECT doc_id, n_segments, kept_segments, dropped_tokens"
+        " FROM seg_report",
+        "tx8_charlm_quality": T.charlm_quality_sql(),
+        "bpe1_merge_candidates": T.bpe_merge_candidates_sql(),
+        "cur3_mixture_weights": T.mixture_weights_sql(),
         "tx1_lang_scores": T.lang_scores_sql(),
         "tx2_token_stats": T.token_stats_sql(),
         "tx3_fingerprints": "WITH "

@@ -439,22 +439,25 @@ def contamination_cte(
 DUP_SPAN_W = 6
 
 
+def _widen(documents: DataFrame) -> DataFrame:
+    """Small-scan guard (same class as similarity.quantized's): a modest
+    documents table arrives as 1–2 parquet splits, and a per-token hashing
+    pass then runs on 1–2 tasks with the other cores idle (the 10x sweep
+    clocked dd8 at 27.9s with 14 idle cores). Repartition UP when the scan
+    yields fewer splits than the session parallelism; a no-op at real
+    corpus scale where the scan already produces >= cores splits."""
+    sc = documents.sparkSession.sparkContext
+    if documents.rdd.getNumPartitions() < sc.defaultParallelism:
+        documents = documents.repartition(sc.defaultParallelism)
+    return documents
+
+
 def positional_windows(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     """(doc_id, i, h): md5 over every w-token rolling window of the
     document, with its 1-based start token index. Narrow (explode only,
     no shuffle). Deliberately NOT distinct — span-level dedup needs every
     occurrence, including a window repeated inside one document."""
-    # Small-scan guard (same class as similarity.quantized's): a modest
-    # documents table arrives as 1–2 parquet splits, and the window-hash
-    # pass — w element_at's + an md5 PER TOKEN of the corpus, the
-    # operator's dominant cost, paid TWICE by duplicate_spans — then runs
-    # on 1–2 tasks (the 10x sweep clocked dd8 at 27.9s with 14 idle
-    # cores). Repartition UP when the scan yields fewer splits than the
-    # session parallelism; a no-op at real corpus scale where the scan
-    # already produces >= cores splits.
-    sc = documents.sparkSession.sparkContext
-    if documents.rdd.getNumPartitions() < sc.defaultParallelism:
-        documents = documents.repartition(sc.defaultParallelism)
+    documents = _widen(documents)
     toks = F.split(F.col("text"), _TOKENIZE)
     # Keep the higher-order lambda MINIMAL: transform() bodies are
     # interpreted (never codegen'd — the same Spark property the ANN dot
@@ -583,4 +586,91 @@ dup_spans AS (
          CAST(MAX(e) AS INT) AS span_end,
          CAST(MAX(e) - MIN(i) + 1 AS INT) AS span_tokens
   FROM grouped GROUP BY doc_id, g
+)"""
+
+
+# Segment-level keep-first dedup: non-overlapping segment width in tokens.
+# The corpus has no newline structure, so the C4 "line" unit becomes a
+# fixed K-token segment aligned to K boundaries; 8 is a few of the synth
+# corpus's ~10-token sentences' worth and keeps accidental collisions nil
+# at the 30-word vocabulary (30^8 keys).
+SEG_K = 8
+
+
+def segment_dedup_report(documents: DataFrame, k: int = SEG_K) -> DataFrame:
+    """dd9: C4-style segment dedup report (Raffel et al. 2020 §2.2 clean
+    each "three-sentence span" / line occurring more than once in the
+    corpus; Lee et al. 2021 call this the "line-level" baseline): the text
+    is cut into NON-overlapping k-token segments and every segment whose
+    exact text occurs elsewhere in the corpus — in another document or
+    earlier in the same one — is dropped; the globally FIRST occurrence
+    (min (doc_id, seg_idx)) is the keeper. Differs from dd8 in both unit
+    and decision: dd8 marks maximal duplicated REGIONS over overlapping
+    windows (a report of what's duplicated); dd9 makes the keep/drop CALL
+    per aligned segment with a canonical survivor, the form a curation
+    pass applies directly.
+
+    Returns per document (every document gets a row):
+    (doc_id, n_segments, kept_segments, dropped_tokens).
+
+    100TB shape: one narrow segment pass (≈ tokens/k rows, k× fewer than
+    dd8's window table), ONE shuffle on the uniform md5 segment key where
+    the keep-first rank is a row_number over per-hash groups (group size =
+    duplication multiplicity, never corpus-scale), then the per-doc
+    aggregate on doc_id. Tail segments shorter than k hash over their
+    actual tokens on both engines (slice clips identically)."""
+    documents = _widen(documents)
+    toks = F.split(F.col("text"), _TOKENIZE)
+    # minimal interpreted lambda, md5 codegen'd after the explode — the
+    # same formulation positional_windows() uses (measured 2.6x faster)
+    segs = F.expr(
+        f"transform(sequence(0, (size(toks) + {k - 1}) div {k} - 1),"
+        f" s -> array_join(slice(toks, s * {k} + 1, {k}), ' '))"
+    )
+    seg_tab = (
+        documents.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_toks"),
+            F.posexplode(segs).alias("s", "seg"),
+        )
+        .select(
+            "doc_id",
+            "s",
+            F.md5("seg").alias("h"),
+            F.least(F.lit(k), F.col("n_toks") - F.col("s") * k).alias("seg_len"),
+        )
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "s")
+    ranked = seg_tab.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_segments"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("int")
+        .alias("kept_segments"),
+        F.sum(F.when(F.col("rn") > 1, F.col("seg_len")).otherwise(0))
+        .cast("long")
+        .alias("dropped_tokens"),
+    )
+
+
+def segment_dedup_cte(k: int = SEG_K) -> str:
+    return f"""segs AS (
+  SELECT doc_id, s,
+         md5(array_to_string(toks[s * {k} + 1 : s * {k} + {k}], ' ')) AS h,
+         LEAST({k}, len(toks) - s * {k}) AS seg_len
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+       unnest(range(0, (len(toks) + {k - 1}) // {k})) AS t(s)
+),
+seg_ranked AS (
+  SELECT doc_id, s, seg_len,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+  FROM segs
+),
+seg_report AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_segments,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS kept_segments,
+         CAST(SUM(CASE WHEN rn > 1 THEN seg_len ELSE 0 END) AS BIGINT)
+           AS dropped_tokens
+  FROM seg_ranked GROUP BY doc_id
 )"""

@@ -548,3 +548,205 @@ def prepare_manifest_sql(
          CAST(p.start_tok // {ctx} AS BIGINT) AS first_bin
   FROM flags f LEFT JOIN packed p USING (doc_id)
 )"""
+
+
+# Character-bigram LM quality scoring (CCNet-style, Wenzek et al. 2020 —
+# there a KenLM 5-gram ranks documents into head/middle/tail; here the
+# model is a char-bigram table TRAINED ON THE CORPUS ITSELF, the
+# self-supervised variant, and the scores are integer-exact so the DuckDB
+# twin matches bit-for-bit where float log-probs could not). A document
+# full of improbable character transitions (gibberish, encoding damage,
+# non-text) shows a high rare-bigram count and a low mean corpus
+# frequency.
+RARE_BIGRAM_MAX = 4  # corpus occurrences < this → the bigram is "rare"
+
+
+def charlm_quality(
+    documents: DataFrame, rare_max: int = RARE_BIGRAM_MAX
+) -> DataFrame:
+    """tx8: per-document char-bigram LM statistics against the corpus-wide
+    bigram model: (doc_id, n_bigrams, n_distinct_bigrams, rare_bigrams,
+    mean_bigram_freq). ``rare_bigrams`` counts occurrences of bigrams seen
+    fewer than ``rare_max`` times corpus-wide; ``mean_bigram_freq`` is the
+    integer mean corpus count over the document's bigram occurrences —
+    the unigram-over-bigrams LM score in exact integer form (integer div;
+    at a 100TB corpus the sum n*corpus_n needs the log-bucketed variant to
+    stay in int64 — noted, not needed at any tested scale).
+
+    100TB shape: the doc-side (doc_id, bigram) partial aggregate collapses
+    to ≤ alphabet² rows per document BEFORE its shuffle; the model is the
+    same aggregate re-keyed by bigram (alphabet²-bounded → Catalyst
+    broadcasts it); the final per-doc aggregate reuses the doc_id key.
+    The bigram pass is recomputed for the model rather than cached — two
+    narrow passes beat materializing a corpus-char-scale table (the dd8
+    trade). Documents shorter than two characters emit no row (no
+    bigrams), same as the oracle's empty range.
+
+    Overlapping bigrams come from a Java-regex LOOKAHEAD —
+    ``(?s)(?=(..))`` captures the 2 chars at every position — which runs
+    as one codegen'd JVM regexp_extract_all call per document; the
+    interpreted ``transform(sequence(...), i -> substring(text, i, 2))``
+    formulation (a per-CHAR interpreted lambda, the Spark property the dd8
+    window pass hit) measured 10× slower at the 10x corpus (62.9s vs 6.0s
+    for the doc-side aggregate), with output equality asserted. The oracle
+    keeps the range+substr form — RE2 has no lookahead, and mechanism
+    independence is the point of the twin."""
+    from .dedup import _widen
+
+    documents = _widen(documents)
+    bg = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"(?s)(?=(..))"), 1)
+        ).alias("bg"),
+    )
+    dc = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
+    model = dc.groupBy("bg").agg(F.sum("n").alias("corpus_n"))
+    return (
+        dc.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+            F.sum(F.when(F.col("corpus_n") < rare_max, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("rare_bigrams"),
+            F.expr("sum(n * corpus_n) div sum(n)")
+            .cast("long")
+            .alias("mean_bigram_freq"),
+        )
+    )
+
+
+def charlm_quality_sql(rare_max: int = RARE_BIGRAM_MAX) -> str:
+    return f"""
+WITH charbg AS (
+  SELECT doc_id, substr(text, i, 2) AS bg
+  FROM documents, unnest(range(1, greatest(length(text) - 1, 0) + 1)) AS t(i)
+),
+dc AS (SELECT doc_id, bg, COUNT(*) AS n FROM charbg GROUP BY doc_id, bg),
+model AS (SELECT bg, SUM(n) AS corpus_n FROM dc GROUP BY bg)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+       CAST(SUM(CASE WHEN corpus_n < {rare_max} THEN n ELSE 0 END) AS BIGINT)
+         AS rare_bigrams,
+       CAST(SUM(n * corpus_n) // SUM(n) AS BIGINT) AS mean_bigram_freq
+FROM dc JOIN model USING (bg) GROUP BY doc_id"""
+
+
+# One BPE merge iteration — the tokenizer-TRAINING step (Sennrich et al.
+# 2016 alg. 1): count adjacent symbol pairs over the corpus, weighted by
+# word frequency; the top pair is the next merge. Symbols here are
+# characters (the first iteration).
+BPE_TOP_N = 50
+
+
+def bpe_merge_candidates(documents: DataFrame, top_n: int = BPE_TOP_N) -> DataFrame:
+    """bpe1: the first BPE merge-candidate table: (pair, pair_count,
+    n_word_positions) — top ``top_n`` adjacent character pairs by corpus
+    count (count desc, pair asc: total order, deterministic LIMIT).
+    ``pair_count`` weights each in-word occurrence by the word's corpus
+    frequency; ``n_word_positions`` counts distinct (word, position)
+    sites.
+
+    100TB shape — the property that makes BPE training distributable: the
+    corpus collapses to the VOCABULARY first (one partial-agg shuffle on
+    uniform word keys), and pair counting then runs over distinct words ×
+    their length — vocabulary-bounded, orders of magnitude smaller than
+    the corpus. The final ordered LIMIT sorts the alphabet²-bounded pair
+    table only."""
+    from .dedup import _widen
+
+    documents = _widen(documents)
+    words = (
+        documents.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # same codegen'd lookahead extraction as charlm_quality (the vocab
+    # table is small, but the mechanism is strictly better either way)
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.regexp_extract_all(F.col("word"), F.lit(r"(?s)(?=(..))"), 1)
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").cast("long").alias("pair_count"),
+            F.count(F.lit(1)).cast("long").alias("n_word_positions"),
+        )
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )
+
+
+def bpe_merge_candidates_sql(top_n: int = BPE_TOP_N) -> str:
+    return f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
+  GROUP BY word
+),
+wpairs AS (
+  SELECT freq, substr(word, i, 2) AS pair
+  FROM words, unnest(range(1, greatest(length(word) - 1, 0) + 1)) AS t(i)
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count,
+       CAST(COUNT(*) AS BIGINT) AS n_word_positions
+FROM wpairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC LIMIT {top_n}"""
+
+
+def mixture_weights(documents: DataFrame) -> DataFrame:
+    """cur3: domain-mixture reweighting — per source, the sampling weight
+    that rebalances the corpus to a UNIFORM source mixture (the data-
+    mixing step of e.g. The Pile / Dolma recipes, with uniform as the
+    declared target): (source, n_docs, n_tokens, weight_ppm,
+    expected_docs). weight_ppm = target share ÷ actual share in parts per
+    million, integer-exact (div); expected_docs applies it back. An
+    over-represented source gets weight < 1e6 (downsample), an
+    under-represented one > 1e6 (upsample/repeat).
+
+    100TB shape: one partial-agg shuffle to the source-bounded table,
+    then a 1-row global aggregate broadcast back — nothing here scales
+    with the corpus."""
+    by_src = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), r"\s+"))).cast("long").alias("n_tokens"),
+    )
+    tot = by_src.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        by_src.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "weight_ppm",
+            F.expr("total_docs * 1000000 div (n_sources * n_docs)").cast("long"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight_ppm",
+            F.expr("n_docs * weight_ppm div 1000000").cast("long").alias("expected_docs"),
+        )
+    )
+
+
+def mixture_weights_sql() -> str:
+    return """
+WITH by_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS total_docs, COUNT(*) AS n_sources FROM by_src)
+SELECT source, n_docs, n_tokens,
+       CAST(total_docs * 1000000 // (n_sources * n_docs) AS BIGINT) AS weight_ppm,
+       CAST(n_docs * (total_docs * 1000000 // (n_sources * n_docs)) // 1000000
+            AS BIGINT) AS expected_docs
+FROM by_src, tot"""

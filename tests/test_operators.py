@@ -859,3 +859,155 @@ def test_stratified_sample_rate_bounds(spark):
         stratified_sample(docs, {"en": 300})
     with pytest.raises(ValueError, match="0..256"):
         stratified_sample(docs, {"en": -1})
+
+
+def test_segment_dedup_semantics(spark):
+    """dd9 segment keep-first dedup on a crafted fixture: (a) a doc whose
+    only segment duplicates an earlier doc's first segment is fully
+    dropped; (b) an intra-doc repeat keeps the first occurrence only;
+    (c) a short tail segment participates (and wins over a later doc with
+    the same 2-token text — keeper order is (doc_id, seg_idx));
+    (d) unique docs keep everything; (e) the DuckDB twin agrees."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.dedup import (
+        segment_dedup_cte,
+        segment_dedup_report,
+    )
+
+    from .conftest import compare_query
+
+    def w(prefix, n):
+        return " ".join(f"{prefix}{i}" for i in range(1, n + 1))
+
+    docs = spark.createDataFrame(
+        [
+            (1, w("a", 8) + " " + w("b", 8), "en", "s", 0),  # 2 full segments
+            (2, w("a", 8), "en", "s", 0),  # == doc1 seg0 → dropped
+            (3, w("c", 8) + " " + w("c", 8), "en", "s", 0),  # intra-doc repeat
+            (4, w("d", 10), "en", "s", 0),  # tail segment 'd9 d10'
+            (5, "d9 d10", "en", "s", 0),  # == doc4's tail → dropped
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rep = segment_dedup_report(docs)
+    got = {
+        r.doc_id: (r.n_segments, r.kept_segments, r.dropped_tokens)
+        for r in rep.collect()
+    }
+    assert got == {
+        1: (2, 2, 0),
+        2: (1, 0, 8),
+        3: (2, 1, 8),
+        4: (2, 2, 0),
+        5: (1, 0, 2),
+    }
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    compare_query(
+        spark,
+        con,
+        rep,
+        "WITH "
+        + segment_dedup_cte()
+        + "\nSELECT doc_id, n_segments, kept_segments, dropped_tokens"
+        " FROM seg_report",
+    )
+
+
+def test_charlm_quality_semantics(spark):
+    """tx8 char-bigram LM stats, hand-computed: 'abab' has bigrams
+    {ab:2, ba:1}; with two such docs and one 'zq' doc the corpus model is
+    ab=4, ba=2, zq=1, so at rare_max=4 each 'abab' doc reads rare=1
+    (its ba occurrence) and mean = (2*4 + 1*2) div 3 = 3; 'zq' reads
+    rare=1, mean=1; a 1-char doc emits no row."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.textstats import (
+        charlm_quality,
+        charlm_quality_sql,
+    )
+
+    from .conftest import compare_query
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abab", "en", "s", 0),
+            (2, "abab", "en", "s", 0),
+            (3, "zq", "en", "s", 0),
+            (4, "x", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    q = charlm_quality(docs)
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_distinct_bigrams, r.rare_bigrams, r.mean_bigram_freq)
+        for r in q.collect()
+    }
+    assert got == {1: (3, 2, 1, 3), 2: (3, 2, 1, 3), 3: (1, 1, 1, 1)}
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    compare_query(spark, con, q, charlm_quality_sql())
+
+
+def test_bpe_merge_candidates_semantics(spark):
+    """bpe1 first merge iteration on 'low low lower': pair counts are
+    word-frequency weighted (lo=ow=3, we=er=1), ties broken by pair asc,
+    and the table is computed over the 2-word vocabulary (n_word_positions
+    counts distinct sites, not corpus occurrences)."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.textstats import (
+        bpe_merge_candidates,
+        bpe_merge_candidates_sql,
+    )
+
+    from .conftest import compare_query
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    top = bpe_merge_candidates(docs)
+    rows = [(r.pair, r.pair_count, r.n_word_positions) for r in top.collect()]
+    assert rows == [("lo", 3, 2), ("ow", 3, 2), ("er", 1, 1), ("we", 1, 1)]
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    compare_query(spark, con, top, bpe_merge_candidates_sql())
+
+
+def test_mixture_weights_semantics(spark):
+    """cur3 uniform-target reweighting: 3 docs of src A vs 1 of src B →
+    A is over-represented (weight 666666 ppm < 1e6, expected 1 of 3) and
+    B under-represented (2e6 ppm, expected 2)."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.textstats import (
+        mixture_weights,
+        mixture_weights_sql,
+    )
+
+    from .conftest import compare_query
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t u", "en", "A", 0),
+            (2, "t u", "en", "A", 0),
+            (3, "t u", "en", "A", 0),
+            (4, "t u v", "en", "B", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    mw = mixture_weights(docs)
+    got = {
+        r.source: (r.n_docs, r.n_tokens, r.weight_ppm, r.expected_docs)
+        for r in mw.collect()
+    }
+    assert got == {"A": (3, 6, 666666, 1), "B": (1, 3, 2000000, 2)}
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    compare_query(spark, con, mw, mixture_weights_sql())
