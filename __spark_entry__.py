@@ -369,6 +369,22 @@ def q_mixture_weights(spark, sf_dir):
     return T.mixture_weights(_docs(spark, sf_dir))
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """tx9: per-document top-k salient terms by integer tf-idf (ppm idf
+    surrogate — monotone in N/df, so the ranking is the tf-idf ranking),
+    deterministic tie-break by term."""
+    return T.tfidf_keywords(_docs(spark, sf_dir))
+
+
+def q_pagerank(spark, sf_dir):
+    """g6: integer-exact PageRank (5 synchronous rounds, 85% damping,
+    ppm-scaled ranks, dangling mass redistributed) over the refers-to
+    graph — the centrality the float formulation could never cross-engine
+    hash-match."""
+    e = refers_to_edges(_m(spark, sf_dir))
+    return _hex_ids(G.pagerank(e.select("subj", "obj")), "id")
+
+
 def q_fingerprints(spark, sf_dir):
     return T.fingerprints(_sh(spark, sf_dir))
 
@@ -955,6 +971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur1_corpus_curation": q_curate_corpus,
         "cur2_prepare_manifest": q_prepare_manifest,
         "cur3_mixture_weights": q_mixture_weights,
+        "tx9_tfidf_keywords": q_tfidf_keywords,
+        "g6_pagerank": q_pagerank,
         "sim1_ann_bruteforce": q_ann_brute,
         "sim2_ann_lsh": q_ann_lsh,
         "sim3_ann_ivf": q_ann_ivf,
@@ -1101,6 +1119,12 @@ def oracle_sql() -> dict[str, str]:
         "tx8_charlm_quality": T.charlm_quality_sql(),
         "bpe1_merge_candidates": T.bpe_merge_candidates_sql(),
         "cur3_mixture_weights": T.mixture_weights_sql(),
+        "tx9_tfidf_keywords": T.tfidf_keywords_sql(),
+        "g6_pagerank": O.oracle(
+            f"SELECT id, rank FROM (SELECT id, r AS rank FROM pr{G.PR_ITERS})",
+            O.refers_to_cte(),
+            G.pagerank_cte("refers_to"),
+        ),
         "tx1_lang_scores": T.lang_scores_sql(),
         "tx2_token_stats": T.token_stats_sql(),
         "tx3_fingerprints": "WITH "

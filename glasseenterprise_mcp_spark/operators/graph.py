@@ -375,3 +375,146 @@ def blast_radius_cte() -> str:
     ON c.norm = p.res_norm
   GROUP BY p.res_norm
 )"""
+
+
+# G6: PageRank over the materialized graph — the classic "which node does
+# the corpus keep pointing at" centrality, in EXACT integer arithmetic so
+# the DuckDB twin hash-matches (float PageRank could never cross-engine
+# compare bit-for-bit). Rank is scaled by PR_SCALE (ppm, the repo-wide
+# integer-fraction convention); damping is an integer percentage and every
+# division is an explicit integer div applied in the SAME order on both
+# engines. Dangling mass (nodes with no out-edges) is redistributed
+# uniformly each round — the full algorithm, not the drop-the-mass
+# shortcut.
+PR_SCALE = 1_000_000
+PR_DAMPING_PCT = 85
+PR_ITERS = 5
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    iters: int = PR_ITERS,
+    damping_pct: int = PR_DAMPING_PCT,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """G6: ``iters`` synchronous PageRank rounds over the distinct
+    (src, dst) edge set; returns (id, rank) with
+
+        r_{t+1}(v) = base + d * (in_sum(v) + dang_t div N) div 100
+        base       = (100 - d) * scale div 100        (constant-folded)
+        in_sum(v)  = sum over in-edges (u,v) of  r_t(u) div outdeg(u)
+        dang_t     = sum of r_t(u) over nodes with outdeg 0
+
+    all in int64 (overflow headroom: d * N * scale must fit — at ppm scale
+    safe to ~10^11 nodes).
+
+    100TB shape: the edge table is distinct-ed, repartitioned by src and
+    checkpointed ONCE (every round's join probes the same layout); each
+    round is one src-keyed join + one dst-keyed partial-agg shuffle + a
+    1-row dangling aggregate that rides along as a broadcast cross join
+    (never a driver collect inside the loop); the state is checkpointed
+    per round to truncate lineage, the same discipline as the CC loop.
+    N is the one upfront driver scalar (a count), unavoidable: it is a
+    parameter of the formula itself."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    state = (
+        nodes.join(outdeg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+            F.lit(scale).cast("long").alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = state.count()
+    if n_nodes == 0:
+        return state.select("id", F.col("r").alias("rank"))
+    base = (100 - damping_pct) * scale // 100
+    for _ in range(iters):
+        contribs = (
+            state.filter(F.col("outdeg") > 0)
+            .select(F.col("id").alias("src"), F.expr("r div outdeg").alias("c"))
+            .join(e, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dang = state.filter(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang")
+        )
+        state = (
+            state.select("id", "outdeg")
+            .join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                "outdeg",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"{damping_pct} * (coalesce(in_sum, 0)"
+                        f" + dang div {n_nodes}) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("id", F.col("r").alias("rank"))
+
+
+def pagerank_cte(
+    edges_cte: str,
+    iters: int = PR_ITERS,
+    damping_pct: int = PR_DAMPING_PCT,
+    scale: int = PR_SCALE,
+) -> str:
+    """DuckDB oracle: the same rounds unrolled as a CTE chain pr0..pr{K},
+    each applying the identical integer formula (same div order). Every
+    iteration CTE is MATERIALIZED: pr{t} references pr{t-1} three times
+    (state join, in_sum subquery, dangling scalar), and DuckDB inlines
+    plain CTEs — without materialization the source pipeline would expand
+    3^iters-fold (observed: fd exhaustion at iters=5 over the parquet
+    scan)."""
+    base = (100 - damping_pct) * scale // 100
+    parts = [
+        f"""pr_e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM {edges_cte}),
+pr_nodes AS MATERIALIZED (SELECT src AS id FROM pr_e UNION SELECT dst FROM pr_e),
+pr_n AS MATERIALIZED (SELECT COUNT(*) AS n FROM pr_nodes),
+pr0 AS MATERIALIZED (
+  SELECT n.id, CAST(COALESCE(d.c, 0) AS BIGINT) AS outdeg,
+         CAST({scale} AS BIGINT) AS r
+  FROM pr_nodes n LEFT JOIN
+       (SELECT src AS id, COUNT(*) AS c FROM pr_e GROUP BY src) d USING (id)
+)"""
+    ]
+    for t in range(1, iters + 1):
+        p = f"pr{t - 1}"
+        parts.append(
+            f"""pr{t} AS MATERIALIZED (
+  SELECT s.id, s.outdeg,
+         CAST({base} + {damping_pct} * (COALESCE(c.in_sum, 0)
+           + (SELECT COALESCE(SUM(r), 0) FROM {p} WHERE outdeg = 0)
+             // (SELECT n FROM pr_n)) // 100 AS BIGINT) AS r
+  FROM {p} s LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.r // p.outdeg) AS in_sum
+    FROM {p} p JOIN pr_e e ON p.id = e.src
+    WHERE p.outdeg > 0 GROUP BY e.dst) c USING (id)
+)"""
+        )
+    return ",\n".join(parts)

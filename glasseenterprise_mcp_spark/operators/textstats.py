@@ -750,3 +750,81 @@ SELECT source, n_docs, n_tokens,
        CAST(n_docs * (total_docs * 1000000 // (n_sources * n_docs)) // 1000000
             AS BIGINT) AS expected_docs
 FROM by_src, tot"""
+
+
+# TF-IDF keyword extraction — per-document top-k salient terms, the
+# classic relevance weighting (Sparck Jones 1972) in EXACT integer form:
+# idf_scaled = n_docs * 1e6 div df (the ppm integer surrogate of N/df —
+# monotone in the real idf, so the ranking is the tf-idf ranking), and
+# score = tf * idf_scaled. Float log-idf could never hash-match across
+# engines; the integer surrogate ranks identically for fixed N.
+TFIDF_K = 5
+
+
+def tfidf_keywords(documents: DataFrame, k: int = TFIDF_K) -> DataFrame:
+    """tx9: (doc_id, rk, term, tf, df, score) — the top ``k`` terms per
+    document by integer tf-idf, rank ties broken by term asc (total order,
+    deterministic).
+
+    100TB shape: (doc_id, term) and term partial-agg shuffles; the df
+    lookup is a shuffle equi join on the term key with a one-row build
+    side per key — Zipfian probe-side skew ("the" pairs with every doc)
+    is exactly the shape AQE's skew split handles, and stopwords' scores
+    are the LOWEST so the final per-doc window (doc_id-partitioned,
+    bounded by the doc's vocabulary) drops them anyway. n_docs rides as a
+    1-row broadcast cross join, never a driver scalar."""
+    terms = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nd = documents.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.expr("n_docs * 1000000 div df"))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "rk", "term", "tf", "df", "score")
+    )
+
+
+def tfidf_keywords_sql(k: int = TFIDF_K) -> str:
+    return f"""
+WITH tfidf_terms AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+  FROM documents
+),
+tfidf_tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tfidf_terms WHERE term <> '' GROUP BY doc_id, term
+),
+tfidf_df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfidf_tf GROUP BY term),
+tfidf_nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+tfidf_scored AS (
+  SELECT doc_id, term, tf, df,
+         CAST(tf * (n_docs * 1000000 // df) AS BIGINT) AS score
+  FROM tfidf_tf JOIN tfidf_df USING (term), tfidf_nd
+),
+tfidf_ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term ASC) AS INT) AS rk
+  FROM tfidf_scored
+)
+SELECT doc_id, rk, term, tf, df, score FROM tfidf_ranked WHERE rk <= {k}"""

@@ -1011,3 +1011,83 @@ def test_mixture_weights_semantics(spark):
     con = duckdb.connect()
     con.register("documents", docs.toPandas())
     compare_query(spark, con, mw, mixture_weights_sql())
+
+
+def test_pagerank_semantics(spark):
+    """g6 integer PageRank, one round hand-computed on a->b, a->c, b->c
+    (N=3, c dangling): base=150000, dang share 333333 → r1 = (a 433333,
+    b 858333, c 1708333); five rounds pinned against the DuckDB unrolled
+    CTE twin; the dangling-free two-cycle holds rank symmetry; empty edge
+    set yields an empty typed frame."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.graph import (
+        pagerank,
+        pagerank_cte,
+    )
+
+    from .conftest import compare_query
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "subj string, obj string"
+    )
+    one = {r.id: r.rank for r in pagerank(edges, iters=1).collect()}
+    assert one == {"a": 433333, "b": 858333, "c": 1708333}
+
+    con = duckdb.connect()
+    con.register("prtest", edges.toPandas())
+    compare_query(
+        spark,
+        con,
+        pagerank(edges, iters=5),
+        "WITH " + pagerank_cte("prtest", iters=5)
+        + "\nSELECT id, r AS rank FROM pr5",
+    )
+
+    # symmetric 2-cycle: both nodes keep identical rank every round
+    cyc = spark.createDataFrame(
+        [("x", "y"), ("y", "x")], "subj string, obj string"
+    )
+    ranks = {r.id: r.rank for r in pagerank(cyc, iters=3).collect()}
+    assert ranks["x"] == ranks["y"]
+
+    empty = spark.createDataFrame([], "subj string, obj string")
+    assert pagerank(empty).count() == 0
+
+
+def test_tfidf_keywords_semantics(spark):
+    """tx9 top-k tf-idf: df-weighted ranking (doc-unique 'apple' beats the
+    shared 'banana'), score ties broken by term asc, and the DuckDB twin
+    agrees."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.textstats import (
+        tfidf_keywords,
+        tfidf_keywords_sql,
+    )
+
+    from .conftest import compare_query
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple", "en", "s", 0),
+            (2, "banana cherry", "en", "s", 0),
+            (3, "cherry cherry cherry", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    top = tfidf_keywords(docs)
+    got = {
+        (r.doc_id, r.rk): (r.term, r.tf, r.df, r.score) for r in top.collect()
+    }
+    assert got == {
+        (1, 1): ("apple", 2, 1, 6000000),
+        (1, 2): ("banana", 1, 2, 1500000),
+        (2, 1): ("banana", 1, 2, 1500000),
+        (2, 2): ("cherry", 1, 2, 1500000),
+        (3, 1): ("cherry", 3, 2, 4500000),
+    }
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    compare_query(spark, con, top, tfidf_keywords_sql())
