@@ -577,9 +577,10 @@ def charlm_quality(
     to ≤ alphabet² rows per document BEFORE its shuffle; the model is the
     same aggregate re-keyed by bigram (alphabet²-bounded → Catalyst
     broadcasts it); the final per-doc aggregate reuses the doc_id key.
-    The bigram pass is recomputed for the model rather than cached — two
-    narrow passes beat materializing a corpus-char-scale table (the dd8
-    trade). Documents shorter than two characters emit no row (no
+    The model and probe branches share the SAME (doc_id, bg) exchange —
+    AQE dedupes the two identical subplans into one ReusedExchange at
+    runtime (audited post-execution; the static plan shows the subtree
+    twice), so the corpus-char-scale explode+partial-agg is paid once. Documents shorter than two characters emit no row (no
     bigrams), same as the oracle's empty range.
 
     Overlapping bigrams come from a Java-regex LOOKAHEAD —

@@ -247,3 +247,38 @@ def test_duplicate_spans_plan_shape(spark):
     assert plan.count("hashpartitioning") == 2, plan.count("hashpartitioning")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_charlm_model_branch_reuses_exchange(spark):
+    """tx8: the model branch (corpus bigram counts) and the probe branch
+    (per-doc bigram counts) are the SAME (doc_id, bg) aggregate — AQE must
+    dedupe them into one ReusedExchange at runtime so the corpus-char-
+    scale explode + partial agg is paid once, and the model side must
+    arrive at the join as a broadcast."""
+    from glasseenterprise_mcp_spark.operators.textstats import charlm_quality
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    q = charlm_quality(docs)
+    q.collect()  # AQE finalizes reuse only at execution
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_loop_plan_shape(spark):
+    """g6: after the upfront edge checkpoint, ONE round of the rank loop
+    must contain no cartesian product (the dangling scalar rides as a
+    broadcast nested-loop over a 1-row frame — bounded by construction)
+    and no partition-spec-free window; the contribution aggregate is the
+    only corpus-scale hash exchange besides the state join."""
+    from glasseenterprise_mcp_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "subj string, obj string",
+    )
+    r = pagerank(edges, iters=1)
+    plan = _plan(r)
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
