@@ -385,6 +385,26 @@ def q_pagerank(spark, sf_dir):
     return _hex_ids(G.pagerank(e.select("subj", "obj")), "id")
 
 
+def q_shortest_paths(spark, sf_dir):
+    """g7: bounded-hop minimum-cost paths (frontier-relaxation
+    Bellman-Ford) over the refers graph, edge cost = 100 - linking
+    confidence (a low-confidence link is an expensive hop); seeds = the
+    1/16 of nodes whose id's first hex nibble is 0 — a deterministic,
+    scale-stable seed rule expressible identically in both engines."""
+    e = refers_to_edges(_m(spark, sf_dir)).select(
+        "subj", "obj", F.expr("CAST(100 - confidence AS BIGINT)").alias("w")
+    )
+    nodes = (
+        e.select(F.col("subj").alias("id"))
+        .unionByName(e.select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.lower(F.hex(F.col("id"))).startswith("0"))
+    return _hex_ids(
+        G.shortest_paths(e, seeds, src="subj", dst="obj"), "id"
+    )
+
+
 def q_fingerprints(spark, sf_dir):
     return T.fingerprints(_sh(spark, sf_dir))
 
@@ -973,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur3_mixture_weights": q_mixture_weights,
         "tx9_tfidf_keywords": q_tfidf_keywords,
         "g6_pagerank": q_pagerank,
+        "g7_shortest_paths": q_shortest_paths,
         "sim1_ann_bruteforce": q_ann_brute,
         "sim2_ann_lsh": q_ann_lsh,
         "sim3_ann_ivf": q_ann_ivf,
@@ -1124,6 +1145,17 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT id, rank FROM (SELECT id, r AS rank FROM pr{G.PR_ITERS})",
             O.refers_to_cte(),
             G.pagerank_cte("refers_to"),
+        ),
+        "g7_shortest_paths": O.oracle(
+            "SELECT id, cost FROM sp",
+            O.refers_to_cte(),
+            G.shortest_paths_cte(
+                "refers_to",
+                "id LIKE '0%'",
+                src="subj",
+                dst="obj",
+                w_expr="100 - confidence",
+            ),
         ),
         "tx1_lang_scores": T.lang_scores_sql(),
         "tx2_token_stats": T.token_stats_sql(),

@@ -518,3 +518,107 @@ pr0 AS MATERIALIZED (
 )"""
         )
     return ",\n".join(parts)
+
+
+# G7: bounded-hop minimum-cost paths — Bellman-Ford with frontier-only
+# relaxation, the weighted generalization of bfs_expand. Weights are
+# integers (here 100 - linking confidence: a low-confidence edge is an
+# expensive hop), so min-cost is exact on both engines.
+SP_ROUNDS = 4
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = SP_ROUNDS,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """G7: (id, cost) — the minimum total weight over all directed paths of
+    at most ``rounds`` edges from any seed; unreached nodes absent. Exactly
+    ``rounds`` synchronous Bellman-Ford rounds, but each round relaxes only
+    the FRONTIER (nodes whose cost improved last round) — the standard
+    exact optimization: a non-improved node's contributions were already
+    applied the round it last improved, so the result equals full
+    relaxation while per-round work tracks the frontier, not the graph.
+
+    100TB shape: parallel edges collapse to min-weight once, the edge table
+    is repartitioned by src and checkpointed ONCE (each round's join probes
+    the same layout); a round = one src-keyed join + one dst-keyed min
+    partial-agg + a min-merge into the state (partial aggs absorb the
+    skew); state and frontier are checkpointed per round, and an empty
+    frontier short-circuits the loop (the same single-job probe the BFS
+    uses)."""
+    e = (
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(w).alias("w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    state = (
+        seeds.select("id")
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    delta = state
+    for _ in range(rounds):
+        cand = (
+            delta.join(e, delta["id"] == e["src"])
+            .select(F.col("dst").alias("id"), (F.col("cost") + F.col("w")).alias("cost"))
+            .groupBy("id")
+            .agg(F.min("cost").alias("cost"))
+        )
+        old = state.select("id", F.col("cost").alias("old_cost"))
+        delta = (
+            cand.join(old, "id", "left")
+            .filter(F.col("old_cost").isNull() | (F.col("cost") < F.col("old_cost")))
+            .select("id", "cost")
+            .localCheckpoint(eager=True)
+        )
+        if delta.limit(1).count() == 0:
+            break
+        state = (
+            state.unionByName(delta)
+            .groupBy("id")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return state
+
+
+def shortest_paths_cte(
+    edges_cte: str,
+    seed_where: str,
+    rounds: int = SP_ROUNDS,
+    src: str = "src",
+    dst: str = "dst",
+    w_expr: str = "w",
+) -> str:
+    """DuckDB oracle: min cost over the bounded walk closure — a recursive
+    CTE enumerating walks of ≤ ``rounds`` edges from the seeds (walks may
+    revisit nodes; MIN is unaffected), which equals ``rounds`` Bellman-Ford
+    rounds. ``seed_where`` filters the node set of the graph (distinct
+    endpoints)."""
+    return f"""sp AS (
+  WITH RECURSIVE spe(src, dst, w) AS (
+    SELECT {src}, {dst}, MIN({w_expr}) FROM {edges_cte} GROUP BY {src}, {dst}
+  ),
+  sp_seeds(id) AS (
+    SELECT DISTINCT id FROM (
+      SELECT src AS id FROM spe UNION SELECT dst FROM spe
+    ) WHERE {seed_where}
+  ),
+  walk(id, cost, hops) AS (
+    SELECT id, CAST(0 AS BIGINT), 0 FROM sp_seeds
+    UNION
+    SELECT e.dst, w.cost + e.w, w.hops + 1
+    FROM walk w JOIN spe e ON w.id = e.src
+    WHERE w.hops < {rounds}
+  )
+  SELECT id, MIN(cost) AS cost FROM walk GROUP BY id
+)"""

@@ -1091,3 +1091,48 @@ def test_tfidf_keywords_semantics(spark):
     con = duckdb.connect()
     con.register("documents", docs.toPandas())
     compare_query(spark, con, top, tfidf_keywords_sql())
+
+
+def test_shortest_paths_semantics(spark):
+    """g7 bounded min-cost paths, hand-computed: the 2-hop s->a->b path
+    (cost 11) beats the direct s->b edge (20); parallel edges collapse to
+    the min weight; e's cheapest path (s->a->b->c->d->e, 5 hops, 14)
+    exceeds the 4-round bound so its cost is the in-bound
+    s->b->c->d->e walk (23); f (5 hops minimum) is absent entirely; the
+    DuckDB bounded-walk twin agrees."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.graph import (
+        shortest_paths,
+        shortest_paths_cte,
+    )
+
+    from .conftest import compare_query
+
+    edges = spark.createDataFrame(
+        [
+            ("s", "a", 10),
+            ("s", "a", 50),  # parallel edge: min wins
+            ("a", "b", 1),
+            ("s", "b", 20),
+            ("b", "c", 1),
+            ("c", "d", 1),
+            ("d", "e", 1),
+            ("e", "f", 1),
+        ],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("s",)], "id string")
+    got = {r.id: r.cost for r in shortest_paths(edges, seeds, rounds=4).collect()}
+    assert got == {"s": 0, "a": 10, "b": 11, "c": 12, "d": 13, "e": 23}
+
+    con = duckdb.connect()
+    con.register("sptest", edges.toPandas())
+    compare_query(
+        spark,
+        con,
+        shortest_paths(edges, seeds, rounds=4),
+        "WITH "
+        + shortest_paths_cte("sptest", "id = 's'", rounds=4)
+        + "\nSELECT id, cost FROM sp",
+    )
