@@ -405,6 +405,26 @@ def q_shortest_paths(spark, sf_dir):
     )
 
 
+def q_triangle_counts(spark, sf_dir):
+    """g8: per-node triangle counts over the entity CO-OCCURRENCE graph
+    (j26's pair table — the refers graph is bipartite url→resource, so it
+    provably contains no triangles) via degree-ordered orientation — each
+    triangle enumerated once at its minimum-(deg, id) vertex, so a hot
+    entity's wedge fan-out is sqrt(m)-bounded instead of deg^2."""
+    pairs = A.cooccurrence_pairs(_m(spark, sf_dir), min_count=1).select("a", "b")
+    return G.triangle_counts(pairs, src="a", dst="b")
+
+
+def q_kcore(spark, sf_dir):
+    """g9: 2-core of the entity co-occurrence graph by iterative peeling —
+    the densification gate that keeps only entities embedded in a
+    robustly connected neighborhood (a pendant chain peels away round by
+    round, which a one-shot degree filter would miss; the acyclic refers
+    graph has an empty 2-core by construction)."""
+    pairs = A.cooccurrence_pairs(_m(spark, sf_dir), min_count=1).select("a", "b")
+    return G.kcore(pairs, src="a", dst="b")
+
+
 def q_fingerprints(spark, sf_dir):
     return T.fingerprints(_sh(spark, sf_dir))
 
@@ -994,6 +1014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx9_tfidf_keywords": q_tfidf_keywords,
         "g6_pagerank": q_pagerank,
         "g7_shortest_paths": q_shortest_paths,
+        "g8_triangle_counts": q_triangle_counts,
+        "g9_kcore": q_kcore,
         "sim1_ann_bruteforce": q_ann_brute,
         "sim2_ann_lsh": q_ann_lsh,
         "sim3_ann_ivf": q_ann_ivf,
@@ -1156,6 +1178,16 @@ def oracle_sql() -> dict[str, str]:
                 dst="obj",
                 w_expr="100 - confidence",
             ),
+        ),
+        "g8_triangle_counts": O.oracle(
+            "SELECT id, triangles FROM tc",
+            A.cooccurrence_cte(min_count=1),
+            G.triangle_counts_cte("cooccur", src="a", dst="b"),
+        ),
+        "g9_kcore": O.oracle(
+            "SELECT id, core_deg FROM kcore",
+            A.cooccurrence_cte(min_count=1),
+            G.kcore_cte("cooccur", src="a", dst="b"),
         ),
         "tx1_lang_scores": T.lang_scores_sql(),
         "tx2_token_stats": T.token_stats_sql(),

@@ -622,3 +622,212 @@ def shortest_paths_cte(
   )
   SELECT id, MIN(cost) AS cost FROM walk GROUP BY id
 )"""
+
+
+# G8: exact triangle counting per node — degree-ordered edge orientation
+# (the MapReduce triangle algorithm of Cohen 2009 / Suri-Vassilvitskii
+# 2011): orient every undirected edge from its lower (degree, id) endpoint
+# to the higher, enumerate wedges at each node's out-neighbors, close them
+# against the edge set. Each triangle is counted exactly once (at its
+# minimum-rank vertex, whose two out-edges form the wedge).
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "subj", dst: str = "obj"
+) -> DataFrame:
+    """G8: (id, triangles) — the number of distinct triangles each node
+    participates in, over the undirected simple graph of (src, dst);
+    nodes in no triangle are absent.
+
+    100TB shape: the degree orientation IS the skew bound — a hot node
+    (degree d in a graph of m edges) has out-degree at most O(sqrt(m))
+    after orientation, so the wedge self-join's per-key fan-out is
+    sqrt-bounded instead of d². Work: one distinct shuffle for the
+    canonical edge set, one degree agg, two id-keyed joins to attach
+    endpoint degrees, one u-keyed wedge self-join, one (v1,v2)-keyed
+    closing semi-join (the canonical pair IS the edge key — no
+    re-canonicalization), and a final explode-3 + count agg. Binary ids
+    compare byte-wise in both engines (hex is order-isomorphic), so the
+    orientation tie-break is cross-engine stable."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    oriented = (
+        e.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+        # a < b always, so a wins (deg, id)-lexicographic ties
+        .select(
+            F.when(F.col("da") <= F.col("db"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("u"),
+            F.when(F.col("da") <= F.col("db"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
+    tri = (
+        w1.join(w2, "u")
+        .filter(F.col("v1") < F.col("v2"))  # one row per unordered wedge
+        .join(
+            e,
+            (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b")),
+            "left_semi",
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+
+
+def triangle_counts_cte(edges_cte: str, src: str = "subj", dst: str = "obj") -> str:
+    """DuckDB oracle: the identical orientation + wedge-close construction
+    in SQL. The orientation is a deterministic function of (degree, id),
+    so both engines enumerate the same triangle set; MATERIALIZED because
+    tc_or is referenced twice by the wedge join."""
+    return f"""tc_e AS MATERIALIZED (
+  SELECT DISTINCT LEAST({src}, {dst}) AS a, GREATEST({src}, {dst}) AS b
+  FROM {edges_cte} WHERE {src} <> {dst}
+),
+tc_deg AS MATERIALIZED (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT a AS id FROM tc_e UNION ALL SELECT b FROM tc_e
+  ) GROUP BY id
+),
+tc_or AS MATERIALIZED (
+  SELECT CASE WHEN x.deg <= y.deg THEN e.a ELSE e.b END AS u,
+         CASE WHEN x.deg <= y.deg THEN e.b ELSE e.a END AS v
+  FROM tc_e e JOIN tc_deg x ON x.id = e.a JOIN tc_deg y ON y.id = e.b
+),
+tc_tri AS MATERIALIZED (
+  SELECT w1.u, w1.v AS v1, w2.v AS v2
+  FROM tc_or w1 JOIN tc_or w2 ON w1.u = w2.u AND w1.v < w2.v
+  WHERE EXISTS (SELECT 1 FROM tc_e WHERE a = w1.v AND b = w2.v)
+),
+tc AS (
+  SELECT id, COUNT(*) AS triangles FROM (
+    SELECT u AS id FROM tc_tri
+    UNION ALL SELECT v1 FROM tc_tri
+    UNION ALL SELECT v2 FROM tc_tri
+  ) GROUP BY id
+)"""
+
+
+# G9: k-core decomposition — iterative peeling of sub-k-degree nodes to a
+# fixpoint (Seidman 1983; the distributed formulation of Montresor et al.
+# 2013 reduced to synchronous rounds). The k-core is the training-graph
+# densification step: entities that survive are the ones embedded in a
+# robustly connected neighborhood, not linked by one stray mention.
+KCORE_K = 2
+KCORE_ROUNDS = 8
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """G9: (id, core_deg) — the nodes surviving ``rounds`` synchronous
+    peels of degree < ``k`` over the undirected simple graph, with their
+    degree inside the surviving subgraph. Reaching the fixpoint early
+    short-circuits (a peel that removes nobody changes nothing), so the
+    result equals the true k-core whenever it converges within the bound.
+
+    100TB shape: the symmetric adjacency is built once, repartitioned by
+    src and checkpointed; each round is one partial-agg degree count on
+    the resident key, a drop-set that is usually tiny (peeling shaves the
+    fringe) so the two anti-joins broadcast under AQE's runtime size
+    check, and a re-checkpoint of the shrunk edge set. Per-round work is
+    proportional to the surviving graph, which only shrinks; the
+    empty-drop probe is the same single-job limit(1) the Bellman-Ford
+    loop uses."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b")).filter(
+                F.col("a") != F.col("b")
+            )
+        )
+        .distinct()
+        .repartition("a")
+        .localCheckpoint(eager=True)
+    )
+    e = sym
+    for _ in range(rounds):
+        drop = (
+            e.groupBy("a")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") < k)
+            .select(F.col("a").alias("id"))
+            .localCheckpoint(eager=True)
+        )
+        if drop.limit(1).count() == 0:
+            break
+        e = (
+            e.join(drop, e["a"] == drop["id"], "left_anti")
+            .join(drop, e["b"] == drop["id"], "left_anti")
+            .repartition("a")
+            .localCheckpoint(eager=True)
+        )
+    return e.groupBy("a").agg(F.count("*").alias("core_deg")).select(
+        F.col("a").alias("id"), "core_deg"
+    )
+
+
+def kcore_cte(
+    edges_cte: str,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    src: str = "subj",
+    dst: str = "obj",
+) -> str:
+    """DuckDB oracle: the peels unrolled as MATERIALIZED CTEs kc0..kc{R}
+    (each round references its predecessor three times — edge set plus two
+    degree lookups — so plain CTEs would inline 3^R-fold, the same blowup
+    the PageRank oracle hit). A round past the fixpoint is the identity,
+    so unrolling the full bound equals the engine's early exit."""
+    parts = [
+        f"""kc0 AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT {src} AS a, {dst} AS b FROM {edges_cte} WHERE {src} <> {dst}
+    UNION ALL
+    SELECT {dst} AS a, {src} AS b FROM {edges_cte} WHERE {src} <> {dst}
+  )
+)"""
+    ]
+    for t in range(1, rounds + 1):
+        p = f"kc{t - 1}"
+        parts.append(
+            f"""kc{t} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {p} e
+  JOIN (SELECT a, COUNT(*) AS d FROM {p} GROUP BY a) da
+    ON da.a = e.a AND da.d >= {k}
+  JOIN (SELECT a, COUNT(*) AS d FROM {p} GROUP BY a) db
+    ON db.a = e.b AND db.d >= {k}
+)"""
+        )
+    parts.append(
+        f"""kcore AS (
+  SELECT a AS id, COUNT(*) AS core_deg FROM kc{rounds} GROUP BY a
+)"""
+    )
+    return ",\n".join(parts)

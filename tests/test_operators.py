@@ -1136,3 +1136,75 @@ def test_shortest_paths_semantics(spark):
         + shortest_paths_cte("sptest", "id = 's'", rounds=4)
         + "\nSELECT id, cost FROM sp",
     )
+
+
+def test_triangle_counts_semantics(spark):
+    """g8 hand-computed: one triangle {x,y,z}; a second triangle {y,z,w}
+    sharing edge y-z (y,z in 2 triangles each); a 4-cycle p-q-r-t with no
+    chord contributes nothing; a pendant node and a duplicate/reversed/
+    self-loop edge are ignored; the DuckDB orientation twin agrees."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.graph import (
+        triangle_counts,
+        triangle_counts_cte,
+    )
+
+    from .conftest import compare_query
+
+    edges = spark.createDataFrame(
+        [
+            ("x", "y"), ("y", "z"), ("z", "x"),      # triangle 1
+            ("y", "w"), ("w", "z"),                   # triangle 2 via y-z
+            ("z", "y"),                                # reversed duplicate
+            ("x", "x"),                                # self-loop
+            ("p", "q"), ("q", "r"), ("r", "t"), ("t", "p"),  # chordless C4
+            ("x", "pend"),                             # pendant
+        ],
+        "subj string, obj string",
+    )
+    got = {r.id: r.triangles for r in triangle_counts(edges).collect()}
+    assert got == {"x": 1, "y": 2, "z": 2, "w": 1}
+
+    con = duckdb.connect()
+    con.register("tritest", edges.toPandas())
+    compare_query(
+        spark,
+        con,
+        triangle_counts(edges),
+        "WITH "
+        + triangle_counts_cte("tritest")
+        + "\nSELECT id, triangles FROM tc",
+    )
+
+
+def test_kcore_semantics(spark):
+    """g9 hand-computed: a lollipop (chain c1-c2-c3 hanging off a K4) peels
+    iteratively — c3 falls in round 1, c2 in round 2, c1 in round 3 — so
+    a one-shot degree filter would keep c1/c2; the surviving 2-core is the
+    K4 with core_deg 3 everywhere; an isolated edge pair dies in one peel;
+    the unrolled DuckDB twin agrees."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.graph import kcore, kcore_cte
+
+    from .conftest import compare_query
+
+    k4 = [("k1", "k2"), ("k1", "k3"), ("k1", "k4"), ("k2", "k3"),
+          ("k2", "k4"), ("k3", "k4")]
+    edges = spark.createDataFrame(
+        k4 + [("k1", "c1"), ("c1", "c2"), ("c2", "c3"), ("i1", "i2")],
+        "subj string, obj string",
+    )
+    got = {r.id: r.core_deg for r in kcore(edges, k=2, rounds=8).collect()}
+    assert got == {"k1": 3, "k2": 3, "k3": 3, "k4": 3}
+
+    con = duckdb.connect()
+    con.register("kctest", edges.toPandas())
+    compare_query(
+        spark,
+        con,
+        kcore(edges, k=2, rounds=8),
+        "WITH " + kcore_cte("kctest", k=2, rounds=8)
+        + "\nSELECT id, core_deg FROM kcore",
+    )
