@@ -341,6 +341,14 @@ def q_repetition_stats(spark, sf_dir):
     return T.repetition_stats(D.positional_windows(_docs(spark, sf_dir), w=2))
 
 
+def q_dsir_selection(spark, sf_dir):
+    """cur4: DSIR-style data selection (Xie et al. 2023) — top-k raw
+    documents by hashed-bigram importance score against the lang='en'
+    target subset, in exact ppm integers."""
+    docs = _docs(spark, sf_dir)
+    return T.dsir_selection(docs, D.positional_windows(docs, w=2))
+
+
 def q_segment_dedup(spark, sf_dir):
     """dd9: C4-style segment-level keep-first dedup report — the text cut
     into aligned K-token segments, every corpus-wide repeat dropped with
@@ -1011,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur1_corpus_curation": q_curate_corpus,
         "cur2_prepare_manifest": q_prepare_manifest,
         "cur3_mixture_weights": q_mixture_weights,
+        "cur4_dsir_selection": q_dsir_selection,
         "tx9_tfidf_keywords": q_tfidf_keywords,
         "g6_pagerank": q_pagerank,
         "g7_shortest_paths": q_shortest_paths,
@@ -1155,6 +1164,10 @@ def oracle_sql() -> dict[str, str]:
         + D.positional_windows_cte(2)
         + "\n"
         + T.repetition_stats_sql(),
+        "cur4_dsir_selection": "WITH "
+        + D.positional_windows_cte(2)
+        + ","
+        + T.dsir_selection_sql(),
         "dd9_segment_dedup": "WITH "
         + D.segment_dedup_cte()
         + "\nSELECT doc_id, n_segments, kept_segments, dropped_tokens"

@@ -829,3 +829,116 @@ tfidf_ranked AS (
   FROM tfidf_scored
 )
 SELECT doc_id, rk, term, tf, df, score FROM tfidf_ranked WHERE rk <= {k}"""
+
+
+# cur4: DSIR-style data selection — Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling": score every raw document by
+# how much its hashed-ngram feature distribution resembles a trusted
+# target subset, then keep the top slice. The classic importance weight is
+# a sum of log(p_target/p_raw) over features; here each bucket carries the
+# integer ppm ratio surrogate (tc+1)*1e6 div (rc+1) — monotone per-bucket
+# in the true target/raw ratio, with add-1 smoothing — and a document's
+# score is the count-weighted integer mean, so the DuckDB twin
+# hash-matches where float log-weights never could (the same surrogate
+# discipline as tx8's LM score and tx9's idf).
+DSIR_BUCKETS = 1024
+DSIR_TOP_K = 100
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_selection(
+    documents: DataFrame,
+    wins: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    top_k: int = DSIR_TOP_K,
+    target_lang: str = DSIR_TARGET_LANG,
+) -> DataFrame:
+    """cur4: (doc_id, n_feats, dsir_score) — the ``top_k`` documents whose
+    hashed word-bigram distribution best matches the target subset
+    (``lang = target_lang``, the trusted-domain stand-in), ties broken by
+    doc_id asc (total order). ``wins`` is positional_windows(documents, 2)
+    — the bigram stream WITH multiplicity, which DSIR's feature counts
+    require (the dedup family's distinct-ed shingles would undercount).
+
+    100TB shape: one narrow bucket projection over the bigram stream
+    (md5 already computed by the shared window pass), one
+    (doc_id, bucket) partial-agg shuffle that collapses each doc to
+    ≤ min(len, buckets) rows, ONE bucket-keyed aggregate producing raw
+    and target counts together (the target filter is a SUM(CASE), not a
+    second corpus pass), a buckets-row score table that broadcasts, and a
+    final doc_id agg. Selection is orderBy+limit — Spark's TakeOrdered, a
+    per-partition top-k merge, never a global sort."""
+    b = (
+        F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("long") % buckets
+    ).alias("bucket")
+    dc = (
+        wins.select("doc_id", b)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    bc = (
+        dc.join(documents.select("doc_id", "lang"), "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.sum("n").cast("long").alias("rc"),
+            F.sum(
+                F.when(F.col("lang") == target_lang, F.col("n")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("tc"),
+        )
+    )
+    score = bc.select(
+        "bucket",
+        F.expr("(tc + 1) * 1000000 div (rc + 1)").cast("long").alias("s"),
+    )
+    doc = (
+        dc.join(F.broadcast(score), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_feats"),
+            F.sum(F.col("n") * F.col("s")).cast("long").alias("tot"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            F.expr("tot div n_feats").cast("long").alias("dsir_score"),
+        )
+    )
+    return doc.orderBy(F.col("dsir_score").desc(), F.col("doc_id").asc()).limit(
+        top_k
+    )
+
+
+def dsir_selection_sql(
+    buckets: int = DSIR_BUCKETS,
+    top_k: int = DSIR_TOP_K,
+    target_lang: str = DSIR_TARGET_LANG,
+) -> str:
+    """Oracle: the identical integer construction over the shared ``wins``
+    CTE (positional_windows_cte(2)); hex-prefix bucket parse is the KMV
+    idiom, // the engine's div, same tie-broken ORDER BY LIMIT."""
+    return f"""
+dsir_dc AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(h, 1, 8)) AS BIGINT) % {buckets} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM wins GROUP BY 1, 2
+),
+dsir_bc AS (
+  SELECT bucket, CAST(SUM(n) AS BIGINT) AS rc,
+         CAST(SUM(CASE WHEN lang = '{target_lang}' THEN n ELSE 0 END) AS BIGINT) AS tc
+  FROM dsir_dc JOIN documents USING (doc_id) GROUP BY bucket
+),
+dsir_s AS (
+  SELECT bucket, CAST((tc + 1) * 1000000 // (rc + 1) AS BIGINT) AS s FROM dsir_bc
+),
+dsir_doc AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_feats,
+         CAST(CAST(SUM(n * s) AS BIGINT) // CAST(SUM(n) AS BIGINT) AS BIGINT) AS dsir_score
+  FROM dsir_dc JOIN dsir_s USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_feats, dsir_score FROM dsir_doc
+ORDER BY dsir_score DESC, doc_id ASC LIMIT {top_k}"""

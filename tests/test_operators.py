@@ -1208,3 +1208,53 @@ def test_kcore_semantics(spark):
         "WITH " + kcore_cte("kctest", k=2, rounds=8)
         + "\nSELECT id, core_deg FROM kcore",
     )
+
+
+def test_dsir_selection_semantics(spark):
+    """cur4 hand-computed (no bucket collisions among the 4 distinct
+    bigrams): d1 (de) shares both bigrams with the en target doc t1 —
+    each bucket has rc=2, tc=1, so s = 2*1e6//3 = 666666; d2's bigrams
+    are raw-only (rc=1, tc=0, s = 500000); the en target doc itself
+    scores 666666 too; a 1-token doc has no bigrams and is absent; top_k
+    truncation keeps the tie-broken head; DuckDB twin agrees."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.dedup import (
+        positional_windows,
+        positional_windows_cte,
+    )
+    from glasseenterprise_mcp_spark.operators.textstats import (
+        dsir_selection,
+        dsir_selection_sql,
+    )
+
+    from .conftest import compare_query
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "s1", 16),   # target
+            (2, "alpha beta gamma", "de", "s1", 16),   # raw, matches target
+            (3, "zeta eta theta", "de", "s1", 14),     # raw, no overlap
+            (4, "solo", "de", "s1", 4),                # <2 tokens: absent
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    wins = positional_windows(docs, w=2)
+    got = {
+        r.doc_id: (r.n_feats, r.dsir_score)
+        for r in dsir_selection(docs, wins).collect()
+    }
+    assert got == {1: (2, 666666), 2: (2, 666666), 3: (2, 500000)}
+
+    # top_k truncation with the doc_id tie-break: k=2 keeps docs 1 and 2
+    top2 = {r.doc_id for r in dsir_selection(docs, wins, top_k=2).collect()}
+    assert top2 == {1, 2}
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    compare_query(
+        spark,
+        con,
+        dsir_selection(docs, wins),
+        "WITH " + positional_windows_cte(2) + "," + dsir_selection_sql(),
+    )
