@@ -514,6 +514,13 @@ def q_ann_ivf(spark, sf_dir):
     return S.ivf_topk(_emb(spark, sf_dir), F.expr(ANN_QUERY_WHERE))
 
 
+def q_ann_pq(spark, sf_dir):
+    """sim4: product-quantization ANN (Jégou et al. 2011) — M per-subspace
+    codebooks, corpus stored as M codes/vector, ADC lookup-table scoring,
+    exact rerank of the shortlist."""
+    return S.pq_topk(_emb(spark, sf_dir), F.expr(ANN_QUERY_WHERE))
+
+
 # --- analytics (remaining join/agg/window coverage) ------------------------
 def q_tiered_attribution(spark, sf_dir):
     return A.tiered_attribution(_t(spark, sf_dir), _m(spark, sf_dir))
@@ -1028,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim1_ann_bruteforce": q_ann_brute,
         "sim2_ann_lsh": q_ann_lsh,
         "sim3_ann_ivf": q_ann_ivf,
+        "sim4_ann_pq": q_ann_pq,
         "mm1_media_metadata": q_media_metadata,
         "mm2_frame_plan": q_frame_plan,
         "mm3_resize_plan": q_resize_plan,
@@ -1229,6 +1237,7 @@ def oracle_sql() -> dict[str, str]:
         "sim1_ann_bruteforce": S.brute_force_topk_sql(ANN_QUERY_WHERE),
         "sim2_ann_lsh": S.lsh_topk_sql(ANN_QUERY_WHERE),
         "sim3_ann_ivf": S.ivf_topk_sql(ANN_QUERY_WHERE),
+        "sim4_ann_pq": S.pq_topk_sql(ANN_QUERY_WHERE),
         "j8_tiered_attribution": O.oracle(
             "SELECT norm, tool, tier, n FROM attribution", A.tiered_attribution_cte()
         ),
