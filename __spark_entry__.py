@@ -458,6 +458,25 @@ def q_hypertable_rollup(spark, sf_dir):
     return A.hypertable_rollup(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_funnel(spark, sf_dir):
+    """ev5: ordered view→click→purchase funnel per user (greedy-earliest
+    anchors, strict ordering, 7-day horizon) — one user_id exchange."""
+    return A.funnel_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_retention(spark, sf_dir):
+    """ev6: weekly retention cohorts from a fixed integer week epoch."""
+    return A.retention_cohorts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_link_prediction(spark, sf_dir):
+    """lp1: common-neighbor / integer Adamic-Adar link prediction over the
+    entity co-occurrence graph — the KG-completion step proposing the
+    missing edges; hub middles capped (deg ≤ 32, mirrored in the oracle)."""
+    pairs = A.cooccurrence_pairs(_m(spark, sf_dir), min_count=1).select("a", "b")
+    return G.link_prediction(pairs, src="a", dst="b")
+
+
 def q_pack_sequences(spark, sf_dir):
     """tx6: GPT-style sequence packing — global token-offset placement via
     a TWO-PHASE distributed prefix sum (range partition → per-partition
@@ -1001,6 +1020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev2_tumbling_counts": q_tumbling_counts,
         "ev3_asof_join": q_asof_join,
         "ev4_hypertable_rollup": q_hypertable_rollup,
+        "ev5_funnel": q_funnel,
+        "ev6_retention": q_retention,
+        "lp1_link_prediction": q_link_prediction,
         "sk1_kmv_distinct": q_kmv_distinct,
         "tx6_pack_sequences": q_pack_sequences,
         "w4_tool_transitions": q_tool_transitions,
@@ -1292,6 +1314,13 @@ def oracle_sql() -> dict[str, str]:
         "ev2_tumbling_counts": A.tumbling_event_counts_sql(),
         "ev3_asof_join": A.asof_join_events_sql(),
         "ev4_hypertable_rollup": A.hypertable_rollup_sql(),
+        "ev5_funnel": A.funnel_events_sql(),
+        "ev6_retention": A.retention_cohorts_sql(),
+        "lp1_link_prediction": O.oracle(
+            "SELECT x, y, common, aa_ppm FROM lp",
+            A.cooccurrence_cte(min_count=1),
+            G.link_prediction_cte("cooccur", src="a", dst="b"),
+        ),
         "sk1_kmv_distinct": A.kmv_distinct_sql(),
         "tx6_pack_sequences": T.pack_sequences_sql(),
         "j6_queries_table": O.oracle(

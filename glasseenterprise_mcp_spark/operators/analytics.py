@@ -808,3 +808,180 @@ FROM est e JOIN (
   SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
   FROM events GROUP BY event_type
 ) x USING (event_type)"""
+
+
+# ev5: ordered funnel analysis — the marquee event-analytics operator
+# (Amplitude/Mixpanel-style): per user, how far through the ordered stage
+# sequence view → click → purchase they progressed, each stage STRICTLY
+# after its predecessor and the whole funnel inside a horizon of the first
+# stage. Greedy-earliest stage anchoring (the standard funnel semantics:
+# the first view anchors, the first qualifying click after it, ...).
+FUNNEL_HORIZON_US = 7 * 86_400 * 1_000_000  # 7 days, microseconds
+
+
+def funnel_events(
+    events: DataFrame, horizon_us: int = FUNNEL_HORIZON_US
+) -> DataFrame:
+    """ev5: (user_id, reached, t1_us, t2_us, t3_us, convert_us) — funnel
+    progression per user; t's are the anchored stage times (epoch µs,
+    NULL past the user's progress), convert_us the view→purchase latency.
+
+    ONE user_id exchange end-to-end: the three stage anchors are chained
+    unbounded window aggregates over the SAME partition spec (t2's
+    predicate reads t1, t3's reads t2 — a per-user fixpoint that needs no
+    ordered scan because each anchor is a conditional MIN), and the final
+    per-user collapse groups on the window's own partitioning key, which
+    Catalyst serves from the existing exchange. A stage-wise join
+    formulation would shuffle once per stage."""
+    # parquet stores ts as TIMESTAMP_NTZ; the session is pinned UTC, so
+    # the cast is the identity and unix_micros matches DuckDB's epoch_us
+    ev = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_u"),
+    )
+    w = Window.partitionBy("user_id")
+    s = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_u"))).over(w),
+    )
+    s = s.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts_u") > F.col("t1"))
+                & (F.col("ts_u") <= F.col("t1") + horizon_us),
+                F.col("ts_u"),
+            )
+        ).over(w),
+    )
+    s = s.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_u") > F.col("t2"))
+                & (F.col("ts_u") <= F.col("t1") + horizon_us),
+                F.col("ts_u"),
+            )
+        ).over(w),
+    )
+    per_user = s.groupBy("user_id").agg(
+        F.min("t1").alias("t1_us"),
+        F.min("t2").alias("t2_us"),
+        F.min("t3").alias("t3_us"),
+    )
+    reached = (
+        F.when(F.col("t3_us").isNotNull(), 3)
+        .when(F.col("t2_us").isNotNull(), 2)
+        .when(F.col("t1_us").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return per_user.select(
+        "user_id",
+        reached.cast("int").alias("reached"),
+        "t1_us",
+        "t2_us",
+        "t3_us",
+        (F.col("t3_us") - F.col("t1_us")).alias("convert_us"),
+    )
+
+
+def funnel_events_sql(horizon_us: int = FUNNEL_HORIZON_US) -> str:
+    return f"""
+WITH fev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_u FROM events
+), f1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_u END)
+              OVER (PARTITION BY user_id) AS t1
+  FROM fev
+), f2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_u > t1
+                      AND ts_u <= t1 + {horizon_us} THEN ts_u END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM f1
+), f3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_u > t2
+                      AND ts_u <= t1 + {horizon_us} THEN ts_u END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM f2
+), fu AS (
+  SELECT user_id, MIN(t1) AS t1_us, MIN(t2) AS t2_us, MIN(t3) AS t3_us
+  FROM f3 GROUP BY user_id
+)
+SELECT user_id,
+       CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+                 WHEN t2_us IS NOT NULL THEN 2
+                 WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END AS INT) AS reached,
+       t1_us, t2_us, t3_us, t3_us - t1_us AS convert_us
+FROM fu"""
+
+
+# ev6: retention cohorts — users cohorted by their first-activity week,
+# retention = how many are still active k weeks later. Week index is pure
+# integer arithmetic from a fixed epoch (engine-agnostic; date_trunc
+# 'week' start-of-week conventions differ across engines).
+RET_EPOCH = "2024-01-01"
+RET_MAX_WEEKS = 8
+
+
+def retention_cohorts(
+    events: DataFrame, max_weeks: int = RET_MAX_WEEKS
+) -> DataFrame:
+    """ev6: (cohort_wk, week_offset, active_users, cohort_size,
+    retention_pct) — classic weekly retention triangle, integer percent.
+
+    Shape: the (user, week) activity set is one partial-agg distinct; the
+    per-user first week groups on the same user key (exchange reuse);
+    cohort sizes are a cohort-key agg joined back broadcast (a cohort
+    count table is tiny at any corpus size). COUNT(*) over the distinct
+    activity set IS the distinct-user count — no COUNT DISTINCT shuffle."""
+    wk = F.expr(f"datediff(CAST(ts AS DATE), DATE '{RET_EPOCH}') div 7").cast(
+        "long"
+    )
+    act = events.select("user_id", wk.alias("wk")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    ret = (
+        act.join(cohort, "user_id")
+        .select("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .filter(F.col("week_offset") <= max_weeks)
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+    )
+    sizes = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return ret.join(F.broadcast(sizes), "cohort_wk").select(
+        "cohort_wk",
+        F.col("week_offset").cast("int").alias("week_offset"),
+        "active_users",
+        "cohort_size",
+        F.expr("active_users * 100 div cohort_size").cast("int").alias(
+            "retention_pct"
+        ),
+    )
+
+
+def retention_cohorts_sql(max_weeks: int = RET_MAX_WEEKS) -> str:
+    return f"""
+WITH ract AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '{RET_EPOCH}', CAST(ts AS DATE)) // 7 AS wk
+  FROM events
+), rcoh AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM ract GROUP BY user_id
+), rret AS (
+  SELECT cohort_wk, wk - cohort_wk AS week_offset,
+         CAST(COUNT(*) AS BIGINT) AS active_users
+  FROM ract JOIN rcoh USING (user_id)
+  WHERE wk - cohort_wk <= {max_weeks}
+  GROUP BY 1, 2
+), rsz AS (
+  SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM rcoh GROUP BY cohort_wk
+)
+SELECT cohort_wk, CAST(week_offset AS INT) AS week_offset, active_users,
+       cohort_size,
+       CAST(active_users * 100 // cohort_size AS INT) AS retention_pct
+FROM rret JOIN rsz USING (cohort_wk)"""

@@ -831,3 +831,97 @@ def kcore_cte(
 )"""
     )
     return ",\n".join(parts)
+
+
+# LP1: link prediction by common neighbors / Adamic-Adar — the KG
+# completion step (Liben-Nowell & Kleinberg 2003; Adamic & Adar 2003):
+# two entities sharing many neighbors but not yet linked are the missing
+# edges a construction pipeline should propose. AA's 1/log(deg z) weight
+# becomes the family's integer surrogate 1e6 div deg(z) (monotone: a
+# promiscuous shared neighbor contributes less).
+LP_DEG_CAP = 32
+LP_MIN_COMMON = 2
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    deg_cap: int = LP_DEG_CAP,
+    min_common: int = LP_MIN_COMMON,
+) -> DataFrame:
+    """LP1: (x, y, common, aa_ppm) — non-adjacent node pairs (x < y) of
+    the undirected simple graph sharing ≥ ``min_common`` neighbors, with
+    the common count and the integer Adamic-Adar score.
+
+    Hub cap (mirrored in the oracle): wedges are only counted through
+    middle nodes z of degree ≤ ``deg_cap`` — a corpus-wide hub z generates
+    deg(z)² candidate pairs (the cartesian blow-up on one join key) while
+    its AA contribution is the SMALLEST of any neighbor, so dropping hubs
+    bounds any single key's fan-out at deg_cap² with negligible score
+    loss. Shape: canonical edge distinct + degree agg + one z-keyed wedge
+    self-join + one (x, y) partial agg + a broadcast-scale anti-join
+    against the edge set."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("z"), F.col("b").alias("n"))
+    deg = sym.groupBy("z").agg(F.count("*").alias("degz"))
+    mid = sym.join(deg, "z").filter(F.col("degz") <= deg_cap)
+    w1 = mid.select("z", F.col("n").alias("x"), "degz")
+    w2 = mid.select("z", F.col("n").alias("y"))
+    cand = (
+        w1.join(w2, "z")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.sum(F.expr("1000000 div degz")).cast("long").alias("aa_ppm"),
+        )
+        .filter(F.col("common") >= min_common)
+    )
+    return cand.join(
+        e,
+        (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
+        "left_anti",
+    )
+
+
+def link_prediction_cte(
+    edges_cte: str,
+    src: str = "src",
+    dst: str = "dst",
+    deg_cap: int = LP_DEG_CAP,
+    min_common: int = LP_MIN_COMMON,
+) -> str:
+    """DuckDB oracle: the identical capped-wedge construction."""
+    return f"""lp_e AS MATERIALIZED (
+  SELECT DISTINCT LEAST({src}, {dst}) AS a, GREATEST({src}, {dst}) AS b
+  FROM {edges_cte} WHERE {src} <> {dst}
+),
+lp_sym AS MATERIALIZED (
+  SELECT a AS z, b AS n FROM lp_e UNION ALL SELECT b, a FROM lp_e
+),
+lp_deg AS (SELECT z, COUNT(*) AS degz FROM lp_sym GROUP BY z),
+lp_mid AS MATERIALIZED (
+  SELECT z, n, degz FROM lp_sym JOIN lp_deg USING (z)
+  WHERE degz <= {deg_cap}
+),
+lp_cand AS (
+  SELECT w1.n AS x, w2.n AS y, CAST(COUNT(*) AS BIGINT) AS common,
+         CAST(SUM(1000000 // w1.degz) AS BIGINT) AS aa_ppm
+  FROM lp_mid w1 JOIN lp_mid w2 ON w1.z = w2.z AND w1.n < w2.n
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_common}
+),
+lp AS (
+  SELECT x, y, common, aa_ppm FROM lp_cand c
+  WHERE NOT EXISTS (SELECT 1 FROM lp_e WHERE a = c.x AND b = c.y)
+)"""

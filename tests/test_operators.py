@@ -1320,3 +1320,141 @@ def test_pq_topk_properties(spark):
     }
     got01 = {(r.query_id, r.neighbor_id) for r in rows01}
     assert len(exact01 & got01) / len(exact01) >= 0.5
+
+
+def test_funnel_events_semantics(spark):
+    """ev5 hand-computed: u1 completes all 3 stages strictly in order;
+    u2's purchase PRECEDES their click so they stall at stage 2; u3 has a
+    click but no view (stage 0 — anchoring is ordered, not presence);
+    u4's purchase is outside the 7-day horizon of the view; a click at
+    the exact same microsecond as the view does NOT count (strict >);
+    DuckDB twin agrees."""
+    import datetime as dt
+
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.analytics import (
+        funnel_events,
+        funnel_events_sql,
+    )
+
+    from .conftest import compare_query
+
+    t0 = dt.datetime(2024, 1, 1)
+    S = lambda s: t0 + dt.timedelta(seconds=s)
+    rows = [
+        # u1: view@0, click@10, purchase@20 → reached 3
+        (1, S(0), 1, "view", 0.0, ""), (2, S(10), 1, "click", 0.0, ""),
+        (3, S(20), 1, "purchase", 0.0, ""),
+        # u2: view@0, purchase@5, click@10 → purchase before click: stage 2
+        (4, S(0), 2, "view", 0.0, ""), (5, S(5), 2, "purchase", 0.0, ""),
+        (6, S(10), 2, "click", 0.0, ""),
+        # u3: click only → stage 0
+        (7, S(0), 3, "click", 0.0, ""),
+        # u4: view@0, click@10, purchase@8 days → horizon-blocked: stage 2
+        (8, S(0), 4, "view", 0.0, ""), (9, S(10), 4, "click", 0.0, ""),
+        (10, S(8 * 86400), 4, "purchase", 0.0, ""),
+        # u5: click at the SAME instant as the view → strict >: stage 1
+        (11, S(0), 5, "view", 0.0, ""), (12, S(0), 5, "click", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r.user_id: r.reached for r in funnel_events(ev).collect()}
+    assert got == {1: 3, 2: 2, 3: 0, 4: 2, 5: 1}
+
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    compare_query(spark, con, funnel_events(ev), funnel_events_sql())
+
+
+def test_retention_cohorts_semantics(spark):
+    """ev6 hand-computed: u1 first active week 0, active weeks 0/1/3;
+    u2 joins week 0, only week 0; u3 joins week 1, active weeks 1/2.
+    Cohort 0 (size 2): offsets 0→2, 1→1, 3→1; cohort 1 (size 1):
+    offsets 0→1, 1→1. Duplicate events inside a week count once."""
+    import datetime as dt
+
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.analytics import (
+        retention_cohorts,
+        retention_cohorts_sql,
+    )
+
+    from .conftest import compare_query
+
+    t0 = dt.datetime(2024, 1, 1)
+    W = lambda w: t0 + dt.timedelta(weeks=w)
+    rows = [
+        (1, W(0), 1, "view", 0.0, ""), (2, W(0), 1, "click", 0.0, ""),
+        (3, W(1), 1, "view", 0.0, ""), (4, W(3), 1, "view", 0.0, ""),
+        (5, W(0), 2, "view", 0.0, ""),
+        (6, W(1), 3, "view", 0.0, ""), (7, W(2), 3, "view", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r.cohort_wk, r.week_offset): (r.active_users, r.cohort_size, r.retention_pct)
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        (0, 0): (2, 2, 100), (0, 1): (1, 2, 50), (0, 3): (1, 2, 50),
+        (1, 0): (1, 1, 100), (1, 1): (1, 1, 100),
+    }
+
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    compare_query(spark, con, retention_cohorts(ev), retention_cohorts_sql())
+
+
+def test_link_prediction_semantics(spark):
+    """lp1 hand-computed: x and y share neighbors z1 (deg 2) and z2
+    (deg 3) and are NOT adjacent → predicted with common=2, aa_ppm =
+    1e6//2 + 1e6//3 = 833333; p and q share two neighbors but ARE
+    adjacent → excluded; r-s share only one → below min_common; wedges
+    through the capped hub (deg > cap) contribute nothing; DuckDB twin
+    agrees."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.graph import (
+        link_prediction,
+        link_prediction_cte,
+    )
+
+    from .conftest import compare_query
+
+    hub_edges = [("hub", f"leaf{i}") for i in range(5)]  # deg 5 > cap 4
+    edges = spark.createDataFrame(
+        [
+            ("x", "z1"), ("y", "z1"),               # z1: deg 2
+            ("x", "z2"), ("y", "z2"), ("w", "z2"),  # z2: deg 3
+            ("p", "m1"), ("q", "m1"), ("p", "m2"), ("q", "m2"), ("p", "q"),
+            ("r", "t"), ("s", "t"),
+            ("x", "hub"), ("y", "hub"),             # hub wedge must not count
+        ]
+        + hub_edges,
+        "src string, dst string",
+    )
+    got = {
+        (r.x, r.y): (r.common, r.aa_ppm)
+        for r in link_prediction(edges, deg_cap=4).collect()
+    }
+    assert got[("x", "y")] == (2, 1000000 // 2 + 1000000 // 3)
+    assert ("p", "q") not in got
+    assert ("r", "s") not in got and ("s", "r") not in got
+
+    con = duckdb.connect()
+    con.register("lptest", edges.toPandas())
+    compare_query(
+        spark,
+        con,
+        link_prediction(edges, deg_cap=4),
+        "WITH " + link_prediction_cte("lptest", deg_cap=4)
+        + "\nSELECT x, y, common, aa_ppm FROM lp",
+    )
