@@ -477,6 +477,45 @@ def q_link_prediction(spark, sf_dir):
     return G.link_prediction(pairs, src="a", dst="b")
 
 
+def q_label_propagation(spark, sf_dir):
+    """g10: synchronous label-propagation communities (Raghavan et al.
+    2007; min-tie-break deterministic variant, 4 bounded rounds) over the
+    entity co-occurrence graph."""
+    pairs = A.cooccurrence_pairs(_m(spark, sf_dir), min_count=1).select("a", "b")
+    return G.label_propagation(pairs, src="a", dst="b")
+
+
+def q_hll_distinct(spark, sf_dir):
+    """sk2: HyperLogLog registers + integer raw estimate per event_type
+    (deterministic md5 substreams; exact count alongside)."""
+    return A.hll_distinct(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """sk3: Count-Min-sketch heavy hitters over the entity-mention stream
+    (D=4 salted rows, W=512; est >= exact by construction)."""
+    return A.cms_heavy_hitters(_m(spark, sf_dir))
+
+
+def q_group_quantiles(spark, sf_dir):
+    """qn1: EXACT per-group percentiles (p50/p90/p99 of value per
+    event_type) by two-phase distributed rank selection — no group ever
+    sorts on a single reducer."""
+    return A.group_quantiles(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_attribution(spark, sf_dir):
+    """ev7: last-touch conversion attribution (1-day lookback) via one
+    ignore-nulls carry window — the backward complement of ev5's funnel."""
+    return A.attribute_conversions(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_semdedup(spark, sf_dir):
+    """cur5: SemDeDup (Abbas et al. 2023) — k-means cells via the sim3 IVF
+    machinery, within-cell integer-cosine eviction, min-id keep rule."""
+    return S.semdedup(_emb(spark, sf_dir))
+
+
 def q_pack_sequences(spark, sf_dir):
     """tx6: GPT-style sequence packing — global token-offset placement via
     a TWO-PHASE distributed prefix sum (range partition → per-partition
@@ -1021,6 +1060,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev3_asof_join": q_asof_join,
         "ev4_hypertable_rollup": q_hypertable_rollup,
         "ev5_funnel": q_funnel,
+        "ev7_attribution": q_attribution,
+        "g10_label_propagation": q_label_propagation,
+        "sk2_hll_distinct": q_hll_distinct,
+        "sk3_cms_heavy_hitters": q_cms_heavy_hitters,
+        "qn1_group_quantiles": q_group_quantiles,
+        "cur5_semdedup": q_semdedup,
         "ev6_retention": q_retention,
         "lp1_link_prediction": q_link_prediction,
         "sk1_kmv_distinct": q_kmv_distinct,
@@ -1315,6 +1360,19 @@ def oracle_sql() -> dict[str, str]:
         "ev3_asof_join": A.asof_join_events_sql(),
         "ev4_hypertable_rollup": A.hypertable_rollup_sql(),
         "ev5_funnel": A.funnel_events_sql(),
+        "ev7_attribution": A.attribute_conversions_sql(),
+        "g10_label_propagation": O.oracle(
+            "SELECT id, community FROM lpa",
+            A.cooccurrence_cte(min_count=1),
+            G.label_propagation_cte("cooccur", src="a", dst="b"),
+        ),
+        "sk2_hll_distinct": A.hll_distinct_sql(),
+        "sk3_cms_heavy_hitters": O.oracle(
+            "SELECT norm, exact_n, est_n FROM cms",
+            A.cms_heavy_hitters_cte(),
+        ),
+        "qn1_group_quantiles": A.group_quantiles_sql(),
+        "cur5_semdedup": S.semdedup_sql(),
         "ev6_retention": A.retention_cohorts_sql(),
         "lp1_link_prediction": O.oracle(
             "SELECT x, y, common, aa_ppm FROM lp",

@@ -985,3 +985,405 @@ SELECT cohort_wk, CAST(week_offset AS INT) AS week_offset, active_users,
        cohort_size,
        CAST(active_users * 100 // cohort_size AS INT) AS retention_pct
 FROM rret JOIN rsz USING (cohort_wk)"""
+
+
+# sk2: HyperLogLog (Flajolet et al. 2007) distinct-count registers per
+# event_type — the production cardinality sketch (KMV's successor; sk1 is
+# the KMV twin). Deterministic md5 substream split: register index = the
+# 32-bit hash prefix mod M, rank = leading-zero count of the NEXT 24 hash
+# bits + 1 (capped at 25), so the whole sketch — registers AND the raw
+# estimate — is exact integer arithmetic an oracle can replay. M = 32
+# keeps the gate corpora (150 distinct users per type at sf0.01) out of
+# the deep small-range regime; the raw estimator is known biased below
+# ~2.5·M, so the zero-register count rides along for downstream linear-
+# counting correction (applying it needs a float ln — deliberately left
+# OUT of the operator so parity stays integer-exact).
+HLL_M = 32
+HLL_CAP = 25  # max rank: 24 observable bits + 1
+# alpha_32 = 0.7213 / (1 + 1.079/32), in ppm
+HLL_ALPHA_PPM = 697_772
+# est_ppm = ALPHA_PPM * M^2 * 2^CAP // sum_inv  (fits: ~2.4e16 < 2^63)
+HLL_NUM = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << HLL_CAP)
+
+
+def hll_distinct(events: DataFrame, m: int = HLL_M) -> DataFrame:
+    """sk2: (event_type, present_regs, zero_regs, sum_inv, est_distinct,
+    exact_distinct) — HLL registers collapsed to the integer harmonic sum
+    ``sum_inv = Σ_regs 2^(CAP - reg)`` (empty registers contribute 2^CAP)
+    and the raw estimate ``α·m²·2^CAP // sum_inv // 1e6``.
+
+    Scale shape: register build is ONE (type, idx) partial agg — MAX is a
+    combiner, so a hot event_type costs its reducers at most M rows; the
+    per-type collapse groups M-row groups; exact_distinct (for visible
+    estimator error, same as sk1) is the only COUNT DISTINCT and is the
+    comparison column, not the sketch. Registers are mergeable by MAX,
+    which is why HLL works as a distributed/streaming accumulator."""
+    md5 = F.md5(F.col("user_id").cast("string").cast("binary"))
+    idx = (F.conv(F.substring(md5, 1, 8), 16, 10).cast("long") % m).alias("idx")
+    v = F.conv(F.substring(md5, 9, 6), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(HLL_CAP)).otherwise(
+        F.lit(HLL_CAP) - F.length(F.bin(v))
+    )
+    regs = (
+        events.select("event_type", idx, rho.alias("rho"))
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("reg"))
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("present_regs"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_CAP} - CAST(reg AS INT))"))
+        .cast("long")
+        .alias("sumv"),
+    )
+    sum_inv = (
+        F.col("sumv")
+        + (F.lit(m) - F.col("present_regs")).cast("long") * (1 << HLL_CAP)
+    ).alias("sum_inv")
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        per_type.select(
+            "event_type",
+            "present_regs",
+            (F.lit(m) - F.col("present_regs")).cast("int").alias("zero_regs"),
+            sum_inv,
+        )
+        .withColumn(
+            "est_distinct",
+            F.expr(f"{HLL_NUM} div sum_inv div 1000000").cast("long"),
+        )
+        .join(exact, "event_type")
+    )
+
+
+def hll_distinct_sql(m: int = HLL_M) -> str:
+    """Oracle: the identical register construction and integer estimate
+    (the KMV hex-parse idiom; bin() agrees between engines)."""
+    return f"""
+WITH hh AS (
+  SELECT event_type,
+         CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {m} AS idx,
+         CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 9, 6)) AS BIGINT)
+           AS v
+  FROM events
+), hregs AS (
+  SELECT event_type, idx,
+         MAX(CASE WHEN v = 0 THEN {HLL_CAP}
+                  ELSE {HLL_CAP} - length(bin(v)) END) AS reg
+  FROM hh GROUP BY event_type, idx
+), hsum AS (
+  SELECT event_type, CAST(COUNT(*) AS INT) AS present_regs,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_CAP} - reg)) AS BIGINT) AS sumv
+  FROM hregs GROUP BY event_type
+), hest AS (
+  SELECT event_type, present_regs,
+         CAST({m} - present_regs AS INT) AS zero_regs,
+         CAST(sumv + ({m} - present_regs) * CAST({1 << HLL_CAP} AS BIGINT)
+              AS BIGINT) AS sum_inv
+  FROM hsum
+)
+SELECT h.event_type, h.present_regs, h.zero_regs, h.sum_inv,
+       CAST({HLL_NUM} // h.sum_inv // 1000000 AS BIGINT) AS est_distinct,
+       CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+FROM hest h JOIN (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+) x USING (event_type)"""
+
+
+# sk3: Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005) over
+# the entity-mention stream: D independent md5-salted hash rows of width
+# W; an item's estimate is the MIN over its D counters, which can only
+# OVERcount (collisions add, never subtract) — est >= exact is the CMS
+# guarantee the properties test pins. The sketch itself is a fixed
+# D·W-cell table regardless of corpus size: the distributed shape is one
+# (row, col) partial agg (SUM combiner) and the estimate side joins the
+# BROADCAST sketch, never a shuffle keyed on the sketch.
+CMS_D = 4
+CMS_W = 512
+CMS_PHI_PCT = 1  # heavy hitter = estimated share >= 1% of the stream
+
+
+def cms_heavy_hitters(
+    mentions: DataFrame,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    phi_pct: int = CMS_PHI_PCT,
+) -> DataFrame:
+    """sk3: (norm, exact_n, est_n) — entities whose CMS-estimated mention
+    count reaches ``phi_pct`` percent of the entity-mention stream, with
+    the exact count alongside (visible estimator error, the sk1/sk2
+    pattern). Threshold is a scalar aggregate broadcast into the plan —
+    no driver collect.
+
+    Candidate enumeration: CMS alone cannot LIST heavy items (it only
+    answers point queries); the candidate set here is the distinct-entity
+    table — at 100 TB that is itself the (bounded) entity registry, and
+    each candidate costs D broadcast lookups, so the scan is
+    O(candidates · D) with no self-join."""
+    ent = mentions.filter(F.col("mtype") == "entity").select("norm")
+    from functools import reduce
+
+    def _col(j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), F.col("norm")).cast("binary")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % w
+        )
+
+    sketch = reduce(
+        lambda a, b: a.unionByName(b),
+        [ent.select(F.lit(j).alias("row"), _col(j).alias("col")) for j in range(d)],
+    )
+    sketch = sketch.groupBy("row", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("cell_n")
+    )
+    exact = ent.groupBy("norm").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    probes = exact.select(
+        "norm", "exact_n", *[_col(j).alias(f"c{j}") for j in range(d)]
+    )
+    est = probes
+    for j in range(d):
+        sj = sketch.filter(F.col("row") == j).select(
+            F.col("col").alias(f"c{j}"), F.col("cell_n").alias(f"n{j}")
+        )
+        est = est.join(F.broadcast(sj), f"c{j}")
+    est = est.select(
+        "norm",
+        "exact_n",
+        F.least(*[F.col(f"n{j}") for j in range(d)]).alias("est_n"),
+    )
+    thresh = ent.agg(
+        F.expr(f"CAST(COUNT(*) * {phi_pct} div 100 AS BIGINT)").alias("thr")
+    )
+    return (
+        est.crossJoin(F.broadcast(thresh))
+        .filter(F.col("est_n") >= F.col("thr"))
+        .select("norm", "exact_n", "est_n")
+    )
+
+
+def cms_heavy_hitters_cte(
+    d: int = CMS_D, w: int = CMS_W, phi_pct: int = CMS_PHI_PCT
+) -> str:
+    """Expects the ``mentions`` CTE upstream; same salted-row construction."""
+    rows = " UNION ALL ".join(
+        f"""SELECT {j} AS row,
+        CAST(CONCAT('0x', substr(md5(CONCAT('{j}:', norm)), 1, 8)) AS BIGINT)
+          % {w} AS col
+        FROM cms_ent"""
+        for j in range(d)
+    )
+    probe_cols = ", ".join(
+        f"""CAST(CONCAT('0x', substr(md5(CONCAT('{j}:', norm)), 1, 8)) AS BIGINT)
+          % {w} AS c{j}"""
+        for j in range(d)
+    )
+    joins = "\n  ".join(
+        f"JOIN (SELECT col AS c{j}, cell_n AS n{j} FROM cms_sketch WHERE row = {j})"
+        f" s{j} USING (c{j})"
+        for j in range(d)
+    )
+    least = "LEAST(" + ", ".join(f"n{j}" for j in range(d)) + ")"
+    return f"""cms_ent AS MATERIALIZED (
+  SELECT norm FROM mentions WHERE mtype = 'entity'
+),
+cms_sketch AS MATERIALIZED (
+  SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cell_n
+  FROM ({rows}) GROUP BY row, col
+),
+cms_probe AS (
+  SELECT norm, CAST(COUNT(*) AS BIGINT) AS exact_n, {probe_cols}
+  FROM cms_ent GROUP BY norm
+),
+cms AS (
+  SELECT norm, exact_n, {least} AS est_n
+  FROM cms_probe
+  {joins}
+  WHERE {least} >= (SELECT COUNT(*) * {phi_pct} // 100 FROM cms_ent)
+)"""
+
+
+# qn1: EXACT per-group quantiles by distributed rank selection. The naive
+# formulation — a row_number window partitioned by event_type — funnels a
+# group's ENTIRE membership through one reducer (events.value is ~unique
+# doubles, so the distinct-value histogram trick does not shrink it);
+# this is the two-phase global-rank shape instead (the tx6 prefix-sum
+# pattern): range-repartition on the sort key so each partition sorts
+# locally, per-(partition, group) counts (P·G rows) become broadcast
+# rank bases, and the selected global ranks are matched with a broadcast
+# target table. No group ever visits a single reducer whole.
+QN_PS = (50, 90, 99)
+
+
+def group_quantiles(
+    events: DataFrame, ps: tuple[int, ...] = QN_PS, n_parts: int = 32
+) -> DataFrame:
+    """qn1: (event_type, p, q_value, n) — the exact p-th percentile of
+    ``value`` per event_type, discrete definition: the element with
+    1-indexed rank ``(n-1)·p // 100 + 1`` in (value, event_id) order
+    (event_id makes the order total, so selection is deterministic and
+    the double passes through bit-identical — no float arithmetic).
+
+    The range layout is localCheckpoint-ed ONCE so the rank pass and the
+    base-count pass read the SAME partition boundaries (repartitionByRange
+    resamples per job otherwise — the tx6 layout-race lesson)."""
+    part = (
+        events.select("event_type", "value", "event_id")
+        .repartitionByRange(n_parts, "event_type", "value", "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wloc = Window.partitionBy("pid", "event_type").orderBy("value", "event_id")
+    ranked = part.withColumn("lr", F.row_number().over(wloc))
+    counts = part.groupBy("pid", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    wbase = (
+        Window.partitionBy("event_type")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = counts.select(
+        "pid",
+        "event_type",
+        F.coalesce(F.sum("c").over(wbase), F.lit(0)).cast("long").alias("base"),
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+    targets = totals.select(
+        "event_type",
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in ps])).alias("p"),
+    ).select(
+        "event_type",
+        "p",
+        "n",
+        (F.expr("(n - 1) * p div 100") + 1).cast("long").alias("rn"),
+    )
+    return (
+        ranked.join(F.broadcast(bases), ["pid", "event_type"])
+        .withColumn("gr", F.col("lr").cast("long") + F.col("base"))
+        .join(
+            F.broadcast(targets),
+            ["event_type"],
+        )
+        .filter(F.col("gr") == F.col("rn"))
+        .select(
+            "event_type",
+            F.col("p").cast("int").alias("p"),
+            F.col("value").alias("q_value"),
+            "n",
+        )
+    )
+
+
+def group_quantiles_sql(ps: tuple[int, ...] = QN_PS) -> str:
+    """Oracle: one ROW_NUMBER per group — fine at oracle scale; the engine
+    side exists precisely because this shape does not distribute."""
+    vals = ", ".join(f"({p})" for p in ps)
+    return f"""
+WITH qr AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM events
+)
+SELECT event_type, CAST(p AS INT) AS p, value AS q_value, n
+FROM qr JOIN (VALUES {vals}) ps(p)
+  ON rn = (n - 1) * p // 100 + 1"""
+
+
+# ev7: last-touch attribution — each purchase credits the most recent
+# preceding touchpoint (view/click) by the same user inside a lookback
+# window; purchases with no touch in the window credit 'none'. The
+# marketing-funnel complement of ev5: ev5 measures forward progression,
+# ev7 assigns conversion credit backward.
+ATTR_LOOKBACK_US = 86_400 * 1_000_000  # 1 day
+ATTR_TOUCHES = ("view", "click")
+
+
+def attribute_conversions(
+    events: DataFrame, lookback_us: int = ATTR_LOOKBACK_US
+) -> DataFrame:
+    """ev7: (channel, n_attributed, n_users, min_gap_us, max_gap_us) —
+    purchases grouped by the touch channel that gets last-touch credit.
+
+    ONE user_id exchange: the carried last-touch (ts, type) is a single
+    ignore-nulls LAST window over (ts, event_id) order — no self-join of
+    purchases against touches (the join formulation shuffles both sides
+    and explodes on hot users; the carry is O(rows)). Strictly-preceding
+    is ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING, so a same-row
+    purchase can never credit itself."""
+    ev = events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_u"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_u", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin(*ATTR_TOUCHES),
+        F.struct(F.col("ts_u").alias("t_ts"), F.col("event_type").alias("t_ch")),
+    )
+    carried = ev.withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+    pur = carried.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_u",
+        F.when(
+            F.col("last_touch").isNotNull()
+            & (F.col("ts_u") - F.col("last_touch.t_ts") <= lookback_us),
+            F.col("last_touch.t_ch"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("channel"),
+        F.when(
+            F.col("last_touch").isNotNull()
+            & (F.col("ts_u") - F.col("last_touch.t_ts") <= lookback_us),
+            F.col("ts_u") - F.col("last_touch.t_ts"),
+        ).alias("gap_us"),
+    )
+    return pur.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_attributed"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+def attribute_conversions_sql(lookback_us: int = ATTR_LOOKBACK_US) -> str:
+    touches = ", ".join(f"'{t}'" for t in ATTR_TOUCHES)
+    return f"""
+WITH aev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_u FROM events
+), acar AS (
+  SELECT *,
+         last_value(CASE WHEN event_type IN ({touches})
+                         THEN {{'t_ts': ts_u, 't_ch': event_type}} END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_u, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+  FROM aev
+), apur AS (
+  SELECT user_id, ts_u,
+         CASE WHEN lt IS NOT NULL AND ts_u - lt.t_ts <= {lookback_us}
+              THEN lt.t_ch ELSE 'none' END AS channel,
+         CASE WHEN lt IS NOT NULL AND ts_u - lt.t_ts <= {lookback_us}
+              THEN ts_u - lt.t_ts END AS gap_us
+  FROM acar WHERE event_type = 'purchase'
+)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_attributed,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us
+FROM apur GROUP BY channel"""

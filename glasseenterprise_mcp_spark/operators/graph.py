@@ -925,3 +925,106 @@ lp AS (
   SELECT x, y, common, aa_ppm FROM lp_cand c
   WHERE NOT EXISTS (SELECT 1 FROM lp_e WHERE a = c.x AND b = c.y)
 )"""
+
+
+# G10: synchronous label propagation (Raghavan et al. 2007) — community
+# detection over the entity co-occurrence graph. Deterministic variant:
+# every node starts labeled with its own id; each round it adopts the
+# MODE of its neighbors' labels with ties broken by the smallest label
+# (the classic async/random-order LPA is non-deterministic; synchronous
+# min-tie-break is the standard reproducible formulation). Bounded
+# rounds, like the reference's bounded traversals (SURVEY §2 G-family).
+LPA_ROUNDS = 4
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = LPA_ROUNDS,
+) -> DataFrame:
+    """G10: (id, community) — the label each node holds after ``rounds``
+    synchronous LPA updates over the undirected simple graph.
+
+    Scale shape (the CC/PageRank loop discipline): canonical edge distinct
+    once, the symmetric adjacency repartitioned by the JOIN key (neighbor)
+    and checkpointed ONCE so every round probes the same layout; each
+    round is one n-keyed join + one (node, label) partial-agg shuffle +
+    one node-keyed min-struct agg (the mode-with-min-tie-break collapses
+    to MIN(struct(-count, label)) — no per-group window, no global sort);
+    state is localCheckpoint-ed per round to truncate lineage. Label
+    payloads are node ids, so a round's shuffle volume is O(E), never
+    O(E · label-width-growth)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .select(F.col("a").alias("node"), F.col("b").alias("n"))
+        .repartition("n")
+        .localCheckpoint(eager=True)
+    )
+    state = sym.select(F.col("node").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(state, sym["n"] == state["id"])
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        state = (
+            votes.groupBy("node")
+            .agg(
+                F.min(F.struct((-F.col("c")).alias("negc"), F.col("label"))).alias(
+                    "best"
+                )
+            )
+            .select(F.col("node").alias("id"), F.col("best.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return state.select("id", F.col("label").alias("community"))
+
+
+def label_propagation_cte(
+    edges_cte: str,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = LPA_ROUNDS,
+) -> str:
+    """DuckDB oracle: the identical synchronous rounds unrolled as
+    MATERIALIZED CTEs (each round references the previous once, but the
+    chain over a parquet-scan CTE still inline-blows-up un-materialized —
+    the PageRank lesson). Mode + min-tie-break is the same
+    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, label) = 1 the engine's
+    MIN(struct(-c, label)) encodes."""
+    parts = [
+        f"""lpa_e AS MATERIALIZED (
+  SELECT DISTINCT LEAST({src}, {dst}) AS a, GREATEST({src}, {dst}) AS b
+  FROM {edges_cte} WHERE {src} <> {dst}
+),
+lpa_sym AS MATERIALIZED (
+  SELECT a AS node, b AS n FROM lpa_e UNION ALL SELECT b, a FROM lpa_e
+),
+lpa0 AS MATERIALIZED (SELECT DISTINCT node AS id, node AS label FROM lpa_sym)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""lpa{t} AS MATERIALIZED (
+  SELECT node AS id, label FROM (
+    SELECT s.node, l.label, ROW_NUMBER() OVER (
+        PARTITION BY s.node ORDER BY COUNT(*) DESC, l.label) AS rn
+    FROM lpa_sym s JOIN lpa{t - 1} l ON s.n = l.id
+    GROUP BY s.node, l.label
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"lpa AS (SELECT id, label AS community FROM lpa{rounds})"
+    )
+    return ",\n".join(parts)

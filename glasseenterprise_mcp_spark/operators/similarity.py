@@ -391,21 +391,21 @@ def ivf_topk(
     )
 
 
-def ivf_topk_sql(
-    query_where: str,
+def ivf_assigned_ctes(
     n_centroids: int = IVF_CENTROIDS,
-    k: int = 5,
-    nprobe: int = 3,
     n_refine: int = 2,
-) -> str:
-    # each k-means sweep mirrored exactly: floor-mean per dimension over
-    # the previous assignment's members (64 SUM terms, generated), then a
-    # window-argmax re-assignment (oracle-side only; the engine broadcasts
-    # the cid-sorted centroid array and runs a per-row higher-order
-    # aggregate argmax whose strict ``>`` keeps the FIRST maximum — the
-    # same (dot DESC, cid ASC) tie rule as this window). The CTE chain
-    # assigned0 → centroids1 → assigned1 → … → centroids{n} → assigned is
-    # the twin of the engine's n_refine ivf_refine loop + final ivf_assign.
+) -> tuple[str, str]:
+    """Shared oracle chain for every IVF-family consumer (sim3, cur5):
+    returns (ctes, final_centroids_name) where ``ctes`` is the
+    ``q → seeds → assigned0 → centroids1 → … → assigned`` text.
+
+    Each k-means sweep mirrored exactly: floor-mean per dimension over
+    the previous assignment's members (64 SUM terms, generated), then a
+    window-argmax re-assignment (oracle-side only; the engine broadcasts
+    the cid-sorted centroid array and runs a per-row higher-order
+    aggregate argmax whose strict ``>`` keeps the FIRST maximum — the
+    same (dot DESC, cid ASC) tie rule as this window). The CTE chain is
+    the twin of the engine's n_refine ivf_refine loop + final ivf_assign."""
     mean_terms = ", ".join(
         f"CAST(FLOOR(SUM(qv[{i + 1}]) / COUNT(*)) AS BIGINT)"
         for i in range(DIM)
@@ -437,8 +437,7 @@ def ivf_topk_sql(
         chain.append(assign_cte(name, final_centroids))
         prev = name
     sweeps = ",\n".join(chain)
-    return f"""
-WITH q AS (
+    ctes = f"""q AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
@@ -447,7 +446,20 @@ WITH q AS (
   -- identical to the engine's ivf_centroids TakeOrdered
   SELECT vec_id AS cid, qv AS c_qv FROM q
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
-), {sweeps}, queries AS (
+), {sweeps}"""
+    return ctes, final_centroids
+
+
+def ivf_topk_sql(
+    query_where: str,
+    n_centroids: int = IVF_CENTROIDS,
+    k: int = 5,
+    nprobe: int = 3,
+    n_refine: int = 2,
+) -> str:
+    ctes, final_centroids = ivf_assigned_ctes(n_centroids, n_refine)
+    return f"""
+WITH {ctes}, queries AS (
   SELECT vec_id AS query_id, qv AS q_qv FROM q WHERE {query_where}
 ), qcells AS (
   SELECT query_id, q_qv, cid AS cell,
@@ -896,3 +908,109 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot, adc FROM (
     PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
   FROM pq_rerank
 ) WHERE rank <= {k}"""
+
+
+# cur5: SemDeDup (Abbas et al. 2023) — semantic deduplication: k-means
+# the embedding space, then inside each cluster drop every vector that has
+# a semantically-near twin, keeping one representative per near-duplicate
+# neighborhood. The deterministic keep rule here is min-id: a vector is
+# dropped iff a SAME-CELL vector with cosine >= threshold and a smaller
+# vec_id exists (the paper keeps the vector farthest from the centroid;
+# min-id is the same operator shape with an oracle-replayable tie rule).
+SEMDEDUP_COS_PCT = 30
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    n_refine: int = 2,
+    min_cos_pct: int = SEMDEDUP_COS_PCT,
+) -> DataFrame:
+    """cur5: (vec_id, cell, kept, dup_of) — every corpus vector with its
+    k-means cell, whether SemDeDup keeps it, and (when dropped) the
+    smallest same-cell near-twin id that evicted it.
+
+    Scale shape: reuses the sim3 IVF machinery — fixed-C deterministic
+    seeds + n_refine Lloyd sweeps (each a broadcast argmax map + one C-key
+    fused-sum agg) + a zero-shuffle cell assignment; the within-cell pair
+    generation is ONE cell-keyed self-join, which is the SemDeDup cost
+    model itself: quadratic only inside a cell, so C is chosen ∝ corpus
+    size in production to bound cell width (here C is the sim3 constant —
+    the knob, not the operator, changes at 100TB). The cosine test is the
+    dd5 integer idiom: d2²·10⁴ ≥ t²·(naa/1000)·(nbb/1000) in int64, no
+    sqrt, no floats. The eviction collapse is a (loser → min winner)
+    partial agg and a left join back to the assignment."""
+    q = quantized(embeddings)
+    centroids = ivf_centroids(q, n_centroids)
+    for _ in range(n_refine):
+        centroids = ivf_refine(q, centroids).localCheckpoint(eager=True)
+    assigned = ivf_assign(q, centroids).select(
+        "vec_id", "qv", "cell", _dot("qv", "qv").alias("naa")
+    ).localCheckpoint(eager=True)
+
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("a"),
+        F.col("qv").alias("qa"),
+        F.col("naa").alias("na"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col("vec_id").alias("b"),
+        F.col("qv").alias("qb"),
+        F.col("naa").alias("nb"),
+    )
+    d2 = F.floor(_dot("qa", "qb") / 1000).cast("long")
+    na2 = F.floor(F.col("na") / 1000).cast("long")
+    nb2 = F.floor(F.col("nb") / 1000).cast("long")
+    near = (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", d2.alias("d2"), na2.alias("na2"), nb2.alias("nb2"))
+        .filter(
+            (F.col("d2") > 0)
+            & (
+                F.col("d2") * F.col("d2") * 10000
+                >= F.lit(min_cos_pct * min_cos_pct) * F.col("na2") * F.col("nb2")
+            )
+        )
+    )
+    evicted = near.groupBy(F.col("b").alias("vec_id")).agg(
+        F.min("a").alias("dup_of")
+    )
+    return assigned.join(evicted, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.col("dup_of").isNull().alias("kept"),
+        "dup_of",
+    )
+
+
+def semdedup_sql(
+    n_centroids: int = IVF_CENTROIDS,
+    n_refine: int = 2,
+    min_cos_pct: int = SEMDEDUP_COS_PCT,
+) -> str:
+    """Oracle: the shared IVF assignment chain + the identical within-cell
+    integer-cosine eviction."""
+    ctes, _ = ivf_assigned_ctes(n_centroids, n_refine)
+    return f"""
+WITH {ctes}, sd_v AS (
+  SELECT vec_id, qv, cell,
+         CAST(list_dot_product(qv, qv) AS BIGINT) AS naa
+  FROM assigned
+), sd_near AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM sd_v a JOIN sd_v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST(FLOOR(CAST(list_dot_product(a.qv, b.qv) AS BIGINT) / 1000) AS BIGINT) > 0
+    AND CAST(FLOOR(CAST(list_dot_product(a.qv, b.qv) AS BIGINT) / 1000) AS BIGINT)
+        * CAST(FLOOR(CAST(list_dot_product(a.qv, b.qv) AS BIGINT) / 1000) AS BIGINT)
+        * 10000
+        >= {min_cos_pct * min_cos_pct}
+           * CAST(FLOOR(a.naa / 1000) AS BIGINT)
+           * CAST(FLOOR(b.naa / 1000) AS BIGINT)
+), sd_evict AS (
+  SELECT b AS vec_id, MIN(a) AS dup_of FROM sd_near GROUP BY b
+)
+SELECT s.vec_id, s.cell, e.dup_of IS NULL AS kept, e.dup_of
+FROM sd_v s LEFT JOIN sd_evict e USING (vec_id)"""

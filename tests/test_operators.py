@@ -1458,3 +1458,257 @@ def test_link_prediction_semantics(spark):
         "WITH " + link_prediction_cte("lptest", deg_cap=4)
         + "\nSELECT x, y, common, aa_ppm FROM lp",
     )
+
+
+def test_label_propagation_semantics(spark):
+    """g10 checked against an independent brute-force python simulation of
+    the same deterministic rule (synchronous rounds, neighbor-label mode,
+    min tie-break) on two triangles joined by a bridge, plus the DuckDB
+    twin on the same edges."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.graph import (
+        LPA_ROUNDS,
+        label_propagation,
+        label_propagation_cte,
+    )
+
+    from .conftest import compare_query
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),          # triangle 1
+        ("x", "y"), ("y", "z"), ("x", "z"),          # triangle 2
+        ("c", "x"),                                   # bridge
+        ("solo1", "solo2"),                           # 2-path component
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    # independent simulator
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+        adj[d].add(s)
+    lab = {n: n for n in adj}
+    for _ in range(LPA_ROUNDS):
+        nxt = {}
+        for n in adj:
+            cnt = Counter(lab[v] for v in adj[n])
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            nxt[n] = best
+        lab = nxt
+    got = {r.id: r.community for r in label_propagation(df).collect()}
+    assert got == lab
+    # the two triangles must resolve to internally-uniform communities
+    assert len({got["a"], got["b"], got["c"]}) == 1
+    assert len({got["x"], got["y"], got["z"]}) == 1
+
+    con = duckdb.connect()
+    con.register("lpatest", df.toPandas())
+    compare_query(
+        spark,
+        con,
+        label_propagation(df),
+        "WITH " + label_propagation_cte("lpatest")
+        + "\nSELECT id, community FROM lpa",
+    )
+
+
+def test_hll_distinct_properties(spark):
+    """sk2: raw-estimator relative error < 30% when n >> m (5000 distinct
+    users, m=32); registers bounded by m; DuckDB twin agrees."""
+    import datetime as dt
+
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.analytics import (
+        HLL_M,
+        hll_distinct,
+        hll_distinct_sql,
+    )
+
+    from .conftest import compare_query
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, i, "view", 0.0, "") for i in range(5000)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = hll_distinct(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.exact_distinct == 5000
+    assert r.present_regs <= HLL_M and r.zero_regs == HLL_M - r.present_regs
+    assert abs(r.est_distinct - 5000) / 5000 < 0.30, r.est_distinct
+
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    compare_query(spark, con, hll_distinct(ev), hll_distinct_sql())
+
+
+def test_cms_heavy_hitters_properties(spark):
+    """sk3: the planted heavy entity is reported, its estimate never
+    undercounts (CMS one-sided error), singletons stay below the 1%
+    threshold; DuckDB twin agrees."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.analytics import (
+        cms_heavy_hitters,
+        cms_heavy_hitters_cte,
+    )
+
+    from .conftest import compare_query
+
+    rows = [("hot",)] * 300 + [(f"e{i}",) for i in range(700)]
+    m = spark.createDataFrame(rows, "norm string").withColumn(
+        "mtype", F.lit("entity")
+    )
+    got = {r.norm: (r.exact_n, r.est_n) for r in cms_heavy_hitters(m).collect()}
+    assert "hot" in got
+    assert got["hot"][0] == 300 and got["hot"][1] >= 300
+    # threshold = 1% of 1000 = 10: no singleton can be estimated >= 10
+    # unless collisions pushed it there — and every reported est >= exact
+    assert all(est >= exact for exact, est in got.values())
+
+    con = duckdb.connect()
+    con.register("mentions", m.toPandas())
+    compare_query(
+        spark,
+        con,
+        cms_heavy_hitters(m),
+        "WITH " + cms_heavy_hitters_cte()
+        + "\nSELECT norm, exact_n, est_n FROM cms",
+    )
+
+
+def test_group_quantiles_semantics(spark):
+    """qn1 hand-computed: values 1..10 in one group — p50 picks rank
+    (9·50)//100+1 = 5, p90 and p99 both pick rank 9; a second group with
+    a single row returns that row for every p; exercised across 4 range
+    partitions so local ranks + bases genuinely compose; DuckDB twin."""
+    import datetime as dt
+
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.analytics import (
+        group_quantiles,
+        group_quantiles_sql,
+    )
+
+    from .conftest import compare_query
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, 1, "view", float(i), "") for i in range(1, 11)]
+    rows.append((100, t0, 1, "click", 7.5, ""))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r.event_type, r.p): (r.q_value, r.n)
+        for r in group_quantiles(ev, n_parts=4).collect()
+    }
+    assert got == {
+        ("view", 50): (5.0, 10),
+        ("view", 90): (9.0, 10),
+        ("view", 99): (9.0, 10),
+        ("click", 50): (7.5, 1),
+        ("click", 90): (7.5, 1),
+        ("click", 99): (7.5, 1),
+    }
+
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    compare_query(spark, con, group_quantiles(ev, n_parts=4), group_quantiles_sql())
+
+
+def test_attribution_semantics(spark):
+    """ev7 hand-computed: view 1h before purchase → view credited; touch
+    exactly at the lookback boundary still credited; purchase with no
+    preceding touch → 'none'; touch AFTER the purchase doesn't count;
+    later touch shadows the earlier one (last-touch, not first-touch);
+    DuckDB twin agrees."""
+    import datetime as dt
+
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.analytics import (
+        attribute_conversions,
+        attribute_conversions_sql,
+    )
+
+    from .conftest import compare_query
+
+    t0 = dt.datetime(2024, 1, 1)
+    S = lambda s: t0 + dt.timedelta(seconds=s)
+    DAY = 86_400
+    rows = [
+        # u1: view@0 then click@100 then purchase@3600 → click (last touch)
+        (1, S(0), 1, "view", 0.0, ""), (2, S(100), 1, "click", 0.0, ""),
+        (3, S(3600), 1, "purchase", 0.0, ""),
+        # u2: view exactly 1 day before purchase → boundary inclusive
+        (4, S(0), 2, "view", 0.0, ""), (5, S(DAY), 2, "purchase", 0.0, ""),
+        # u3: purchase with no touch → none
+        (6, S(0), 3, "purchase", 0.0, ""),
+        # u4: view @2 days before purchase → outside lookback → none
+        (7, S(0), 4, "view", 0.0, ""), (8, S(2 * DAY), 4, "purchase", 0.0, ""),
+        # u5: purchase@0, view@10 (touch after purchase) → none
+        (9, S(0), 5, "purchase", 0.0, ""), (10, S(10), 5, "view", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r.channel: (r.n_attributed, r.n_users) for r in
+           attribute_conversions(ev).collect()}
+    assert got == {"click": (1, 1), "view": (1, 1), "none": (3, 3)}
+
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    compare_query(
+        spark, con, attribute_conversions(ev), attribute_conversions_sql()
+    )
+
+
+def test_semdedup_semantics(spark):
+    """cur5: three planted near-identical vectors land in one cell and
+    collapse to the min id (dup_of = 1 for the other two); well-separated
+    vectors all survive; DuckDB twin agrees."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.similarity import DIM, semdedup, semdedup_sql
+
+    def vec(seed, bump=0):
+        # deterministic pseudo-random direction per seed
+        return [
+            ((seed * 37 + i * 101) % 19) - 9 + (bump if i == 0 else 0)
+            for i in range(DIM)
+        ]
+
+    rows = [(1, [float(x) for x in vec(7)], "q")]
+    rows += [(2, [float(x) for x in vec(7, 1)], "q")]   # near-twin of 1
+    rows += [(3, [float(x) for x in vec(7, -1)], "q")]  # near-twin of 1
+    rows += [(i, [float(x) for x in vec(i * 13 + 1)], "c") for i in range(4, 40)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = {r.vec_id: (r.kept, r.dup_of) for r in
+           semdedup(emb, n_centroids=4, n_refine=1).collect()}
+    assert out[1] == (True, None)
+    assert out[2] == (False, 1) and out[3] == (False, 1)
+
+    con = duckdb.connect()
+    con.register("embeddings", emb.toPandas())
+    from .conftest import compare_query
+
+    compare_query(
+        spark,
+        con,
+        semdedup(emb, n_centroids=4, n_refine=1),
+        semdedup_sql(n_centroids=4, n_refine=1),
+    )
