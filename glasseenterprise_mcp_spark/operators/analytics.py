@@ -1006,6 +1006,50 @@ HLL_ALPHA_PPM = 697_772
 HLL_NUM = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << HLL_CAP)
 
 
+def hll_registers(events: DataFrame, m: int = HLL_M) -> DataFrame:
+    """The HLL register table (event_type, idx, reg) — factored out so the
+    streaming path can maintain it incrementally: registers merge by MAX,
+    so batch-registers ∪ stored-registers → groupBy max IS the sketch
+    union (the mergeability that makes HLL a streaming accumulator)."""
+    md5 = F.md5(F.col("user_id").cast("string").cast("binary"))
+    idx = (F.conv(F.substring(md5, 1, 8), 16, 10).cast("long") % m).alias("idx")
+    v = F.conv(F.substring(md5, 9, 6), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(HLL_CAP)).otherwise(
+        F.lit(HLL_CAP) - F.length(F.bin(v))
+    )
+    return (
+        events.select("event_type", idx, rho.alias("rho"))
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").cast("int").alias("reg"))
+    )
+
+
+def hll_estimate(regs: DataFrame, m: int = HLL_M) -> DataFrame:
+    """Collapse a register table to (event_type, present_regs, zero_regs,
+    sum_inv, est_distinct) — shared by the batch operator and the
+    streaming read path (no exact_distinct: a sketch reader doesn't have
+    the raw stream)."""
+    per_type = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("present_regs"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_CAP} - CAST(reg AS INT))"))
+        .cast("long")
+        .alias("sumv"),
+    )
+    sum_inv = (
+        F.col("sumv")
+        + (F.lit(m) - F.col("present_regs")).cast("long") * (1 << HLL_CAP)
+    ).alias("sum_inv")
+    return per_type.select(
+        "event_type",
+        "present_regs",
+        (F.lit(m) - F.col("present_regs")).cast("int").alias("zero_regs"),
+        sum_inv,
+    ).withColumn(
+        "est_distinct",
+        F.expr(f"{HLL_NUM} div sum_inv div 1000000").cast("long"),
+    )
+
+
 def hll_distinct(events: DataFrame, m: int = HLL_M) -> DataFrame:
     """sk2: (event_type, present_regs, zero_regs, sum_inv, est_distinct,
     exact_distinct) — HLL registers collapsed to the integer harmonic sum
@@ -1018,43 +1062,10 @@ def hll_distinct(events: DataFrame, m: int = HLL_M) -> DataFrame:
     estimator error, same as sk1) is the only COUNT DISTINCT and is the
     comparison column, not the sketch. Registers are mergeable by MAX,
     which is why HLL works as a distributed/streaming accumulator."""
-    md5 = F.md5(F.col("user_id").cast("string").cast("binary"))
-    idx = (F.conv(F.substring(md5, 1, 8), 16, 10).cast("long") % m).alias("idx")
-    v = F.conv(F.substring(md5, 9, 6), 16, 10).cast("long")
-    rho = F.when(v == 0, F.lit(HLL_CAP)).otherwise(
-        F.lit(HLL_CAP) - F.length(F.bin(v))
-    )
-    regs = (
-        events.select("event_type", idx, rho.alias("rho"))
-        .groupBy("event_type", "idx")
-        .agg(F.max("rho").alias("reg"))
-    )
-    per_type = regs.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("int").alias("present_regs"),
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_CAP} - CAST(reg AS INT))"))
-        .cast("long")
-        .alias("sumv"),
-    )
-    sum_inv = (
-        F.col("sumv")
-        + (F.lit(m) - F.col("present_regs")).cast("long") * (1 << HLL_CAP)
-    ).alias("sum_inv")
     exact = events.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("exact_distinct")
     )
-    return (
-        per_type.select(
-            "event_type",
-            "present_regs",
-            (F.lit(m) - F.col("present_regs")).cast("int").alias("zero_regs"),
-            sum_inv,
-        )
-        .withColumn(
-            "est_distinct",
-            F.expr(f"{HLL_NUM} div sum_inv div 1000000").cast("long"),
-        )
-        .join(exact, "event_type")
-    )
+    return hll_estimate(hll_registers(events, m), m).join(exact, "event_type")
 
 
 def hll_distinct_sql(m: int = HLL_M) -> str:
@@ -1239,6 +1250,10 @@ def group_quantiles(
     resamples per job otherwise — the tx6 layout-race lesson)."""
     part = (
         events.select("event_type", "value", "event_id")
+        # NULL ordering diverges between engines (Spark first, DuckDB
+        # last); a NULL has no rank in a quantile anyway — drop on BOTH
+        # sides so the construction stays identical.
+        .filter(F.col("value").isNotNull())
         .repartitionByRange(n_parts, "event_type", "value", "event_id")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
@@ -1294,7 +1309,7 @@ WITH qr AS (
          ROW_NUMBER() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS rn,
          CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT event_type, CAST(p AS INT) AS p, value AS q_value, n
 FROM qr JOIN (VALUES {vals}) ps(p)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     BooleanType,
     IntegerType,
     LongType,
@@ -19,6 +20,19 @@ from pyspark.sql.types import (
     StructField,
     StructType,
     TimestampType,
+)
+
+# events side-table (the testdata events.parquet shape) — used by the
+# streaming sketch maintenance readStream source.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
 )
 
 TRANSCRIPTS_SCHEMA = StructType(

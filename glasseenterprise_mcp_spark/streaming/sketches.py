@@ -1,0 +1,87 @@
+"""Incremental sketch maintenance over a micro-batch stream — the
+streaming face of the sk2 HyperLogLog operator.
+
+HLL registers merge by MAX (``analytics.hll_registers`` docstring), so the
+stream-maintenance recurrence is exact, not approximate-on-top-of-
+approximate:
+
+    stored_regs(t) = max-merge(stored_regs(t-1), regs(batch_t))
+                   = hll_registers(batch_1 ∪ … ∪ batch_t)
+
+i.e. the incrementally maintained sketch is BIT-IDENTICAL to the one-shot
+batch sketch over the concatenated stream — the invariant
+``tests/test_streaming.py::test_incremental_hll_equals_one_shot`` pins,
+including across a kill-and-resume (state lives in the sink table; replays
+are MAX-idempotent, the same argument as the CC/linking registries).
+
+Per-batch cost is O(batch + M·types): one partial agg over the delta, a
+max-merge against the (tiny, register-sized) stored table, one upsert.
+The reference has no sketch surface; this follows its incremental-watch
+shape (src/scanner/incrementalWatcher.ts:14-101) applied to an
+accumulator whose merge is associative+idempotent.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.analytics import HLL_M, hll_estimate, hll_registers
+from ..operators.materialize import GraphSink
+
+HLL_TABLE = "hll_registers"
+
+
+def incremental_hll_update(
+    sink: GraphSink, batch_events: DataFrame, m: int = HLL_M
+) -> None:
+    """One micro-batch: fold the delta's registers into the stored sketch
+    (callable from foreachBatch). MAX-idempotent, so a crashed batch's
+    replay is a no-op."""
+    delta = hll_registers(batch_events, m)
+    try:
+        stored = sink.read(HLL_TABLE).localCheckpoint(eager=True)
+        merged = (
+            stored.unionByName(delta)
+            .groupBy("event_type", "idx")
+            .agg(F.max("reg").cast("int").alias("reg"))
+        )
+    except Exception:  # first batch: no stored sketch yet
+        merged = delta
+    sink.upsert(
+        merged, HLL_TABLE, keys=["event_type", "idx"], partition_by=["event_type"]
+    )
+
+
+def read_hll_estimates(sink: GraphSink, m: int = HLL_M) -> DataFrame:
+    """The query face: collapse the maintained registers to per-type
+    estimates — same columns as the batch sk2 gate minus exact_distinct
+    (a sketch reader has no raw stream)."""
+    return hll_estimate(sink.read(HLL_TABLE), m)
+
+
+def run_hll_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink: GraphSink,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str = "1 second",
+):
+    """Structured Streaming driver: watch ``source_dir`` for event parquet,
+    maintain the HLL sketch per micro-batch."""
+    from ..schemas import EVENTS_SCHEMA
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_hll_update(sink, batch_df)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

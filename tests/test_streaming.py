@@ -475,3 +475,53 @@ def test_stateful_session_far_straggler_closes_separately(spark):
         ("erin", t0, t0, 1),                       # straggler: singleton
         ("erin", t0 + 10_000, t0 + 10_100, 2),     # untouched open session
     }
+
+
+def test_incremental_hll_equals_one_shot(spark):
+    """Streaming sketch maintenance: HLL registers folded per micro-batch
+    (two batches through the real readStream→foreachBatch path, shared
+    checkpoint) are BIT-IDENTICAL to the one-shot batch sketch over the
+    full stream — the MAX-merge exactness invariant; a replayed batch
+    (crash simulation: re-run update on batch 1 after batch 2) changes
+    nothing (MAX idempotence)."""
+    from glasseenterprise_mcp_spark.operators.analytics import (
+        hll_distinct,
+        hll_registers,
+    )
+    from glasseenterprise_mcp_spark.streaming.sketches import (
+        HLL_TABLE,
+        incremental_hll_update,
+        read_hll_estimates,
+        run_hll_stream,
+    )
+
+    ev = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+
+    src, ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp(), tempfile.mkdtemp()
+    sink = GraphSink(spark, out)
+    # batch 1 arrives, stream drains
+    a.write.mode("append").parquet(src)
+    run_hll_stream(spark, src, sink, ckpt).awaitTermination()
+    # batch 2 arrives later; resume from the same checkpoint
+    b.write.mode("append").parquet(src)
+    run_hll_stream(spark, src, sink, ckpt).awaitTermination()
+
+    from .conftest import freeze
+
+    cols = ["event_type", "idx", "reg"]
+    streamed = freeze(sink.read(HLL_TABLE).select(*cols).collect())
+    oneshot = freeze(hll_registers(ev).select(*cols).collect())
+    assert streamed == oneshot
+
+    # estimates from the maintained sketch == batch operator's estimates
+    est_stream = freeze(read_hll_estimates(sink).collect())
+    est_batch = freeze(
+        hll_distinct(ev).drop("exact_distinct").collect()
+    )
+    assert est_stream == est_batch
+
+    # crash replay: folding batch 1 again is a no-op
+    incremental_hll_update(sink, a)
+    assert freeze(sink.read(HLL_TABLE).select(*cols).collect()) == oneshot
