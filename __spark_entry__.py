@@ -516,6 +516,20 @@ def q_semdedup(spark, sf_dir):
     return S.semdedup(_emb(spark, sf_dir))
 
 
+def q_hits(spark, sf_dir):
+    """g11: integer-exact HITS hubs/authorities (Kleinberg 1999; L1 ppm
+    normalization, 4 synchronous rounds) over the bipartite refers graph
+    — the centrality pair PageRank can't express there."""
+    e = refers_to_edges(_m(spark, sf_dir))
+    return _hex_ids(G.hits(e.select("subj", "obj")), "id")
+
+
+def q_hopping_counts(spark, sf_dir):
+    """w5: 1h/15min hopping event-time windows (generator expand + one
+    partial agg, the streaming-ready sliding-window plan)."""
+    return A.hopping_event_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_pack_sequences(spark, sf_dir):
     """tx6: GPT-style sequence packing — global token-offset placement via
     a TWO-PHASE distributed prefix sum (range partition → per-partition
@@ -1062,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev5_funnel": q_funnel,
         "ev7_attribution": q_attribution,
         "g10_label_propagation": q_label_propagation,
+        "g11_hits": q_hits,
+        "w5_hopping_counts": q_hopping_counts,
         "sk2_hll_distinct": q_hll_distinct,
         "sk3_cms_heavy_hitters": q_cms_heavy_hitters,
         "qn1_group_quantiles": q_group_quantiles,
@@ -1366,6 +1382,12 @@ def oracle_sql() -> dict[str, str]:
             A.cooccurrence_cte(min_count=1),
             G.label_propagation_cte("cooccur", src="a", dst="b"),
         ),
+        "g11_hits": O.oracle(
+            "SELECT id, hub, auth FROM hits_out",
+            O.refers_to_cte(),
+            G.hits_cte("refers_to"),
+        ),
+        "w5_hopping_counts": A.hopping_event_counts_sql(),
         "sk2_hll_distinct": A.hll_distinct_sql(),
         "sk3_cms_heavy_hitters": O.oracle(
             "SELECT norm, exact_n, est_n FROM cms",

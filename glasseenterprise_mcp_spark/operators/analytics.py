@@ -1402,3 +1402,53 @@ SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_attributed,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
        MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us
 FROM apur GROUP BY channel"""
+
+
+# w5: HOPPING (sliding) event-time windows — ev2's tumbling windows with a
+# slide smaller than the size, so each event lands in size/slide windows.
+# The idiomatic F.window(size, slide) plan is a generator expand (each row
+# emits its window memberships map-side) + one partial agg — NOT a
+# self-join against a window dim; with readStream + withWatermark the same
+# expression is the streaming sliding-window plan.
+HOP_SIZE_S = 3600
+HOP_SLIDE_S = 900
+
+
+def hopping_event_counts(
+    events: DataFrame, size_s: int = HOP_SIZE_S, slide_s: int = HOP_SLIDE_S
+) -> DataFrame:
+    """w5: (window_start, event_type, n, users) — 1-hour windows hopping
+    every 15 minutes; counts stay integer (no float sums in the parity
+    surface; distinct users per window = the overlap-sensitive metric a
+    tumbling window can't express)."""
+    w = F.window("ts", f"{size_s} seconds", f"{slide_s} seconds")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("users"),
+        )
+        .select(
+            F.unix_timestamp("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "users",
+        )
+    )
+
+
+def hopping_event_counts_sql(
+    size_s: int = HOP_SIZE_S, slide_s: int = HOP_SLIDE_S
+) -> str:
+    """Oracle: explicit window-membership expansion — every event belongs
+    to exactly size/slide windows aligned to the epoch (k = 0 .. ratio-1),
+    matching Spark's epoch-aligned F.window semantics."""
+    ratio = size_s // slide_s
+    ks = ", ".join(f"({k})" for k in range(ratio))
+    return f"""
+SELECT CAST(floor(epoch(ts) / {slide_s}) * {slide_s} - k.k * {slide_s}
+            AS BIGINT) AS window_start,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+FROM events, (VALUES {ks}) k(k)
+GROUP BY 1, 2"""

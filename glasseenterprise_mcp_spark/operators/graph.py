@@ -1028,3 +1028,142 @@ lpa0 AS MATERIALIZED (SELECT DISTINCT node AS id, node AS label FROM lpa_sym)"""
         f"lpa AS (SELECT id, label AS community FROM lpa{rounds})"
     )
     return ",\n".join(parts)
+
+
+# G11: HITS hubs & authorities (Kleinberg 1999) — the natural centrality
+# for the refers graph, which is BIPARTITE (url turns → resources): hubs
+# are turns that point at many authoritative resources, authorities are
+# resources pointed at by many good hubs. Integer-exact variant: L1
+# normalization each half-round as x*SCALE div Σx (the float L2 norm
+# could never cross-engine hash-match — the same reasoning as g6's ppm
+# PageRank). Overflow headroom: raw*SCALE ≤ deg·SCALE² must fit int64 —
+# safe to deg ~9·10⁶ at ppm scale.
+HITS_ROUNDS = 4
+HITS_SCALE = 1_000_000
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    rounds: int = HITS_ROUNDS,
+    scale: int = HITS_SCALE,
+) -> DataFrame:
+    """G11: (id, hub, auth) after ``rounds`` synchronous HITS updates:
+
+        auth_raw(v) = Σ_{u→v} hub(u);   auth = auth_raw·SCALE div Σauth_raw
+        hub_raw(u)  = Σ_{u→v} auth(v);  hub  = hub_raw·SCALE div Σhub_raw
+
+    (zero normalizer ⇒ all-zero side, guarded identically in the oracle).
+
+    Scale shape (the g6 loop discipline): distinct edges repartitioned by
+    src and checkpointed ONCE; each half-round is one key-joined
+    partial-agg shuffle; the L1 normalizer is a 1-row aggregate riding as
+    a broadcast cross join — never a driver collect inside the loop;
+    state localCheckpoints per round to truncate lineage."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    state = nodes.select(
+        "id",
+        F.lit(scale).cast("long").alias("hub"),
+        F.lit(scale).cast("long").alias("auth"),
+    )
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        tot = raw.agg(F.coalesce(F.sum("raw"), F.lit(0)).cast("long").alias("tot"))
+        return (
+            nodes.join(raw, "id", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "id",
+                F.expr(
+                    f"CASE WHEN tot > 0 THEN coalesce(raw, 0) * {scale} div tot"
+                    " ELSE 0 END"
+                )
+                .cast("long")
+                .alias(col),
+            )
+        )
+
+    for _ in range(rounds):
+        araw = (
+            e.join(state.select(F.col("id").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("raw"))
+        )
+        auth = _normalize(araw, "auth").localCheckpoint(eager=True)
+        hraw = (
+            e.join(auth.select(F.col("id").alias("dst"), "auth"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("raw"))
+        )
+        hub = _normalize(hraw, "hub")
+        state = (
+            hub.join(auth, "id")
+            .select("id", "hub", "auth")
+            .localCheckpoint(eager=True)
+        )
+    return state
+
+
+def hits_cte(
+    edges_cte: str,
+    src: str = "subj",
+    dst: str = "obj",
+    rounds: int = HITS_ROUNDS,
+    scale: int = HITS_SCALE,
+) -> str:
+    """DuckDB oracle: the identical half-rounds unrolled (MATERIALIZED —
+    each round is referenced by scalar normalizer subqueries, the
+    PageRank inline-blowup lesson)."""
+    parts = [
+        f"""h_e AS MATERIALIZED (
+  SELECT DISTINCT {src} AS src, {dst} AS dst FROM {edges_cte}
+),
+h_nodes AS MATERIALIZED (SELECT src AS id FROM h_e UNION SELECT dst FROM h_e),
+hits0 AS MATERIALIZED (
+  SELECT id, CAST({scale} AS BIGINT) AS hub, CAST({scale} AS BIGINT) AS auth
+  FROM h_nodes
+)"""
+    ]
+    for t in range(1, rounds + 1):
+        p = f"hits{t - 1}"
+        parts.append(
+            f"""a{t}raw AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(p.hub) AS raw
+  FROM {p} p JOIN h_e e ON p.id = e.src GROUP BY e.dst
+),
+a{t} AS MATERIALIZED (
+  SELECT n.id,
+         CAST(CASE WHEN (SELECT COALESCE(SUM(raw), 0) FROM a{t}raw) > 0
+              THEN COALESCE(r.raw, 0) * {scale}
+                   // (SELECT SUM(raw) FROM a{t}raw)
+              ELSE 0 END AS BIGINT) AS auth
+  FROM h_nodes n LEFT JOIN a{t}raw r USING (id)
+),
+h{t}raw AS MATERIALIZED (
+  SELECT e.src AS id, SUM(a.auth) AS raw
+  FROM a{t} a JOIN h_e e ON a.id = e.dst GROUP BY e.src
+),
+hits{t} AS MATERIALIZED (
+  SELECT n.id,
+         CAST(CASE WHEN (SELECT COALESCE(SUM(raw), 0) FROM h{t}raw) > 0
+              THEN COALESCE(r.raw, 0) * {scale}
+                   // (SELECT SUM(raw) FROM h{t}raw)
+              ELSE 0 END AS BIGINT) AS hub,
+         a.auth
+  FROM h_nodes n LEFT JOIN h{t}raw r USING (id) JOIN a{t} a USING (id)
+)"""
+        )
+    parts.append(f"hits_out AS (SELECT id, hub, auth FROM hits{rounds})")
+    return ",\n".join(parts)

@@ -1712,3 +1712,109 @@ def test_semdedup_semantics(spark):
         semdedup(emb, n_centroids=4, n_refine=1),
         semdedup_sql(n_centroids=4, n_refine=1),
     )
+
+
+def test_hits_semantics(spark):
+    """g11 checked against an independent python simulation of the same
+    integer recurrence on a small bipartite graph (two hubs sharing one
+    authority, one exclusive authority each, plus an isolated edge), and
+    the DuckDB twin."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.graph import (
+        HITS_ROUNDS,
+        HITS_SCALE,
+        hits,
+        hits_cte,
+    )
+
+    from .conftest import compare_query
+
+    edges = [
+        ("h1", "a1"), ("h1", "a2"),
+        ("h2", "a2"), ("h2", "a3"),
+        ("h3", "a4"),
+    ]
+    df = spark.createDataFrame(edges, "subj string, obj string")
+
+    nodes = sorted({n for e in edges for n in e})
+    hub = {n: HITS_SCALE for n in nodes}
+    auth = {n: HITS_SCALE for n in nodes}
+    for _ in range(HITS_ROUNDS):
+        araw = {n: 0 for n in nodes}
+        for s, d in edges:
+            araw[d] += hub[s]
+        tot = sum(araw.values())
+        auth = {n: (araw[n] * HITS_SCALE // tot if tot > 0 else 0) for n in nodes}
+        hraw = {n: 0 for n in nodes}
+        for s, d in edges:
+            hraw[s] += auth[d]
+        tot = sum(hraw.values())
+        hub = {n: (hraw[n] * HITS_SCALE // tot if tot > 0 else 0) for n in nodes}
+
+    got = {r.id: (r.hub, r.auth) for r in hits(df).collect()}
+    assert got == {n: (hub[n], auth[n]) for n in nodes}
+    # bipartite sanity: the shared authority a2 outranks the exclusive ones
+    assert got["a2"][1] > got["a1"][1]
+    # pure authorities have hub 0; pure hubs have auth 0
+    assert got["a1"][0] == 0 and got["h1"][1] == 0
+
+    con = duckdb.connect()
+    con.register("hitstest", df.toPandas())
+    compare_query(
+        spark,
+        con,
+        hits(df),
+        "WITH " + hits_cte("hitstest")
+        + "\nSELECT id, hub, auth FROM hits_out",
+    )
+
+
+def test_hopping_counts_semantics(spark):
+    """w5 hand-computed: an event at minute 20 belongs to exactly the 4
+    hour-windows starting at :30/:15/:00 before it and its own :15 floor;
+    two events 30 minutes apart share exactly 2 windows; distinct-user
+    counts differ from row counts inside shared windows; DuckDB twin."""
+    import datetime as dt
+
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.analytics import (
+        hopping_event_counts,
+        hopping_event_counts_sql,
+    )
+
+    from .conftest import compare_query
+
+    t0 = dt.datetime(2024, 1, 1)
+    M = lambda m: t0 + dt.timedelta(minutes=m)
+    rows = [
+        (1, M(20), 1, "view", 0.0, ""),
+        (2, M(50), 1, "view", 0.0, ""),   # same user, 30 min later
+        (3, M(50), 2, "view", 0.0, ""),   # different user, same instant
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r.window_start: (r.n, r.users)
+        for r in hopping_event_counts(ev).collect()
+    }
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    # event@20 covers starts at -45,-30,-15,0 past-hour offsets of its
+    # 15-min floor (minute 15): windows 15,0,-15,-30; events@50 cover
+    # 45,30,15,0. Shared windows: 0 and 15 (minutes).
+    assert got[base + 15 * 60] == (3, 2)
+    assert got[base + 0] == (3, 2)
+    assert got[base - 30 * 60] == (1, 1)
+    assert got[base + 45 * 60] == (2, 2)
+    # every event appears in exactly 4 windows
+    assert sum(n for n, _ in got.values()) == 12
+
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    compare_query(
+        spark, con, hopping_event_counts(ev), hopping_event_counts_sql()
+    )
