@@ -516,6 +516,15 @@ def q_semdedup(spark, sf_dir):
     return S.semdedup(_emb(spark, sf_dir))
 
 
+def q_session_overlaps(spark, sf_dir):
+    """ev8: interval-overlap self-join over gap sessions via bucket
+    decomposition (explode → bucket equi join → dedup → residual range
+    predicate); the oracle is the INDEPENDENT naive range join."""
+    return A.session_overlap_pairs(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def q_hits(spark, sf_dir):
     """g11: integer-exact HITS hubs/authorities (Kleinberg 1999; L1 ppm
     normalization, 4 synchronous rounds) over the bipartite refers graph
@@ -1077,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev7_attribution": q_attribution,
         "g10_label_propagation": q_label_propagation,
         "g11_hits": q_hits,
+        "ev8_session_overlaps": q_session_overlaps,
         "w5_hopping_counts": q_hopping_counts,
         "sk2_hll_distinct": q_hll_distinct,
         "sk3_cms_heavy_hitters": q_cms_heavy_hitters,
@@ -1388,6 +1398,9 @@ def oracle_sql() -> dict[str, str]:
             G.hits_cte("refers_to"),
         ),
         "w5_hopping_counts": A.hopping_event_counts_sql(),
+        "ev8_session_overlaps": "WITH " + A.session_intervals_cte()
+        + ",\n" + A.session_overlap_pairs_cte()
+        + "\nSELECT user_a, session_a, user_b, session_b, overlap_s FROM ov",
         "sk2_hll_distinct": A.hll_distinct_sql(),
         "sk3_cms_heavy_hitters": O.oracle(
             "SELECT norm, exact_n, est_n FROM cms",

@@ -1452,3 +1452,137 @@ SELECT CAST(floor(epoch(ts) / {slide_s}) * {slide_s} - k.k * {slide_s}
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
 FROM events, (VALUES {ks}) k(k)
 GROUP BY 1, 2"""
+
+
+# ev8: interval OVERLAP self-join over session intervals — the range-join
+# family member j2's blocked containment can't express: overlap has no
+# natural pre-existing blocking key, so the scale technique is BUCKET
+# DECOMPOSITION (each interval explodes into the fixed-width time buckets
+# it touches; overlapping intervals necessarily share a bucket; the range
+# predicate evaluates as a cheap residual after the bucket equi join).
+# Bucket width is chosen >= the max plausible interval length so each
+# interval touches <= 2 buckets (sessions are gap-bounded, so length is
+# bounded by gap * events-per-session in practice; width stays a knob).
+OVERLAP_BUCKET_S = 3600
+
+
+def session_intervals(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """(user_id, session_id, start_s, end_s) — ev1's gap sessionization at
+    interval granularity (ev1 rolls up per user; this keeps the sessions)."""
+    w = Window.partitionBy("user_id").orderBy("ts_s")
+    e = events.select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("ts_s")
+    )
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.col("ts_s") - F.lag("ts_s").over(w) > gap_s, 1)
+        .otherwise(F.when(F.lag("ts_s").over(w).isNull(), 1).otherwise(0)),
+    )
+    sid = F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        flagged.withColumn("session_id", sid.cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_s").cast("long").alias("start_s"),
+            F.max("ts_s").cast("long").alias("end_s"),
+        )
+    )
+
+
+def session_overlap_pairs(
+    events: DataFrame,
+    gap_s: int = SESSION_GAP_S,
+    bucket_s: int = OVERLAP_BUCKET_S,
+) -> DataFrame:
+    """ev8: (user_a, session_a, user_b, session_b, overlap_s) — pairs of
+    DISTINCT sessions whose [start, end] intervals overlap (touching
+    counts; overlap_s >= 0), canonical (user, session) tuple order.
+
+    Scale shape: explode → bucket equi join → pair dedup (a pair meeting
+    in 2 buckets must count once) → residual range predicate. Never a
+    theta join. The known hot spot of every interval join — one bucket
+    holding many concurrent intervals — is quadratic WITHIN the bucket
+    only, the same bounded-blowup contract as the dedup family's LSH
+    buckets (narrower buckets trade explode fan-out for bucket width).
+    The ORACLE is deliberately the naive range self-join, an independent
+    formulation, so the bucketization itself is what the gate proves."""
+    iv = session_intervals(events, gap_s).localCheckpoint(eager=True)
+    bucketed = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_s div {bucket_s}"), F.expr(f"end_s div {bucket_s}")
+            )
+        ),
+    )
+    a = bucketed.select(
+        "bucket",
+        F.col("user_id").alias("user_a"),
+        F.col("session_id").alias("session_a"),
+        F.col("start_s").alias("a_start"),
+        F.col("end_s").alias("a_end"),
+    )
+    b = bucketed.select(
+        "bucket",
+        F.col("user_id").alias("user_b"),
+        F.col("session_id").alias("session_b"),
+        F.col("start_s").alias("b_start"),
+        F.col("end_s").alias("b_end"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(
+            F.struct("user_a", "session_a") < F.struct("user_b", "session_b")
+        )
+        .dropDuplicates(["user_a", "session_a", "user_b", "session_b"])
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+    )
+    return pairs.select(
+        "user_a",
+        "session_a",
+        "user_b",
+        "session_b",
+        (
+            F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+        ).cast("long").alias("overlap_s"),
+    )
+
+
+def session_intervals_cte(gap_s: int = SESSION_GAP_S) -> str:
+    return f"""ov_e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+), ov_f AS (
+  SELECT user_id, ts_s,
+         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
+                   > {gap_s} THEN 1
+              WHEN lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
+                   IS NULL THEN 1
+              ELSE 0 END AS ns
+  FROM ov_e
+), ov_iv AS MATERIALIZED (
+  SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+         CAST(MIN(ts_s) AS BIGINT) AS start_s,
+         CAST(MAX(ts_s) AS BIGINT) AS end_s
+  FROM (SELECT user_id, ts_s,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_s) AS sid
+        FROM ov_f)
+  GROUP BY user_id, sid
+)"""
+
+
+def session_overlap_pairs_cte() -> str:
+    """The INDEPENDENT naive range self-join (no bucketization) — the
+    point of this oracle is to prove the engine's bucket decomposition
+    loses and invents nothing."""
+    return """ov AS (
+  SELECT x.user_id AS user_a, x.session_id AS session_a,
+         y.user_id AS user_b, y.session_id AS session_b,
+         CAST(LEAST(x.end_s, y.end_s) - GREATEST(x.start_s, y.start_s)
+              AS BIGINT) AS overlap_s
+  FROM ov_iv x JOIN ov_iv y
+    ON x.start_s <= y.end_s AND y.start_s <= x.end_s
+   AND (x.user_id, x.session_id) < (y.user_id, y.session_id)
+)"""

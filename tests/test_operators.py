@@ -1818,3 +1818,56 @@ def test_hopping_counts_semantics(spark):
     compare_query(
         spark, con, hopping_event_counts(ev), hopping_event_counts_sql()
     )
+
+
+def test_session_overlap_pairs_semantics(spark):
+    """ev8 hand-computed: u1-s1 [0,100] overlaps u2-s1 [50,150] by 50 and
+    TOUCHES u3-s1 [100,200] (overlap 0 — inclusive); u4 [5000,5100] is
+    disjoint from all; a pair spanning a bucket boundary counts ONCE
+    (bucket_s=60 forces multi-bucket intervals); same-user session pairs
+    never overlap by gap construction but canonical order still dedups;
+    DuckDB twin (the independent naive range join) agrees."""
+    import datetime as dt
+
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.analytics import (
+        session_intervals_cte,
+        session_overlap_pairs,
+        session_overlap_pairs_cte,
+    )
+
+    from .conftest import compare_query
+
+    t0 = dt.datetime(2024, 1, 1)
+    S = lambda s: t0 + dt.timedelta(seconds=s)
+    rows = [
+        (1, S(0), 1, "view", 0.0, ""), (2, S(100), 1, "view", 0.0, ""),
+        (3, S(50), 2, "view", 0.0, ""), (4, S(150), 2, "view", 0.0, ""),
+        (5, S(100), 3, "view", 0.0, ""), (6, S(200), 3, "view", 0.0, ""),
+        (7, S(5000), 4, "view", 0.0, ""), (8, S(5100), 4, "view", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r.user_a, r.session_a, r.user_b, r.session_b): r.overlap_s
+        for r in session_overlap_pairs(ev, bucket_s=60).collect()
+    }
+    assert got == {
+        (1, 1, 2, 1): 50,
+        (1, 1, 3, 1): 0,
+        (2, 1, 3, 1): 50,
+    }
+
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    compare_query(
+        spark,
+        con,
+        session_overlap_pairs(ev, bucket_s=60),
+        "WITH " + session_intervals_cte() + ",\n" + session_overlap_pairs_cte()
+        + "\nSELECT user_a, session_a, user_b, session_b, overlap_s FROM ov",
+    )
