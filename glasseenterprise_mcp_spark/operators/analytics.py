@@ -932,6 +932,12 @@ def retention_cohorts(
     """ev6: (cohort_wk, week_offset, active_users, cohort_size,
     retention_pct) — classic weekly retention triangle, integer percent.
 
+    Precondition (self-review): RET_EPOCH must not postdate any event —
+    Spark's ``div`` truncates toward zero while DuckDB's ``//`` floors, so
+    a NEGATIVE day delta would week-index differently across engines
+    (-3 div 7 = 0 vs -3 // 7 = -1). The epoch constant predates the
+    corpus (and the equality gate would catch a violation loudly).
+
     Shape: the (user, week) activity set is one partial-agg distinct; the
     per-user first week groups on the same user key (exchange reuse);
     cohort sizes are a cohort-key agg joined back broadcast (a cohort

@@ -945,38 +945,55 @@ def semdedup(
     for _ in range(n_refine):
         centroids = ivf_refine(q, centroids).localCheckpoint(eager=True)
     assigned = ivf_assign(q, centroids).select(
-        "vec_id", "qv", "cell", _dot("qv", "qv").alias("naa")
+        "vec_id", "qv", "cell"
     ).localCheckpoint(eager=True)
 
-    a = assigned.select(
-        "cell",
-        F.col("vec_id").alias("a"),
-        F.col("qv").alias("qa"),
-        F.col("naa").alias("na"),
-    )
-    b = assigned.select(
-        "cell",
-        F.col("vec_id").alias("b"),
-        F.col("qv").alias("qb"),
-        F.col("naa").alias("nb"),
-    )
-    d2 = F.floor(_dot("qa", "qb") / 1000).cast("long")
-    na2 = F.floor(F.col("na") / 1000).cast("long")
-    nb2 = F.floor(F.col("nb") / 1000).cast("long")
-    near = (
-        a.join(b, "cell")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", d2.alias("d2"), na2.alias("na2"), nb2.alias("nb2"))
-        .filter(
-            (F.col("d2") > 0)
-            & (
-                F.col("d2") * F.col("d2") * 10000
-                >= F.lit(min_cos_pct * min_cos_pct) * F.col("na2") * F.col("nb2")
+    # Within-cell pairing as ONE numpy matmul per cell (applyInPandas over
+    # groupBy(cell)) instead of a relational self-join whose 64-multiply
+    # integer dot runs as an interpreted higher-order aggregate per pair —
+    # the r5 sf1.0 sweep clocked that shape at ~900s for 78M pairs; the
+    # BLAS-shaped block matmul does the same arithmetic in seconds.
+    # EXACTNESS: |qv| ≤ ~30k ⇒ every product ≤ 9·10⁸ and every 64-term dot
+    # ≤ 6·10¹⁰ < 2⁵³, so float64 matmul is exact integer arithmetic; the
+    # threshold test is the same dd5 integer idiom evaluated in int64.
+    # Memory: G builds in 1024-row blocks (a degenerate one-cell k-means
+    # collapse must not allocate an N² matrix).
+    import numpy as _np
+    import pandas as _pd
+
+    t2 = min_cos_pct * min_cos_pct
+
+    _empty = _pd.DataFrame({"vec_id": _pd.Series(dtype="int64"),
+                            "dup_of": _pd.Series(dtype="int64")})
+
+    def _evict(pdf):
+        n = len(pdf)
+        if n < 2:
+            return _empty
+        order = _np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        X = _np.stack(pdf["qv"].to_numpy()[order]).astype(_np.float64)
+        naa2 = (_np.floor((X * X).sum(axis=1) / 1000)).astype(_np.int64)
+        dup_of = _np.full(n, -1, dtype=_np.int64)
+        for lo in range(0, n, 1024):
+            hi = min(lo + 1024, n)
+            G = X[lo:hi] @ X.T  # exact: ints below 2^53
+            d2 = _np.floor(G / 1000).astype(_np.int64)
+            ok = (d2 > 0) & (
+                d2 ** 2 * 10000 >= t2 * naa2[lo:hi, None] * naa2[None, :]
             )
-        )
-    )
-    evicted = near.groupBy(F.col("b").alias("vec_id")).agg(
-        F.min("a").alias("dup_of")
+            for r in range(hi - lo):
+                j = lo + r
+                wins = _np.nonzero(ok[r, :j])[0]
+                if wins.size:
+                    dup_of[j] = ids[wins[0]]  # ids sorted ⇒ min id
+        dropped = dup_of >= 0
+        if not dropped.any():
+            return _empty
+        return _pd.DataFrame({"vec_id": ids[dropped], "dup_of": dup_of[dropped]})
+
+    evicted = assigned.groupBy("cell").applyInPandas(
+        _evict, "vec_id long, dup_of long"
     )
     return assigned.join(evicted, "vec_id", "left").select(
         "vec_id",
