@@ -1499,19 +1499,28 @@ def session_overlap_pairs(
     events: DataFrame,
     gap_s: int = SESSION_GAP_S,
     bucket_s: int = OVERLAP_BUCKET_S,
+    min_overlap_s: int = 60,
+    k: int = 5,
 ) -> DataFrame:
-    """ev8: (user_a, session_a, user_b, session_b, overlap_s) — pairs of
-    DISTINCT sessions whose [start, end] intervals overlap (touching
-    counts; overlap_s >= 0), canonical (user, session) tuple order.
+    """ev8: (user_a, session_a, user_b, session_b, overlap_s) — for each
+    anchor session, its top-``k`` longest-overlapping peer sessions with
+    overlap >= ``min_overlap_s`` (canonical (user, session) tuple order;
+    ties by peer id).
 
     Scale shape: explode → bucket equi join → pair dedup (a pair meeting
-    in 2 buckets must count once) → residual range predicate. Never a
-    theta join. The known hot spot of every interval join — one bucket
-    holding many concurrent intervals — is quadratic WITHIN the bucket
-    only, the same bounded-blowup contract as the dedup family's LSH
-    buckets (narrower buckets trade explode fan-out for bucket width).
-    The ORACLE is deliberately the naive range self-join, an independent
-    formulation, so the bucketization itself is what the gate proves."""
+    in 2 buckets must count once) → residual range predicate → per-anchor
+    top-k. Never a theta join. The output cap is NOT cosmetic: overlap
+    joins are concurrency-quadratic BY SEMANTICS (the r5 sf1.0 sweep
+    found 954k sessions producing ~577M raw overlapping pairs — every
+    concurrent-session pair is a true result; no physical plan shrinks
+    an output that size), so the operator bounds its result at k·N the
+    way the reference caps at source (L4); min_overlap prunes
+    trivially-touching pairs BEFORE the dedup shuffle. The per-bucket
+    candidate cost remains quadratic in concurrency — inherent to every
+    interval join; bucket width trades explode fan-out for bucket width.
+    The ORACLE is deliberately the naive range self-join + QUALIFY, an
+    independent formulation, so bucketization + cap are what the gate
+    proves."""
     iv = session_intervals(events, gap_s).localCheckpoint(eager=True)
     bucketed = iv.withColumn(
         "bucket",
@@ -1535,25 +1544,28 @@ def session_overlap_pairs(
         F.col("start_s").alias("b_start"),
         F.col("end_s").alias("b_end"),
     )
+    overlap = (
+        F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+    ).cast("long")
     pairs = (
         a.join(b, "bucket")
         .filter(
             F.struct("user_a", "session_a") < F.struct("user_b", "session_b")
         )
+        # overlap + threshold BEFORE the dedup shuffle: at high concurrency
+        # the raw candidate volume dominates the job; only qualifying pairs
+        # pay the exchange
+        .withColumn("overlap_s", overlap)
+        .filter(F.col("overlap_s") >= min_overlap_s)
         .dropDuplicates(["user_a", "session_a", "user_b", "session_b"])
-        .filter(
-            (F.col("a_start") <= F.col("b_end"))
-            & (F.col("b_start") <= F.col("a_end"))
-        )
     )
-    return pairs.select(
-        "user_a",
-        "session_a",
-        "user_b",
-        "session_b",
-        (
-            F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
-        ).cast("long").alias("overlap_s"),
+    wk = Window.partitionBy("user_a", "session_a").orderBy(
+        F.desc("overlap_s"), F.asc("user_b"), F.asc("session_b")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select("user_a", "session_a", "user_b", "session_b", "overlap_s")
     )
 
 
@@ -1579,16 +1591,21 @@ def session_intervals_cte(gap_s: int = SESSION_GAP_S) -> str:
 )"""
 
 
-def session_overlap_pairs_cte() -> str:
-    """The INDEPENDENT naive range self-join (no bucketization) — the
-    point of this oracle is to prove the engine's bucket decomposition
-    loses and invents nothing."""
-    return """ov AS (
-  SELECT x.user_id AS user_a, x.session_id AS session_a,
-         y.user_id AS user_b, y.session_id AS session_b,
-         CAST(LEAST(x.end_s, y.end_s) - GREATEST(x.start_s, y.start_s)
-              AS BIGINT) AS overlap_s
-  FROM ov_iv x JOIN ov_iv y
-    ON x.start_s <= y.end_s AND y.start_s <= x.end_s
-   AND (x.user_id, x.session_id) < (y.user_id, y.session_id)
+def session_overlap_pairs_cte(min_overlap_s: int = 60, k: int = 5) -> str:
+    """The INDEPENDENT naive range self-join (no bucketization) + QUALIFY
+    top-k — the point of this oracle is to prove the engine's bucket
+    decomposition + cap lose and invent nothing."""
+    return f"""ov AS (
+  SELECT * FROM (
+    SELECT x.user_id AS user_a, x.session_id AS session_a,
+           y.user_id AS user_b, y.session_id AS session_b,
+           CAST(LEAST(x.end_s, y.end_s) - GREATEST(x.start_s, y.start_s)
+                AS BIGINT) AS overlap_s
+    FROM ov_iv x JOIN ov_iv y
+      ON x.start_s <= y.end_s AND y.start_s <= x.end_s
+     AND (x.user_id, x.session_id) < (y.user_id, y.session_id)
+  ) WHERE overlap_s >= {min_overlap_s}
+  QUALIFY row_number() OVER (PARTITION BY user_a, session_a
+                             ORDER BY overlap_s DESC, user_b, session_b)
+          <= {k}
 )"""

@@ -1854,20 +1854,31 @@ def test_session_overlap_pairs_semantics(spark):
     )
     got = {
         (r.user_a, r.session_a, r.user_b, r.session_b): r.overlap_s
-        for r in session_overlap_pairs(ev, bucket_s=60).collect()
+        for r in session_overlap_pairs(
+            ev, bucket_s=60, min_overlap_s=0, k=10
+        ).collect()
     }
     assert got == {
         (1, 1, 2, 1): 50,
         (1, 1, 3, 1): 0,
         (2, 1, 3, 1): 50,
     }
+    # the threshold prunes the touching pair; the cap keeps the longest
+    capped = {
+        (r.user_a, r.session_a, r.user_b, r.session_b): r.overlap_s
+        for r in session_overlap_pairs(
+            ev, bucket_s=60, min_overlap_s=1, k=1
+        ).collect()
+    }
+    assert capped == {(1, 1, 2, 1): 50, (2, 1, 3, 1): 50}
 
     con = duckdb.connect()
     con.register("events", ev.toPandas())
     compare_query(
         spark,
         con,
-        session_overlap_pairs(ev, bucket_s=60),
-        "WITH " + session_intervals_cte() + ",\n" + session_overlap_pairs_cte()
+        session_overlap_pairs(ev, bucket_s=60, min_overlap_s=0, k=10),
+        "WITH " + session_intervals_cte() + ",\n"
+        + session_overlap_pairs_cte(min_overlap_s=0, k=10)
         + "\nSELECT user_a, session_a, user_b, session_b, overlap_s FROM ov",
     )
