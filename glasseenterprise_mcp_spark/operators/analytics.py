@@ -1123,6 +1123,41 @@ CMS_W = 512
 CMS_PHI_PCT = 1  # heavy hitter = estimated share >= 1% of the stream
 
 
+def _cms_col(j: int, w: int) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}:"), F.col("norm")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+
+
+def cms_sketch_counts(ent: DataFrame, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """The CMS cell table (row, col, cell_n) from an entity stream —
+    factored so the streaming path can maintain it incrementally: CMS
+    cells merge by SUM (associative but NOT idempotent — unlike HLL's
+    MAX — which is exactly why the streaming fold needs the batch-id
+    transactionality in streaming/sketches.py)."""
+    from functools import reduce
+
+    cells = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            ent.select(F.lit(j).alias("row"), _cms_col(j, w).alias("col"))
+            for j in range(d)
+        ],
+    )
+    return cells.groupBy("row", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("cell_n")
+    )
+
+
 def cms_heavy_hitters(
     mentions: DataFrame,
     d: int = CMS_D,
@@ -1141,32 +1176,10 @@ def cms_heavy_hitters(
     each candidate costs D broadcast lookups, so the scan is
     O(candidates · D) with no self-join."""
     ent = mentions.filter(F.col("mtype") == "entity").select("norm")
-    from functools import reduce
-
-    def _col(j):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{j}:"), F.col("norm")).cast("binary")),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % w
-        )
-
-    sketch = reduce(
-        lambda a, b: a.unionByName(b),
-        [ent.select(F.lit(j).alias("row"), _col(j).alias("col")) for j in range(d)],
-    )
-    sketch = sketch.groupBy("row", "col").agg(
-        F.count(F.lit(1)).cast("long").alias("cell_n")
-    )
+    sketch = cms_sketch_counts(ent, d, w)
     exact = ent.groupBy("norm").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
     probes = exact.select(
-        "norm", "exact_n", *[_col(j).alias(f"c{j}") for j in range(d)]
+        "norm", "exact_n", *[_cms_col(j, w).alias(f"c{j}") for j in range(d)]
     )
     est = probes
     for j in range(d):

@@ -85,3 +85,62 @@ def run_hll_stream(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+# ---- Count-Min maintenance: the NON-idempotent merge case ----------------
+#
+# CMS cells merge by SUM — associative (any batch split gives the same
+# sketch) but NOT idempotent: a replayed micro-batch would double-count.
+# foreachBatch is at-least-once, so unlike the HLL fold above, this fold
+# needs transactional replay protection. The parquet GraphSink gives it
+# for free: ``upsert`` swaps the WHOLE table directory atomically, so the
+# last-applied batch id rides INSIDE the sketch table as a sentinel row
+# (row = -1, col = -1, cell_n = batch_id) — sketch and watermark commit in
+# ONE atomic rename, leaving no crash window where the sketch applied but
+# the watermark didn't. (On the Iceberg branch the same pairing is a
+# single MERGE transaction.) This is the standard exactly-once recipe for
+# non-idempotent accumulators under replayable sources.
+CMS_TABLE = "cms_sketch"
+_CMS_SENTINEL_ROW = -1
+
+
+def incremental_cms_update(
+    sink: GraphSink, batch_mentions: DataFrame, batch_id: int
+) -> None:
+    """One micro-batch: fold the delta's CMS cells into the stored sketch
+    unless ``batch_id`` was already applied (exactly-once under replay)."""
+    from ..operators.analytics import cms_sketch_counts
+
+    spark = batch_mentions.sparkSession
+    ent = batch_mentions.filter(F.col("mtype") == "entity").select("norm")
+    delta = cms_sketch_counts(ent)
+    try:
+        stored = sink.read(CMS_TABLE).localCheckpoint(eager=True)
+        applied = (
+            stored.filter(F.col("row") == _CMS_SENTINEL_ROW)
+            .select("cell_n")
+            .head()
+        )
+        if applied is not None and batch_id <= applied.cell_n:
+            return  # replayed batch: the sentinel says it's already in
+        cells = (
+            stored.filter(F.col("row") != _CMS_SENTINEL_ROW)
+            .unionByName(delta)
+            .groupBy("row", "col")
+            .agg(F.sum("cell_n").cast("long").alias("cell_n"))
+        )
+    except Exception:  # first batch: no stored sketch yet
+        cells = delta
+    sentinel = spark.createDataFrame(
+        [(_CMS_SENTINEL_ROW, _CMS_SENTINEL_ROW, batch_id)],
+        "row int, col long, cell_n long",
+    )
+    merged = cells.select(
+        F.col("row").cast("int"), F.col("col").cast("long"), "cell_n"
+    ).unionByName(sentinel)
+    sink.upsert(merged, CMS_TABLE, keys=["row", "col"], partition_by=["row"])
+
+
+def read_cms_sketch(sink: GraphSink) -> DataFrame:
+    """The maintained sketch minus the watermark sentinel."""
+    return sink.read(CMS_TABLE).filter(F.col("row") != _CMS_SENTINEL_ROW)

@@ -525,3 +525,61 @@ def test_incremental_hll_equals_one_shot(spark):
     # crash replay: folding batch 1 again is a no-op
     incremental_hll_update(sink, a)
     assert freeze(sink.read(HLL_TABLE).select(*cols).collect()) == oneshot
+
+
+def test_incremental_cms_exactly_once(spark):
+    """CMS maintenance: SUM-merged cells are associative (two batches ==
+    one-shot) but NOT idempotent — the batch-id sentinel riding inside the
+    atomically-swapped sketch table must turn a replayed batch into a
+    no-op (the exactly-once contract for non-idempotent accumulators; a
+    naive refold would double-count)."""
+    from glasseenterprise_mcp_spark.operators.analytics import cms_sketch_counts
+    from glasseenterprise_mcp_spark.streaming.sketches import (
+        incremental_cms_update,
+        read_cms_sketch,
+    )
+
+    rows = [("hot",)] * 40 + [(f"e{i}",) for i in range(60)]
+    m = spark.createDataFrame(rows, "norm string").withColumn(
+        "mtype", F.lit("entity")
+    )
+    # split by row_number so the two batches are a deterministic partition
+    import pyspark.sql.functions as _F
+    from pyspark.sql import Window as _W
+
+    numbered = m.withColumn(
+        "_rn", _F.row_number().over(_W.orderBy(_F.lit(1)))
+    )
+    a = numbered.filter("_rn <= 50").drop("_rn").localCheckpoint(eager=True)
+    b = numbered.filter("_rn > 50").drop("_rn").localCheckpoint(eager=True)
+
+    out = tempfile.mkdtemp()
+    sink = GraphSink(spark, out)
+    incremental_cms_update(sink, a, batch_id=0)
+    incremental_cms_update(sink, b, batch_id=1)
+
+    from .conftest import freeze
+
+    streamed = freeze(
+        read_cms_sketch(sink).select("row", "col", "cell_n").collect()
+    )
+    oneshot = freeze(
+        cms_sketch_counts(m.select("norm"))
+        .select(F.col("row").cast("int"), "col", "cell_n")
+        .collect()
+    )
+    assert streamed == oneshot
+
+    # replayed batch (same id): sentinel gates it — sketch unchanged
+    incremental_cms_update(sink, b, batch_id=1)
+    assert (
+        freeze(read_cms_sketch(sink).select("row", "col", "cell_n").collect())
+        == oneshot
+    )
+
+    # but a genuinely NEW batch still folds (sentinel advances)
+    incremental_cms_update(sink, a, batch_id=2)
+    doubled = freeze(
+        read_cms_sketch(sink).select("row", "col", "cell_n").collect()
+    )
+    assert doubled != oneshot
