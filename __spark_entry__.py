@@ -516,6 +516,17 @@ def q_semdedup(spark, sf_dir):
     return S.semdedup(_emb(spark, sf_dir))
 
 
+def q_cube_counts(spark, sf_dir):
+    """a9: CUBE(mtype, role) mention counts + grouping mask — one Expand
+    + partial agg, never 4 scans."""
+    return A.cube_mention_counts(
+        _m(spark, sf_dir).join(
+            _t(spark, sf_dir).select("conv_id", "turn_idx", "role"),
+            ["conv_id", "turn_idx"],
+        )
+    )
+
+
 def q_session_overlaps(spark, sf_dir):
     """ev8: interval-overlap self-join over gap sessions via bucket
     decomposition (explode → bucket equi join → dedup → residual range
@@ -1087,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g10_label_propagation": q_label_propagation,
         "g11_hits": q_hits,
         "ev8_session_overlaps": q_session_overlaps,
+        "a9_cube_counts": q_cube_counts,
         "w5_hopping_counts": q_hopping_counts,
         "sk2_hll_distinct": q_hll_distinct,
         "sk3_cms_heavy_hitters": q_cms_heavy_hitters,
@@ -1398,6 +1410,12 @@ def oracle_sql() -> dict[str, str]:
             G.hits_cte("refers_to"),
         ),
         "w5_hopping_counts": A.hopping_event_counts_sql(),
+        "a9_cube_counts": O.oracle(
+            "SELECT mtype, role, n, n_norms, gmask FROM cube_counts",
+            "mentions_roled AS (SELECT m.*, t.role FROM mentions m"
+            " JOIN transcripts t USING (conv_id, turn_idx))",
+            A.cube_mention_counts_cte().replace("FROM mentions", "FROM mentions_roled"),
+        ),
         "ev8_session_overlaps": "WITH " + A.session_intervals_cte()
         + ",\n" + A.session_overlap_pairs_cte()
         + "\nSELECT user_a, session_a, user_b, session_b, overlap_s FROM ov",

@@ -1622,3 +1622,28 @@ def session_overlap_pairs_cte(min_overlap_s: int = 60, k: int = 5) -> str:
                              ORDER BY overlap_s DESC, user_b, session_b)
           <= {k}
 )"""
+
+
+def cube_mention_counts(mentions: DataFrame) -> DataFrame:
+    """a9: CUBE(mtype, role) mention counts with the grouping mask — the
+    multi-dimensional rollup surface (GROUPING SETS family) the per-level
+    ev4 hypertable covers only for time. Spark compiles CUBE to ONE
+    Expand + partial agg (each input row emits its 4 grouping-set
+    memberships map-side) — not 4 scans. gmask disambiguates a real NULL
+    dimension value from a rolled-up one, bit order (mtype, role) —
+    identical to DuckDB's GROUPING()."""
+    return mentions.cube("mtype", "role").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("norm").cast("long").alias("n_norms"),
+        F.grouping_id().cast("int").alias("gmask"),
+    )
+
+
+def cube_mention_counts_cte() -> str:
+    """Expects ``mentions`` upstream."""
+    return """cube_counts AS (
+  SELECT mtype, role, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_norms,
+         CAST(GROUPING(mtype, role) AS INT) AS gmask
+  FROM mentions GROUP BY CUBE (mtype, role)
+)"""

@@ -1882,3 +1882,46 @@ def test_session_overlap_pairs_semantics(spark):
         + session_overlap_pairs_cte(min_overlap_s=0, k=10)
         + "\nSELECT user_a, session_a, user_b, session_b, overlap_s FROM ov",
     )
+
+
+def test_cube_counts_semantics(spark):
+    """a9 hand-computed on a 2x2 corpus: the CUBE emits all four grouping
+    sets with the right masks (0 = both dims live, 3 = grand total), the
+    grand total counts every row, and the mask disambiguates a ROLLED-UP
+    NULL from a GENUINE NULL dimension value; DuckDB twin agrees."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.analytics import (
+        cube_mention_counts,
+        cube_mention_counts_cte,
+    )
+
+    from .conftest import compare_query
+
+    rows = [
+        ("entity", "user", "a"), ("entity", "user", "b"),
+        ("entity", "tool", "a"), ("url", "user", "u1"),
+        (None, "user", "x"),  # genuine NULL mtype
+    ]
+    m = spark.createDataFrame(rows, "mtype string, role string, norm string")
+    got = {
+        (r.mtype, r.role, r.gmask): (r.n, r.n_norms)
+        for r in cube_mention_counts(m).collect()
+    }
+    assert got[(None, None, 3)] == (5, 4)          # grand total
+    assert got[("entity", "user", 0)] == (2, 2)    # fully grouped
+    assert got[("entity", None, 1)] == (3, 2)      # role rolled up
+    assert got[(None, "user", 2)] == (4, 4)        # mtype rolled up
+    assert got[(None, "user", 0)] == (1, 1)        # GENUINE NULL, mask 0
+    # sets: (m,r) pairs incl. genuine-NULL mtype = 4, (m) = 3, (r) = 2, () = 1
+    assert len(got) == 4 + 3 + 2 + 1
+
+    con = duckdb.connect()
+    con.register("mentions", m.toPandas())
+    compare_query(
+        spark,
+        con,
+        cube_mention_counts(m),
+        "WITH " + cube_mention_counts_cte()
+        + "\nSELECT mtype, role, n, n_norms, gmask FROM cube_counts",
+    )
