@@ -536,6 +536,15 @@ def q_session_overlaps(spark, sf_dir):
     )
 
 
+def q_personalized_pagerank(spark, sf_dir):
+    """g12: personalized PageRank — teleport + dangling mass concentrated
+    on a deterministic 8-node seed set (md5-rank sample), integer-exact;
+    the seed-relative relevance ranking g6's global PageRank can't
+    express."""
+    e = refers_to_edges(_m(spark, sf_dir))
+    return _hex_ids(G.personalized_pagerank(e.select("subj", "obj")), "id")
+
+
 def q_hits(spark, sf_dir):
     """g11: integer-exact HITS hubs/authorities (Kleinberg 1999; L1 ppm
     normalization, 4 synchronous rounds) over the bipartite refers graph
@@ -1097,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev7_attribution": q_attribution,
         "g10_label_propagation": q_label_propagation,
         "g11_hits": q_hits,
+        "g12_personalized_pagerank": q_personalized_pagerank,
         "ev8_session_overlaps": q_session_overlaps,
         "a9_cube_counts": q_cube_counts,
         "w5_hopping_counts": q_hopping_counts,
@@ -1403,6 +1413,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id, community FROM lpa",
             A.cooccurrence_cte(min_count=1),
             G.label_propagation_cte("cooccur", src="a", dst="b"),
+        ),
+        "g12_personalized_pagerank": O.oracle(
+            "SELECT id, rank, is_seed FROM ppr",
+            O.refers_to_cte(),
+            G.personalized_pagerank_cte("refers_to"),
         ),
         "g11_hits": O.oracle(
             "SELECT id, hub, auth FROM hits_out",

@@ -1167,3 +1167,168 @@ hits{t} AS MATERIALIZED (
         )
     parts.append(f"hits_out AS (SELECT id, hub, auth FROM hits{rounds})")
     return ",\n".join(parts)
+
+
+# G12: personalized PageRank (Page et al. 1999 §6; Jeh & Widom 2002) —
+# relevance RELATIVE TO A SEED SET: teleport mass returns to the seeds
+# instead of spreading uniformly, so ranks answer "how close is v to
+# these seeds" — the KG-query primitive behind "entities related to X"
+# that global PageRank (g6) cannot express. Same integer discipline:
+# ppm scale, div arithmetic, dangling mass returned to the seeds.
+PPR_SEEDS = 8
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    iters: int = PR_ITERS,
+    damping_pct: int = PR_DAMPING_PCT,
+    scale: int = PR_SCALE,
+    n_seeds: int = PPR_SEEDS,
+) -> DataFrame:
+    """G12: (id, rank, is_seed) after ``iters`` synchronous rounds of
+
+        r'(v) = [v ∈ S]·(100-d)·scale·N div (100·|S|)
+                + d·(in_sum(v) + [v ∈ S]·dang div |S|) div 100
+
+    — the g6 recurrence with BOTH the teleport base and the dangling
+    mass concentrated on the seed set S (total injected mass matches g6's
+    N·base, so rank magnitudes stay comparable). Seeds are the ``n_seeds``
+    lowest (md5(id), id)-ranked nodes — the corpus-size-independent
+    deterministic sample idiom (ivf_centroids), identical in the oracle.
+
+    Scale shape = g6's loop verbatim: edges distinct + repartition(src) +
+    checkpoint ONCE; per round one src-keyed join + one dst-keyed partial
+    agg + a 1-row dangling aggregate broadcast; the seed flag is a column
+    on the state (no per-round seed join); localCheckpoint per round."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    # seed rank hashes the ORACLE-FACING representation: binary(16) ids
+    # surface as lower-hex strings at the oracle (the engine-wide id
+    # contract), so md5 must run over that text, not the raw bytes
+    id_text = (
+        F.lower(F.hex("id"))
+        if dict(nodes.dtypes)["id"] == "binary"
+        else F.col("id").cast("string")
+    )
+    seeds = (
+        nodes.select("id", F.md5(id_text.cast("binary")).alias("_h"))
+        .orderBy("_h", "id")
+        .limit(n_seeds)
+        .select("id", F.lit(True).alias("is_seed"))
+    )
+    outdeg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    state = (
+        nodes.join(outdeg, "id", "left")
+        .join(F.broadcast(seeds), "id", "left")
+        .select(
+            "id",
+            F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+            F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
+            F.lit(scale).cast("long").alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = state.count()
+    if n_nodes == 0:
+        return state.select("id", F.col("r").alias("rank"), "is_seed")
+    k = min(n_seeds, n_nodes)
+    seed_base = (100 - damping_pct) * scale * n_nodes // (100 * k)
+    for _ in range(iters):
+        contribs = (
+            state.filter(F.col("outdeg") > 0)
+            .select(F.col("id").alias("src"), F.expr("r div outdeg").alias("c"))
+            .join(e, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dang = state.filter(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang")
+        )
+        state = (
+            state.select("id", "outdeg", "is_seed")
+            .join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                "outdeg",
+                "is_seed",
+                (
+                    F.expr(f"IF(is_seed, {seed_base}, 0)")
+                    + F.expr(
+                        f"{damping_pct} * (coalesce(in_sum, 0)"
+                        f" + IF(is_seed, dang div {k}, 0)) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("id", F.col("r").alias("rank"), "is_seed")
+
+
+def personalized_pagerank_cte(
+    edges_cte: str,
+    iters: int = PR_ITERS,
+    damping_pct: int = PR_DAMPING_PCT,
+    scale: int = PR_SCALE,
+    n_seeds: int = PPR_SEEDS,
+) -> str:
+    """DuckDB oracle: g6's unrolled-round chain with the seed indicator
+    and seed-concentrated teleport/dangling terms."""
+    parts = [
+        f"""ppr_e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM {edges_cte}),
+ppr_nodes AS MATERIALIZED (SELECT src AS id FROM ppr_e UNION SELECT dst FROM ppr_e),
+ppr_n AS MATERIALIZED (SELECT COUNT(*) AS n FROM ppr_nodes),
+ppr_seeds AS MATERIALIZED (
+  SELECT id, TRUE AS is_seed FROM ppr_nodes
+  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_seeds}
+),
+ppr_k AS MATERIALIZED (SELECT COUNT(*) AS k FROM ppr_seeds),
+ppr0 AS MATERIALIZED (
+  SELECT n.id, CAST(COALESCE(d.c, 0) AS BIGINT) AS outdeg,
+         COALESCE(s.is_seed, FALSE) AS is_seed,
+         CAST({scale} AS BIGINT) AS r
+  FROM ppr_nodes n
+  LEFT JOIN (SELECT src AS id, COUNT(*) AS c FROM ppr_e GROUP BY src) d USING (id)
+  LEFT JOIN ppr_seeds s USING (id)
+)"""
+    ]
+    base_expr = (
+        f"({100 - damping_pct} * {scale} * (SELECT n FROM ppr_n))"
+        f" // (100 * (SELECT k FROM ppr_k))"
+    )
+    for t in range(1, iters + 1):
+        p = f"ppr{t - 1}"
+        parts.append(
+            f"""ppr{t} AS MATERIALIZED (
+  SELECT s.id, s.outdeg, s.is_seed,
+         CAST(CASE WHEN s.is_seed THEN {base_expr} ELSE 0 END
+           + {damping_pct} * (COALESCE(c.in_sum, 0)
+               + CASE WHEN s.is_seed THEN
+                   (SELECT COALESCE(SUM(r), 0) FROM {p} WHERE outdeg = 0)
+                     // (SELECT k FROM ppr_k)
+                 ELSE 0 END) // 100 AS BIGINT) AS r
+  FROM {p} s LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.r // p.outdeg) AS in_sum
+    FROM {p} p JOIN ppr_e e ON p.id = e.src
+    WHERE p.outdeg > 0 GROUP BY e.dst) c USING (id)
+)"""
+        )
+    parts.append(
+        f"ppr AS (SELECT id, r AS rank, is_seed FROM ppr{iters})"
+    )
+    return ",\n".join(parts)

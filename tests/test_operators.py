@@ -1925,3 +1925,68 @@ def test_cube_counts_semantics(spark):
         "WITH " + cube_mention_counts_cte()
         + "\nSELECT mtype, role, n, n_norms, gmask FROM cube_counts",
     )
+
+
+def test_personalized_pagerank_semantics(spark):
+    """g12 checked against an independent python simulation of the same
+    integer recurrence (seed-concentrated teleport + dangling mass, md5
+    seed sample) on a small directed graph; seeds must outrank comparable
+    non-seeds; DuckDB twin agrees."""
+    import hashlib
+
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.graph import (
+        PR_DAMPING_PCT,
+        PR_ITERS,
+        PR_SCALE,
+        personalized_pagerank,
+        personalized_pagerank_cte,
+    )
+
+    from .conftest import compare_query
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("d", "a"), ("e", "d"), ("c", "f"),  # f is a dangling sink
+    ]
+    df = spark.createDataFrame(edges, "subj string, obj string")
+    nodes = sorted({n for e in edges for n in e})
+    n_seeds = 2
+    seeds = set(
+        sorted(nodes, key=lambda x: (hashlib.md5(x.encode()).hexdigest(), x))[
+            :n_seeds
+        ]
+    )
+    out = {n: [d for s, d in edges if s == n] for n in nodes}
+    N, k, d = len(nodes), n_seeds, PR_DAMPING_PCT
+    seed_base = (100 - d) * PR_SCALE * N // (100 * k)
+    r = {n: PR_SCALE for n in nodes}
+    for _ in range(PR_ITERS):
+        in_sum = {n: 0 for n in nodes}
+        for u in nodes:
+            if out[u]:
+                c = r[u] // len(out[u])
+                for v in out[u]:
+                    in_sum[v] += c
+        dang = sum(r[u] for u in nodes if not out[u])
+        r = {
+            n: (seed_base if n in seeds else 0)
+            + d * (in_sum[n] + (dang // k if n in seeds else 0)) // 100
+            for n in nodes
+        }
+    got = {x.id: (x.rank, x.is_seed) for x in
+           personalized_pagerank(df, n_seeds=n_seeds).collect()}
+    assert got == {n: (r[n], n in seeds) for n in nodes}
+    # the teleport concentrates mass: total seed rank exceeds a uniform share
+    assert sum(v for n, (v, s) in got.items() if s) > sum(r.values()) * k // N
+
+    con = duckdb.connect()
+    con.register("pprtest", df.toPandas())
+    compare_query(
+        spark,
+        con,
+        personalized_pagerank(df, n_seeds=n_seeds),
+        "WITH " + personalized_pagerank_cte("pprtest", n_seeds=n_seeds)
+        + "\nSELECT id, rank, is_seed FROM ppr",
+    )
