@@ -974,6 +974,20 @@ def semdedup(
         ids = pdf["vec_id"].to_numpy()[order]
         X = _np.stack(pdf["qv"].to_numpy()[order]).astype(_np.float64)
         naa2 = (_np.floor((X * X).sum(axis=1) / 1000)).astype(_np.int64)
+        # Precondition guard (fail LOUDLY, not wrong): by Cauchy-Schwarz
+        # d2² ≤ naa2·nbb2 (up to floor slack), so naa2 ≤ 3·10⁷ keeps both
+        # int64 products below 2⁶³ (d2²·10⁴ ≤ 9.2·10¹⁸ and t2·naa2·nbb2
+        # likewise for t2 ≤ 10⁴) and every dot ≤ √(naa·nbb) ≤ 3.1·10¹⁰
+        # < 2⁵³, so the float64 matmul stays exact. The DuckDB twin errors
+        # loudly on the same overflow; a silent numpy wrap here would
+        # surface as a gate divergence / corrupted keep-set instead.
+        nmax = int(naa2.max()) if naa2.size else 0
+        if nmax > 30_000_000:
+            raise ValueError(
+                f"semdedup precondition violated: max ⌊|qv|²/1000⌋ = {nmax} "
+                "> 3e7 — the int64/float64 exactness bounds no longer "
+                "hold; re-quantize the vectors with a smaller scale"
+            )
         dup_of = _np.full(n, -1, dtype=_np.int64)
         for lo in range(0, n, 1024):
             hi = min(lo + 1024, n)

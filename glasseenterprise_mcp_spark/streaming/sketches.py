@@ -39,14 +39,18 @@ def incremental_hll_update(
     (callable from foreachBatch). MAX-idempotent, so a crashed batch's
     replay is a no-op."""
     delta = hll_registers(batch_events, m)
-    try:
+    # "first batch" is decided by an explicit existence probe, NOT by
+    # catching read errors: a transient IO failure / corrupt file must
+    # propagate (foreachBatch fails → micro-batch retried), never be
+    # mistaken for an empty sink and overwrite the accumulated registers.
+    if sink.exists(HLL_TABLE):
         stored = sink.read(HLL_TABLE).localCheckpoint(eager=True)
         merged = (
             stored.unionByName(delta)
             .groupBy("event_type", "idx")
             .agg(F.max("reg").cast("int").alias("reg"))
         )
-    except Exception:  # first batch: no stored sketch yet
+    else:  # first batch: no stored sketch yet
         merged = delta
     sink.upsert(
         merged, HLL_TABLE, keys=["event_type", "idx"], partition_by=["event_type"]
@@ -102,26 +106,62 @@ def run_hll_stream(
 # non-idempotent accumulators under replayable sources.
 CMS_TABLE = "cms_sketch"
 _CMS_SENTINEL_ROW = -1
+_CMS_WATERMARK_COL = -1  # (row=-1, col=-1, cell_n=batch_id)
+_CMS_RUNID_COL = -2  # (row=-1, col=-2, cell_n=hash64(run_id))
+
+
+def _run_id_hash(run_id: str) -> int:
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.md5(run_id.encode()).digest()[:8], "big", signed=True
+    )
 
 
 def incremental_cms_update(
-    sink: GraphSink, batch_mentions: DataFrame, batch_id: int
+    sink: GraphSink,
+    batch_mentions: DataFrame,
+    batch_id: int,
+    run_id: str | None = None,
 ) -> None:
     """One micro-batch: fold the delta's CMS cells into the stored sketch
-    unless ``batch_id`` was already applied (exactly-once under replay)."""
+    unless ``batch_id`` was already applied (exactly-once under replay).
+
+    ``run_id`` guards the watermark's monotonicity assumption: batch ids
+    are monotone only within one streaming checkpoint lineage. Pass the
+    checkpoint's stable query id (``{checkpoint_dir}/metadata`` → ``id``)
+    and a restarted-from-scratch checkpoint over a surviving sketch table
+    fails LOUDLY (the replayed-everything stream would otherwise be
+    silently dropped as 'already applied' — or double-counted). The
+    checkpoint dir and the cms_sketch table must be reset together; this
+    sentinel turns that contract from documentation into an error."""
     from ..operators.analytics import cms_sketch_counts
 
     spark = batch_mentions.sparkSession
     ent = batch_mentions.filter(F.col("mtype") == "entity").select("norm")
     delta = cms_sketch_counts(ent)
-    try:
+    # existence probe, not except-as-first-batch: read failures propagate
+    # so foreachBatch fails and the batch is retried — never treat an IO
+    # error as an empty sink (that would discard all accumulated counts
+    # AND the exactly-once watermark).
+    if sink.exists(CMS_TABLE):
         stored = sink.read(CMS_TABLE).localCheckpoint(eager=True)
-        applied = (
-            stored.filter(F.col("row") == _CMS_SENTINEL_ROW)
-            .select("cell_n")
-            .head()
-        )
-        if applied is not None and batch_id <= applied.cell_n:
+        sent = {
+            r["col"]: r["cell_n"]
+            for r in stored.filter(F.col("row") == _CMS_SENTINEL_ROW).collect()
+        }
+        if run_id is not None:
+            stored_rh = sent.get(_CMS_RUNID_COL)
+            if stored_rh is not None and stored_rh != _run_id_hash(run_id):
+                raise ValueError(
+                    "cms_sketch table belongs to a different streaming "
+                    "checkpoint lineage (run-id sentinel mismatch); the "
+                    "checkpoint dir and the sketch table must be reset "
+                    "together — refusing to fold (batch ids from a fresh "
+                    "checkpoint restart at 0 and would corrupt the count)"
+                )
+        applied = sent.get(_CMS_WATERMARK_COL)
+        if applied is not None and batch_id <= applied:
             return  # replayed batch: the sentinel says it's already in
         cells = (
             stored.filter(F.col("row") != _CMS_SENTINEL_ROW)
@@ -129,11 +169,15 @@ def incremental_cms_update(
             .groupBy("row", "col")
             .agg(F.sum("cell_n").cast("long").alias("cell_n"))
         )
-    except Exception:  # first batch: no stored sketch yet
+    else:  # first batch: no stored sketch yet
         cells = delta
+    sentinel_rows = [(_CMS_SENTINEL_ROW, _CMS_WATERMARK_COL, batch_id)]
+    if run_id is not None:
+        sentinel_rows.append(
+            (_CMS_SENTINEL_ROW, _CMS_RUNID_COL, _run_id_hash(run_id))
+        )
     sentinel = spark.createDataFrame(
-        [(_CMS_SENTINEL_ROW, _CMS_SENTINEL_ROW, batch_id)],
-        "row int, col long, cell_n long",
+        sentinel_rows, "row int, col long, cell_n long"
     )
     merged = cells.select(
         F.col("row").cast("int"), F.col("col").cast("long"), "cell_n"

@@ -83,6 +83,10 @@ def main() -> None:
 
     con = fresh_con()
     stuck: threading.Thread | None = None  # timed-out oracle still running on `con`
+    # (thread, connection) pairs abandoned after a timeout whose thread
+    # survived interrupt(): closed best-effort at sweep end so consecutive
+    # stuck oracles don't accumulate live parquet-scanning connections.
+    abandoned: list[tuple[threading.Thread, object]] = []
 
     qs, oracles = E.queries(), E.oracle_sql()
     names = sorted(qs)
@@ -110,8 +114,16 @@ def main() -> None:
         # connection even after interrupt() (DuckDB connections don't
         # support concurrent queries) — abandon the poisoned connection
         # and open a fresh one before the next oracle starts
-        if stuck is not None and stuck.is_alive():
-            con = fresh_con()
+        if stuck is not None:
+            if stuck.is_alive():
+                abandoned.append((stuck, con))
+                con = fresh_con()
+            else:  # thread died after we moved on — reopen for a clean slate
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = fresh_con()
         stuck = None
         holder: dict = {}
 
@@ -154,6 +166,22 @@ def main() -> None:
     print(json.dumps({"total": len(results), "hash_ok": n_ok,
                       "oracle_timeout": n_to, "rows_only": n_ro,
                       "bad": n_bad}))
+    # bound resource growth: re-interrupt every abandoned connection (incl.
+    # a trailing `stuck` from the LAST query) and close the ones whose
+    # threads have since died; daemon threads die with the process anyway.
+    if stuck is not None and stuck.is_alive():
+        abandoned.append((stuck, con))
+    for th, c in abandoned:
+        try:
+            c.interrupt()
+        except Exception:
+            pass
+        th.join(10)
+        if not th.is_alive():
+            try:
+                c.close()
+            except Exception:
+                pass
     spark.stop()
 
 
