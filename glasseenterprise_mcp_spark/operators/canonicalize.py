@@ -79,39 +79,46 @@ def connected_components(
         und.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
 
-    for _ in range(max_iter):
-        # candidate label for a = min(comp of neighbors b); map-side partial
-        # min tames hot-vertex skew before the shuffle.
-        neighbor_min = (
-            und.join(labels.withColumnRenamed("id", "b"), "b")
-            .groupBy("a")
-            .agg(F.min("comp").alias("ncomp"))
-            .withColumnRenamed("a", "id")
-        )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
-                    "comp"
-                ),
-                (F.col("ncomp") < F.col("comp")).alias("changed"),
+    # The loop's own shuffles (per-round groupBy + label join) must be
+    # graph-sized too, not just the edge layout — otherwise each round
+    # still schedules a corpus-sized task wave (graph.py's loop clamp).
+    from .graph import graph_sized_shuffle
+
+    with graph_sized_shuffle(und, n_edges):
+        for _ in range(max_iter):
+            # candidate label for a = min(comp of neighbors b); map-side
+            # partial min tames hot-vertex skew before the shuffle.
+            neighbor_min = (
+                und.join(labels.withColumnRenamed("id", "b"), "b")
+                .groupBy("a")
+                .agg(F.min("comp").alias("ncomp"))
+                .withColumnRenamed("a", "id")
             )
-            .localCheckpoint(eager=True)  # labels are small (one row/vertex);
-            # eager checkpoint keeps the loop's plan O(1) per round
-        )
-        changed = new_labels.filter(F.col("changed")).limit(1).count()
-        labels = new_labels.select("id", "comp")
-        if changed == 0:
-            break
-    else:
-        # loop exhausted max_iter with labels still changing: the component
-        # diameter exceeds the bound and the labels are NOT converged —
-        # silent wrong answers are worse than a loud failure.
-        raise RuntimeError(
-            f"connected_components did not converge within max_iter={max_iter} "
-            "(component diameter exceeds the bound); raise max_iter"
-        )
+            new_labels = (
+                labels.join(neighbor_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                    ).alias("comp"),
+                    (F.col("ncomp") < F.col("comp")).alias("changed"),
+                )
+                .localCheckpoint(eager=True)  # labels are small (one row per
+                # vertex); eager checkpoint keeps the loop's plan O(1)/round
+            )
+            changed = new_labels.filter(F.col("changed")).limit(1).count()
+            labels = new_labels.select("id", "comp")
+            if changed == 0:
+                break
+        else:
+            # loop exhausted max_iter with labels still changing: the
+            # component diameter exceeds the bound and the labels are NOT
+            # converged — silent wrong answers are worse than loud failure.
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"max_iter={max_iter} (component diameter exceeds the "
+                "bound); raise max_iter"
+            )
     return labels
 
 

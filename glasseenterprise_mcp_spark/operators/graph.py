@@ -18,11 +18,40 @@ at scan time.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from ..functions.normalize import norm_name_sql
 from .link import turn_id_sql
+
+# Iterative loops shuffle their state at the DERIVED GRAPH's size, not the
+# corpus's: the distinct edge set an algorithm iterates over is often orders
+# of magnitude smaller than the input table, and running tens of sequential
+# loop stages at the session's corpus-sized shuffle-partition count makes
+# per-stage task-scheduling latency the dominant cost (interleaved A/B at
+# sf0.1: HITS 2.5s → 1.9s best-leg just from right-sizing). The clamp is
+# the session setting itself, so graphs big enough to need cluster-wide
+# parallelism keep it — this only removes empty-task overhead, never caps
+# a large graph below the cluster size.
+GRAPH_EDGES_PER_PARTITION = 200_000
+
+
+@contextmanager
+def graph_sized_shuffle(df: DataFrame, n_edges: int):
+    """Temporarily set shuffle partitions to fit ``n_edges`` loop-state rows
+    (≤ the session setting); restores the session value on exit. Safe with
+    AQE (which further coalesces post-shuffle, but cannot reduce the map-
+    side task count this controls)."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = max(1, min(int(old), n_edges // GRAPH_EDGES_PER_PARTITION + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def undirected_edges(edges: DataFrame) -> DataFrame:
@@ -69,19 +98,20 @@ def bfs_expand(
 
     visited = seeds.select(F.col("id"), F.lit(0).alias("dist")).distinct()
     frontier = visited
-    for d in range(1, depth + 1):
-        nxt = (
-            frontier.join(e, frontier["id"] == e["a"])
-            .select(F.col("b").alias("id"))
-            .distinct()
-            .join(visited.select("id"), "id", "left_anti")
-            .withColumn("dist", F.lit(d))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.limit(1).count() == 0:
-            break
-        visited = visited.unionByName(nxt)
-        frontier = nxt
+    with graph_sized_shuffle(e, e.count()):
+        for d in range(1, depth + 1):
+            nxt = (
+                frontier.join(e, frontier["id"] == e["a"])
+                .select(F.col("b").alias("id"))
+                .distinct()
+                .join(visited.select("id"), "id", "left_anti")
+                .withColumn("dist", F.lit(d))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            visited = visited.unionByName(nxt)
+            frontier = nxt
     return visited
 
 
@@ -424,57 +454,58 @@ def pagerank(
         .repartition("src")
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    outdeg = e.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("outdeg")
-    )
-    state = (
-        nodes.join(outdeg, "id", "left")
-        .select(
-            "id",
-            F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
-            F.lit(scale).cast("long").alias("r"),
+    with graph_sized_shuffle(e, e.count()):
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
         )
-        .localCheckpoint(eager=True)
-    )
-    n_nodes = state.count()
-    if n_nodes == 0:
-        return state.select("id", F.col("r").alias("rank"))
-    base = (100 - damping_pct) * scale // 100
-    for _ in range(iters):
-        contribs = (
-            state.filter(F.col("outdeg") > 0)
-            .select(F.col("id").alias("src"), F.expr("r div outdeg").alias("c"))
-            .join(e, "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        dang = state.filter(F.col("outdeg") == 0).agg(
-            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang")
+        outdeg = e.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("outdeg")
         )
         state = (
-            state.select("id", "outdeg")
-            .join(contribs, "id", "left")
-            .crossJoin(F.broadcast(dang))
+            nodes.join(outdeg, "id", "left")
             .select(
                 "id",
-                "outdeg",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(
-                        f"{damping_pct} * (coalesce(in_sum, 0)"
-                        f" + dang div {n_nodes}) div 100"
-                    )
-                )
-                .cast("long")
-                .alias("r"),
+                F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+                F.lit(scale).cast("long").alias("r"),
             )
             .localCheckpoint(eager=True)
         )
+        n_nodes = state.count()
+        if n_nodes == 0:
+            return state.select("id", F.col("r").alias("rank"))
+        base = (100 - damping_pct) * scale // 100
+        for _ in range(iters):
+            contribs = (
+                state.filter(F.col("outdeg") > 0)
+                .select(F.col("id").alias("src"), F.expr("r div outdeg").alias("c"))
+                .join(e, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("c").alias("in_sum"))
+            )
+            dang = state.filter(F.col("outdeg") == 0).agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang")
+            )
+            state = (
+                state.select("id", "outdeg")
+                .join(contribs, "id", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "id",
+                    "outdeg",
+                    (
+                        F.lit(base).cast("long")
+                        + F.expr(
+                            f"{damping_pct} * (coalesce(in_sum, 0)"
+                            f" + dang div {n_nodes}) div 100"
+                        )
+                    )
+                    .cast("long")
+                    .alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
     return state.select("id", F.col("r").alias("rank"))
 
 
@@ -566,28 +597,34 @@ def shortest_paths(
         .localCheckpoint(eager=True)
     )
     delta = state
-    for _ in range(rounds):
-        cand = (
-            delta.join(e, delta["id"] == e["src"])
-            .select(F.col("dst").alias("id"), (F.col("cost") + F.col("w")).alias("cost"))
-            .groupBy("id")
-            .agg(F.min("cost").alias("cost"))
-        )
-        old = state.select("id", F.col("cost").alias("old_cost"))
-        delta = (
-            cand.join(old, "id", "left")
-            .filter(F.col("old_cost").isNull() | (F.col("cost") < F.col("old_cost")))
-            .select("id", "cost")
-            .localCheckpoint(eager=True)
-        )
-        if delta.limit(1).count() == 0:
-            break
-        state = (
-            state.unionByName(delta)
-            .groupBy("id")
-            .agg(F.min("cost").alias("cost"))
-            .localCheckpoint(eager=True)
-        )
+    with graph_sized_shuffle(e, e.count()):
+        for _ in range(rounds):
+            cand = (
+                delta.join(e, delta["id"] == e["src"])
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("cost") + F.col("w")).alias("cost"),
+                )
+                .groupBy("id")
+                .agg(F.min("cost").alias("cost"))
+            )
+            old = state.select("id", F.col("cost").alias("old_cost"))
+            delta = (
+                cand.join(old, "id", "left")
+                .filter(
+                    F.col("old_cost").isNull() | (F.col("cost") < F.col("old_cost"))
+                )
+                .select("id", "cost")
+                .localCheckpoint(eager=True)
+            )
+            if delta.limit(1).count() == 0:
+                break
+            state = (
+                state.unionByName(delta)
+                .groupBy("id")
+                .agg(F.min("cost").alias("cost"))
+                .localCheckpoint(eager=True)
+            )
     return state
 
 
@@ -772,22 +809,23 @@ def kcore(
         .localCheckpoint(eager=True)
     )
     e = sym
-    for _ in range(rounds):
-        drop = (
-            e.groupBy("a")
-            .agg(F.count("*").alias("deg"))
-            .filter(F.col("deg") < k)
-            .select(F.col("a").alias("id"))
-            .localCheckpoint(eager=True)
-        )
-        if drop.limit(1).count() == 0:
-            break
-        e = (
-            e.join(drop, e["a"] == drop["id"], "left_anti")
-            .join(drop, e["b"] == drop["id"], "left_anti")
-            .repartition("a")
-            .localCheckpoint(eager=True)
-        )
+    with graph_sized_shuffle(sym, sym.count()):
+        for _ in range(rounds):
+            drop = (
+                e.groupBy("a")
+                .agg(F.count("*").alias("deg"))
+                .filter(F.col("deg") < k)
+                .select(F.col("a").alias("id"))
+                .localCheckpoint(eager=True)
+            )
+            if drop.limit(1).count() == 0:
+                break
+            e = (
+                e.join(drop, e["a"] == drop["id"], "left_anti")
+                .join(drop, e["b"] == drop["id"], "left_anti")
+                .repartition("a")
+                .localCheckpoint(eager=True)
+            )
     return e.groupBy("a").agg(F.count("*").alias("core_deg")).select(
         F.col("a").alias("id"), "core_deg"
     )
@@ -969,25 +1007,28 @@ def label_propagation(
         .repartition("n")
         .localCheckpoint(eager=True)
     )
-    state = sym.select(F.col("node").alias("id")).distinct().withColumn(
-        "label", F.col("id")
-    )
-    for _ in range(rounds):
-        votes = (
-            sym.join(state, sym["n"] == state["id"])
-            .groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
+    with graph_sized_shuffle(sym, sym.count()):
+        state = sym.select(F.col("node").alias("id")).distinct().withColumn(
+            "label", F.col("id")
         )
-        state = (
-            votes.groupBy("node")
-            .agg(
-                F.min(F.struct((-F.col("c")).alias("negc"), F.col("label"))).alias(
-                    "best"
-                )
+        for _ in range(rounds):
+            votes = (
+                sym.join(state, sym["n"] == state["id"])
+                .groupBy("node", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
             )
-            .select(F.col("node").alias("id"), F.col("best.label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
+            state = (
+                votes.groupBy("node")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("c")).alias("negc"), F.col("label"))
+                    ).alias("best")
+                )
+                .select(
+                    F.col("node").alias("id"), F.col("best.label").alias("label")
+                )
+                .localCheckpoint(eager=True)
+            )
     return state.select("id", F.col("label").alias("community"))
 
 
@@ -1067,52 +1108,55 @@ def hits(
         .repartition("src")
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    state = nodes.select(
-        "id",
-        F.lit(scale).cast("long").alias("hub"),
-        F.lit(scale).cast("long").alias("auth"),
-    )
-
-    def _normalize(raw: DataFrame, col: str) -> DataFrame:
-        tot = raw.agg(F.coalesce(F.sum("raw"), F.lit(0)).cast("long").alias("tot"))
-        return (
-            nodes.join(raw, "id", "left")
-            .crossJoin(F.broadcast(tot))
-            .select(
-                "id",
-                F.expr(
-                    f"CASE WHEN tot > 0 THEN coalesce(raw, 0) * {scale} div tot"
-                    " ELSE 0 END"
-                )
-                .cast("long")
-                .alias(col),
-            )
-        )
-
-    for _ in range(rounds):
-        araw = (
-            e.join(state.select(F.col("id").alias("src"), "hub"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("hub").alias("raw"))
-        )
-        auth = _normalize(araw, "auth").localCheckpoint(eager=True)
-        hraw = (
-            e.join(auth.select(F.col("id").alias("dst"), "auth"), "dst")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.sum("auth").alias("raw"))
-        )
-        hub = _normalize(hraw, "hub")
-        state = (
-            hub.join(auth, "id")
-            .select("id", "hub", "auth")
+    with graph_sized_shuffle(e, e.count()):
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
             .localCheckpoint(eager=True)
         )
+        state = nodes.select(
+            "id",
+            F.lit(scale).cast("long").alias("hub"),
+            F.lit(scale).cast("long").alias("auth"),
+        )
+
+        def _normalize(raw: DataFrame, col: str) -> DataFrame:
+            tot = raw.agg(
+                F.coalesce(F.sum("raw"), F.lit(0)).cast("long").alias("tot")
+            )
+            return (
+                nodes.join(raw, "id", "left")
+                .crossJoin(F.broadcast(tot))
+                .select(
+                    "id",
+                    F.expr(
+                        f"CASE WHEN tot > 0 THEN coalesce(raw, 0) * {scale} div tot"
+                        " ELSE 0 END"
+                    )
+                    .cast("long")
+                    .alias(col),
+                )
+            )
+
+        for _ in range(rounds):
+            araw = (
+                e.join(state.select(F.col("id").alias("src"), "hub"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("hub").alias("raw"))
+            )
+            auth = _normalize(araw, "auth").localCheckpoint(eager=True)
+            hraw = (
+                e.join(auth.select(F.col("id").alias("dst"), "auth"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("auth").alias("raw"))
+            )
+            hub = _normalize(hraw, "hub")
+            state = (
+                hub.join(auth, "id")
+                .select("id", "hub", "auth")
+                .localCheckpoint(eager=True)
+            )
     return state
 
 
@@ -1208,75 +1252,76 @@ def personalized_pagerank(
         .repartition("src")
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    # seed rank hashes the ORACLE-FACING representation: binary(16) ids
-    # surface as lower-hex strings at the oracle (the engine-wide id
-    # contract), so md5 must run over that text, not the raw bytes
-    id_text = (
-        F.lower(F.hex("id"))
-        if dict(nodes.dtypes)["id"] == "binary"
-        else F.col("id").cast("string")
-    )
-    seeds = (
-        nodes.select("id", F.md5(id_text.cast("binary")).alias("_h"))
-        .orderBy("_h", "id")
-        .limit(n_seeds)
-        .select("id", F.lit(True).alias("is_seed"))
-    )
-    outdeg = e.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("outdeg")
-    )
-    state = (
-        nodes.join(outdeg, "id", "left")
-        .join(F.broadcast(seeds), "id", "left")
-        .select(
-            "id",
-            F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
-            F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
-            F.lit(scale).cast("long").alias("r"),
+    with graph_sized_shuffle(e, e.count()):
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
         )
-        .localCheckpoint(eager=True)
-    )
-    n_nodes = state.count()
-    if n_nodes == 0:
-        return state.select("id", F.col("r").alias("rank"), "is_seed")
-    k = min(n_seeds, n_nodes)
-    seed_base = (100 - damping_pct) * scale * n_nodes // (100 * k)
-    for _ in range(iters):
-        contribs = (
-            state.filter(F.col("outdeg") > 0)
-            .select(F.col("id").alias("src"), F.expr("r div outdeg").alias("c"))
-            .join(e, "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("c").alias("in_sum"))
+        # seed rank hashes the ORACLE-FACING representation: binary(16) ids
+        # surface as lower-hex strings at the oracle (the engine-wide id
+        # contract), so md5 must run over that text, not the raw bytes
+        id_text = (
+            F.lower(F.hex("id"))
+            if dict(nodes.dtypes)["id"] == "binary"
+            else F.col("id").cast("string")
         )
-        dang = state.filter(F.col("outdeg") == 0).agg(
-            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang")
+        seeds = (
+            nodes.select("id", F.md5(id_text.cast("binary")).alias("_h"))
+            .orderBy("_h", "id")
+            .limit(n_seeds)
+            .select("id", F.lit(True).alias("is_seed"))
+        )
+        outdeg = e.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("outdeg")
         )
         state = (
-            state.select("id", "outdeg", "is_seed")
-            .join(contribs, "id", "left")
-            .crossJoin(F.broadcast(dang))
+            nodes.join(outdeg, "id", "left")
+            .join(F.broadcast(seeds), "id", "left")
             .select(
                 "id",
-                "outdeg",
-                "is_seed",
-                (
-                    F.expr(f"IF(is_seed, {seed_base}, 0)")
-                    + F.expr(
-                        f"{damping_pct} * (coalesce(in_sum, 0)"
-                        f" + IF(is_seed, dang div {k}, 0)) div 100"
-                    )
-                )
-                .cast("long")
-                .alias("r"),
+                F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+                F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
+                F.lit(scale).cast("long").alias("r"),
             )
             .localCheckpoint(eager=True)
         )
+        n_nodes = state.count()
+        if n_nodes == 0:
+            return state.select("id", F.col("r").alias("rank"), "is_seed")
+        k = min(n_seeds, n_nodes)
+        seed_base = (100 - damping_pct) * scale * n_nodes // (100 * k)
+        for _ in range(iters):
+            contribs = (
+                state.filter(F.col("outdeg") > 0)
+                .select(F.col("id").alias("src"), F.expr("r div outdeg").alias("c"))
+                .join(e, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("c").alias("in_sum"))
+            )
+            dang = state.filter(F.col("outdeg") == 0).agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang")
+            )
+            state = (
+                state.select("id", "outdeg", "is_seed")
+                .join(contribs, "id", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "id",
+                    "outdeg",
+                    "is_seed",
+                    (
+                        F.expr(f"IF(is_seed, {seed_base}, 0)")
+                        + F.expr(
+                            f"{damping_pct} * (coalesce(in_sum, 0)"
+                            f" + IF(is_seed, dang div {k}, 0)) div 100"
+                        )
+                    )
+                    .cast("long")
+                    .alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
     return state.select("id", F.col("r").alias("rank"), "is_seed")
 
 
