@@ -1681,3 +1681,68 @@ def oracle_sql() -> dict[str, str]:
             G.bfs_cte(2, "type = 'turn' AND name = 'c0#3'"),
         ),
     }
+
+
+def oracle_sql_scaled() -> dict[str, str]:
+    """Scale-path oracle OVERRIDES for the big (sf≥1.0) sweeps.
+
+    The driver gate at sf0.01 and the sf≤0.1 sweeps keep the deliberately
+    naive twins in :func:`oracle_sql` — their independence from the engine's
+    candidate-generation strategy is the losslessness proof. But three of
+    those twins are O(N²) formulations DuckDB cannot finish over a
+    10×-replica corpus (r5 sweep: dd4b/dd7/g4b oracle_timeout while the
+    engine sides ran in 2.4–14.2s). These overrides define the SAME result
+    sets with scalable shapes:
+
+    * dd4b/dd7 — banded SimHash candidates (pigeonhole-lossless at
+      hamming ≤ 3, the identical argument the engine's own kernel proves
+      against the naive twin at sf0.1) + MATERIALIZED signature CTE.
+    * g4b — the identical recursive-CTE closure, just MATERIALIZED so the
+      two canonical-edge rewrites (subj + obj) don't each recompute it.
+
+    Consumed by jobs/scale_sweep.py (default on; --naive-oracles restores
+    the N² twins for the small-sf proof runs)."""
+    cc_mod = __import__(
+        "glasseenterprise_mcp_spark.operators.canonicalize", fromlist=["x"]
+    )
+    return {
+        "dd4b_simhash_near_dups": "WITH "
+        + ",\n".join(
+            [
+                D.shingles_cte(),
+                D.simhash_cte(materialized=True),
+                D.simhash_near_dups_banded_cte(),
+            ]
+        )
+        + "\nSELECT a, b, hamming FROM simhash_pairs",
+        "dd7_dup_clusters": "WITH "
+        + ",\n".join(
+            [
+                D.shingles_cte(),
+                D.simhash_cte(materialized=True),
+                D.simhash_near_dups_banded_cte(),
+                "dup_edges AS (SELECT a AS subj, b AS obj FROM simhash_pairs)",
+                cc_mod.connected_components_cte("dup_edges", materialized=True),
+                "sizes AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size"
+                " FROM cc GROUP BY comp)",
+            ]
+        )
+        + "\nSELECT CAST(cc.id AS BIGINT) AS doc_id,"
+        " CAST(cc.comp AS BIGINT) AS canonical_doc_id, sizes.cluster_size"
+        " FROM cc JOIN sizes USING (comp)",
+        "g4b_canonical_triples": O.oracle(
+            "SELECT subj, pred, obj FROM canonical_edges",
+            O.mentions_in_cte(),
+            O.replies_to_cte(),
+            O.calls_tool_cte(),
+            O.refers_to_cte(),
+            """all_edges AS (
+  SELECT subj, pred, obj FROM mentions_in
+  UNION ALL SELECT subj, pred, obj FROM replies_to
+  UNION ALL SELECT subj, pred, obj FROM calls_tool
+  UNION ALL SELECT subj, pred, obj FROM refers_to
+)""",
+            O.connected_components_cte("refers_to", materialized=True),
+            cc_mod.canonicalize_edges_cte("all_edges"),
+        ),
+    }

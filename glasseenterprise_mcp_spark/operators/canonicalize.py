@@ -159,10 +159,16 @@ def _cc_driver_side(spark, und_rows: list) -> DataFrame:
     return spark.createDataFrame(rows, f"id {t}, comp {t}")
 
 
-def connected_components_cte(edges_cte: str) -> str:
+def connected_components_cte(edges_cte: str, materialized: bool = False) -> str:
     """DuckDB oracle: recursive-CTE transitive closure (small graphs only —
-    the oracle runs at sf0.01; the engine path above is the scale path)."""
-    return f"""cc AS (
+    the oracle runs at sf0.01; the engine path above is the scale path).
+
+    ``materialized=True`` (the scaled-oracle path) pins ``cc`` to compute
+    once — consumers like ``canonicalize_edges_cte`` reference it twice
+    (subj + obj rewrites) and DuckDB inlines plain CTEs, re-running the
+    whole transitive closure per reference."""
+    kw = "MATERIALIZED " if materialized else ""
+    return f"""cc AS {kw}(
   WITH RECURSIVE und(a, b) AS (
     SELECT subj, obj FROM {edges_cte}
     UNION SELECT obj, subj FROM {edges_cte}

@@ -363,7 +363,42 @@ def simhash_near_dups_cte(max_hamming: int = 3) -> str:
 )"""
 
 
-def simhash_cte() -> str:
+def simhash_near_dups_banded_cte(max_hamming: int = 3) -> str:
+    """SCALED oracle twin (the sf1.0 sweep path): banded candidates + exact
+    hamming verify — the same pigeonhole argument as the engine (≤3
+    differing bits across 4 8-char bands leave ≥1 band identical), so the
+    defined set is IDENTICAL to :func:`simhash_near_dups_cte`. The naive
+    O(N²) twin above stays the independence/losslessness proof at sf≤0.1;
+    this one exists because DuckDB cannot finish the N² self-join over a
+    10×-replica corpus inside any reasonable budget while the banded form
+    is a plain equi join. ``bands`` is MATERIALIZED so the simhash
+    aggregation runs once, not once per band reference."""
+    ham = " + ".join(
+        f"(CASE WHEN substr(x.simhash, {i}, 1) <> substr(y.simhash, {i}, 1)"
+        " THEN 1 ELSE 0 END)"
+        for i in range(1, 33)
+    )
+    band_union = "\n    UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band,"
+        f" substr(simhash, {b * 8 + 1}, 8) AS key FROM simhash"
+        for b in range(4)
+    )
+    return f"""bands AS MATERIALIZED (
+    {band_union}
+),
+simhash_pairs AS (
+  SELECT DISTINCT CAST(x.doc_id AS BIGINT) AS a,
+         CAST(y.doc_id AS BIGINT) AS b, CAST({ham} AS INT) AS hamming
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+  WHERE {ham} <= {max_hamming}
+)"""
+
+
+def simhash_cte(materialized: bool = False) -> str:
+    """``materialized=True`` (the scaled-oracle path) pins the signature
+    aggregation to run ONCE — the banded twin references ``simhash`` four
+    times (one per band) and DuckDB inlines plain CTEs."""
     bit_sums = ", ".join(
         f"SUM(CASE WHEN instr('{_HEX_ODD}', substr(md5(sh), {i + 1}, 1)) > 0 THEN 1 ELSE 0 END) AS s{i}"
         for i in range(32)
@@ -371,7 +406,8 @@ def simhash_cte() -> str:
     sim = " || ".join(
         f"(CASE WHEN s{i} * 2 >= n THEN '1' ELSE '0' END)" for i in range(32)
     )
-    return f"""simhash AS (
+    kw = "MATERIALIZED " if materialized else ""
+    return f"""simhash AS {kw}(
   SELECT doc_id, {sim} AS simhash
   FROM (SELECT doc_id, COUNT(*) AS n, {bit_sums} FROM shingles GROUP BY doc_id)
 )"""

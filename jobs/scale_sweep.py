@@ -65,6 +65,10 @@ def main() -> None:
     ap.add_argument("--only", default=None,
                     help="comma-separated query-name prefixes to run")
     ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--naive-oracles", action="store_true",
+                    help="keep the deliberately-naive O(N^2) oracle twins "
+                         "instead of the scaled overrides (the small-sf "
+                         "losslessness-proof mode)")
     a = ap.parse_args()
 
     import duckdb
@@ -89,6 +93,11 @@ def main() -> None:
     abandoned: list[tuple[threading.Thread, object]] = []
 
     qs, oracles = E.queries(), E.oracle_sql()
+    if not a.naive_oracles:
+        # scale-path twins (same result sets, non-quadratic shapes) for the
+        # oracles whose naive formulations cannot finish at 10x — see
+        # __spark_entry__.oracle_sql_scaled
+        oracles = {**oracles, **E.oracle_sql_scaled()}
     names = sorted(qs)
     if a.only:
         pfx = tuple(a.only.split(","))
