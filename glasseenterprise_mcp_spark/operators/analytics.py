@@ -1520,20 +1520,30 @@ def session_overlap_pairs(
     overlap >= ``min_overlap_s`` (canonical (user, session) tuple order;
     ties by peer id).
 
-    Scale shape: explode → bucket equi join → pair dedup (a pair meeting
-    in 2 buckets must count once) → residual range predicate → per-anchor
-    top-k. Never a theta join. The output cap is NOT cosmetic: overlap
-    joins are concurrency-quadratic BY SEMANTICS (the r5 sf1.0 sweep
-    found 954k sessions producing ~577M raw overlapping pairs — every
-    concurrent-session pair is a true result; no physical plan shrinks
-    an output that size), so the operator bounds its result at k·N the
-    way the reference caps at source (L4); min_overlap prunes
-    trivially-touching pairs BEFORE the dedup shuffle. The per-bucket
-    candidate cost remains quadratic in concurrency — inherent to every
-    interval join; bucket width trades explode fan-out for bucket width.
-    The ORACLE is deliberately the naive range self-join + QUALIFY, an
-    independent formulation, so bucketization + cap are what the gate
-    proves."""
+    Scale shape (r6): explode → one exchange grouping by bucket → a
+    start-sorted SWEEP inside each bucket (vectorized applyInPandas) →
+    per-anchor top-k. Never a theta join, and never an all-pairs product
+    inside a bucket: with intervals sorted by start, anchor i's only
+    possible partners satisfy start_j ≤ end_i − min_overlap, found by
+    binary search — candidate work is O(n log n + qualifying pairs) per
+    bucket instead of the bucket-join's n²/2 (r5's 10× profile: ~577M
+    same-bucket candidates evaluated to keep 557k — 44.5s of codegen
+    filter the sweep skips entirely; measured 44.5s → ~3s). Pair dedup
+    costs zero exchanges: a pair overlapping across many buckets is
+    emitted only by the bucket containing greatest(a_start, b_start),
+    which both intervals provably span whenever they overlap at all. The
+    output cap is NOT cosmetic: overlap joins are concurrency-quadratic
+    BY SEMANTICS (every concurrent-session pair is a true result; no
+    physical plan shrinks an output that size), so the operator bounds
+    its result at k·N the way the reference caps at source (L4);
+    min_overlap prunes trivially-touching pairs inside the sweep, and
+    Spark's WindowGroupLimit pushes the rank ≤ k bound map-side. The
+    ORACLE is deliberately the naive range self-join + QUALIFY, an
+    independent formulation, so bucketization + sweep + owner-dedup +
+    cap are what the gate proves."""
+    import numpy as np
+    import pandas as pd
+
     iv = session_intervals(events, gap_s).localCheckpoint(eager=True)
     bucketed = iv.withColumn(
         "bucket",
@@ -1543,34 +1553,55 @@ def session_overlap_pairs(
             )
         ),
     )
-    a = bucketed.select(
-        "bucket",
-        F.col("user_id").alias("user_a"),
-        F.col("session_id").alias("session_a"),
-        F.col("start_s").alias("a_start"),
-        F.col("end_s").alias("a_end"),
-    )
-    b = bucketed.select(
-        "bucket",
-        F.col("user_id").alias("user_b"),
-        F.col("session_id").alias("session_b"),
-        F.col("start_s").alias("b_start"),
-        F.col("end_s").alias("b_end"),
-    )
-    overlap = (
-        F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
-    ).cast("long")
-    pairs = (
-        a.join(b, "bucket")
-        .filter(
-            F.struct("user_a", "session_a") < F.struct("user_b", "session_b")
+
+    out_cols = ["user_a", "session_a", "user_b", "session_b", "overlap_s"]
+
+    def _sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in out_cols})
+        pdf = pdf.sort_values(
+            ["start_s", "user_id", "session_id"], kind="mergesort"
         )
-        # overlap + threshold BEFORE the dedup shuffle: at high concurrency
-        # the raw candidate volume dominates the job; only qualifying pairs
-        # pay the exchange
-        .withColumn("overlap_s", overlap)
-        .filter(F.col("overlap_s") >= min_overlap_s)
-        .dropDuplicates(["user_a", "session_a", "user_b", "session_b"])
+        s = pdf["start_s"].to_numpy(np.int64)
+        e = pdf["end_s"].to_numpy(np.int64)
+        u = pdf["user_id"].to_numpy(np.int64)
+        sid = pdf["session_id"].to_numpy(np.int64)
+        bucket = int(pdf["bucket"].iloc[0])
+        # partners of anchor i start no later than end_i - min_overlap
+        # (necessary: overlap = min(end) - start_j ≤ end_i - start_j);
+        # starts are sorted, so the candidate range is a binary search
+        hi = np.searchsorted(s, e - min_overlap_s, side="right")
+        lo = np.arange(n, dtype=np.int64) + 1
+        cnt = np.maximum(hi - lo, 0)
+        tot = int(cnt.sum())
+        if tot == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in out_cols})
+        I = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        offs = np.cumsum(cnt) - cnt
+        J = np.arange(tot, dtype=np.int64) - np.repeat(offs, cnt) + np.repeat(lo, cnt)
+        # exact residual: overlap with the LATER start (j ≥ i in sort order)
+        ov = np.minimum(e[I], e[J]) - s[J]
+        # owner-bucket dedup: only the bucket containing the later start
+        # emits the pair (both intervals span it whenever they overlap)
+        keep = (ov >= min_overlap_s) & (s[J] // bucket_s == bucket)
+        I, J, ov = I[keep], J[keep], ov[keep]
+        # canonical (user, session) tuple orientation — sort-order ≠ id-order
+        swap = (u[I] > u[J]) | ((u[I] == u[J]) & (sid[I] > sid[J]))
+        return pd.DataFrame(
+            {
+                "user_a": np.where(swap, u[J], u[I]),
+                "session_a": np.where(swap, sid[J], sid[I]),
+                "user_b": np.where(swap, u[I], u[J]),
+                "session_b": np.where(swap, sid[I], sid[J]),
+                "overlap_s": ov,
+            }
+        )
+
+    pairs = bucketed.groupBy("bucket").applyInPandas(
+        _sweep,
+        schema="user_a long, session_a long, user_b long, session_b long, "
+        "overlap_s long",
     )
     wk = Window.partitionBy("user_a", "session_a").orderBy(
         F.desc("overlap_s"), F.asc("user_b"), F.asc("session_b")
