@@ -11,7 +11,17 @@ size every internal pool to exactly N cores — the faithful emulation of an
 N-core executor host — and a fresh process per leg is the only way to apply
 it (JVM flags are fixed at launch).
 
-Prints one JSON line: {"triples": N, "sec": W, "master": ..., "factor": ...}.
+Prints one JSON line:
+{"triples": N, "sec": W, "master": ..., "factor": ...,
+ "canary_pre": C0, "canary_post": C1}.
+
+The canary bracket (r5 verdict #3): a fixed-size pure-JVM calibration job
+(md5 groupBy over 4M rows, the same canary the query leg interleaves) runs
+immediately before and after the measured section IN THE SAME PINNED
+PROCESS, so each scaling leg carries its own host-steal evidence. The
+caller's pre-declared exclusion rule (bench.py) drops steal-marked legs
+from the primary efficiency estimator — the r5 artifact's 0.763 was one
+557s leg in a 70s pool that both builder dry-runs contradicted.
 """
 
 from __future__ import annotations
@@ -88,11 +98,27 @@ def run_leg(
         _materialize_triples(w.edges)
         w.mentions.unpersist()
 
+    def _canary() -> float:
+        import pyspark.sql.functions as F
+
+        t0 = time.time()
+        (
+            spark.range(4_000_000)
+            .repartition(cores)
+            .select(F.md5(F.col("id").cast("string").cast("binary")).alias("h"))
+            .groupBy(F.substring("h", 1, 2))
+            .count()
+            .count()
+        )
+        return round(time.time() - t0, 3)
+
+    canary_pre = _canary()
     t = amplify(derive_transcripts(spark, sf_dir), factor)
     t0 = time.time()
     res = run_pipeline(spark, t, sink=None, snapshot_version="bench")
     triples = _materialize_triples(res.edges)
     wall = time.time() - t0
+    canary_post = _canary()
     res.mentions.unpersist()
     spark.stop()
     return {
@@ -100,6 +126,8 @@ def run_leg(
         "sec": round(wall, 3),
         "master": master,
         "factor": factor,
+        "canary_pre": canary_pre,
+        "canary_post": canary_post,
     }
 
 

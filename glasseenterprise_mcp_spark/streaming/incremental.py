@@ -197,6 +197,7 @@ def run_composed_stream(
     available_now: bool = True,
     processing_time: str = "1 second",
     post_batch_hook=None,
+    max_files_per_trigger: int | None = None,
 ):
     """The COMPOSED streaming stack — the 100TB operating mode in one
     Structured Streaming job (each stage is proven in isolation elsewhere;
@@ -225,7 +226,14 @@ def run_composed_stream(
     emitter)."""
     from ..schemas import TRANSCRIPTS_SCHEMA
 
-    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(source_dir)
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        # bounds each micro-batch to N source files — with availableNow the
+        # backlog drains as a SEQUENCE of bounded batches (the steady-state
+        # micro-batch cadence the throughput bench measures) instead of one
+        # giant catch-up batch
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     deduped = (
         stream.withColumn(
             "turn_hash",
