@@ -1699,6 +1699,10 @@ def oracle_sql_scaled() -> dict[str, str]:
       against the naive twin at sf0.1) + MATERIALIZED signature CTE.
     * g4b — the identical recursive-CTE closure, just MATERIALIZED so the
       two canonical-edge rewrites (subj + obj) don't each recompute it.
+    * ev8 — bucket-decomposed equi join + residual range predicate +
+      DISTINCT (lossless at any bucket width: overlapping intervals both
+      span the bucket of greatest(start)), replacing the naive N² range
+      self-join that is infeasible over ~954k sessions at 10×.
 
     Consumed by jobs/scale_sweep.py (default on; --naive-oracles restores
     the N² twins for the small-sf proof runs)."""
@@ -1730,6 +1734,9 @@ def oracle_sql_scaled() -> dict[str, str]:
         + "\nSELECT CAST(cc.id AS BIGINT) AS doc_id,"
         " CAST(cc.comp AS BIGINT) AS canonical_doc_id, sizes.cluster_size"
         " FROM cc JOIN sizes USING (comp)",
+        "ev8_session_overlaps": "WITH " + A.session_intervals_cte()
+        + ",\n" + A.session_overlap_pairs_banded_cte()
+        + "\nSELECT user_a, session_a, user_b, session_b, overlap_s FROM ov",
         "g4b_canonical_triples": O.oracle(
             "SELECT subj, pred, obj FROM canonical_edges",
             O.mentions_in_cte(),

@@ -1655,6 +1655,45 @@ def session_overlap_pairs_cte(min_overlap_s: int = 60, k: int = 5) -> str:
 )"""
 
 
+def session_overlap_pairs_banded_cte(
+    min_overlap_s: int = 60, k: int = 5, bucket_s: int = OVERLAP_BUCKET_S
+) -> str:
+    """SCALED oracle twin for ev8 (the sf≥1.0 sweep path): bucket-decomposed
+    equi join + residual range predicate + DISTINCT + the same QUALIFY cap.
+    Defines the IDENTICAL result set as the naive
+    :func:`session_overlap_pairs_cte` — two intervals overlap iff they share
+    the bucket containing ``greatest(start_a, start_b)`` (both provably span
+    it), so the bucket equi join with DISTINCT loses and invents nothing at
+    ANY bucket width; width only tunes cost. The naive range-self-join twin
+    above stays the independence proof at sf≤0.1 (where it is feasible);
+    this one exists because a 10×-replica corpus has ~954k sessions whose
+    N² range join DuckDB cannot finish in budget, while the bucketed form
+    mirrors the pruning the engine's sweep gets for free. min_overlap is
+    applied INSIDE the join predicate so only qualifying pairs reach the
+    DISTINCT — the same before-the-exchange placement as the engine."""
+    return f"""ov_b AS MATERIALIZED (
+  SELECT user_id, session_id, start_s, end_s, CAST(t.b AS BIGINT) AS bucket
+  FROM ov_iv, unnest(range(start_s // {bucket_s}, end_s // {bucket_s} + 1)) AS t(b)
+),
+ov AS (
+  SELECT * FROM (
+    SELECT DISTINCT x.user_id AS user_a, x.session_id AS session_a,
+           y.user_id AS user_b, y.session_id AS session_b,
+           CAST(LEAST(x.end_s, y.end_s) - GREATEST(x.start_s, y.start_s)
+                AS BIGINT) AS overlap_s
+    FROM ov_b x JOIN ov_b y
+      ON x.bucket = y.bucket
+     AND x.start_s <= y.end_s AND y.start_s <= x.end_s
+     AND (x.user_id, x.session_id) < (y.user_id, y.session_id)
+     AND LEAST(x.end_s, y.end_s) - GREATEST(x.start_s, y.start_s)
+         >= {min_overlap_s}
+  )
+  QUALIFY row_number() OVER (PARTITION BY user_a, session_a
+                             ORDER BY overlap_s DESC, user_b, session_b)
+          <= {k}
+)"""
+
+
 def cube_mention_counts(mentions: DataFrame) -> DataFrame:
     """a9: CUBE(mtype, role) mention counts with the grouping mask — the
     multi-dimensional rollup surface (GROUPING SETS family) the per-level

