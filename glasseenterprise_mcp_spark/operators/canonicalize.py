@@ -166,10 +166,15 @@ def connected_components_cte(edges_cte: str, materialized: bool = False) -> str:
     ``materialized=True`` (the scaled-oracle path) pins ``cc`` to compute
     once — consumers like ``canonicalize_edges_cte`` reference it twice
     (subj + obj rewrites) and DuckDB inlines plain CTEs, re-running the
-    whole transitive closure per reference."""
+    whole transitive closure per reference. It also pins ``und``: the
+    recursive term re-scans ``und`` every iteration, and when ``und`` is a
+    plain CTE over an EXPENSIVE edge derivation (dd7's banded SimHash pair
+    join at sf1.0), inlining re-runs that derivation per iteration — the
+    r6 sweep's dd7 oracle burned its whole 600s budget this way while the
+    materialized form finishes in minutes."""
     kw = "MATERIALIZED " if materialized else ""
     return f"""cc AS {kw}(
-  WITH RECURSIVE und(a, b) AS (
+  WITH RECURSIVE und(a, b) AS {kw}(
     SELECT subj, obj FROM {edges_cte}
     UNION SELECT obj, subj FROM {edges_cte}
   ), reach(a, b) AS (

@@ -156,7 +156,13 @@ def build_nodes_with_attrs(
     AROUND the generic explode→2-groupBy→join merge; only the (small,
     already-aggregated) entity slice pays for it. At sf1.0 this took
     a2_node_attrs from 101.8s to the same order as the plain node build."""
-    base = build_nodes(transcripts, mentions, snapshot_version)
+    # checkpoint: the entity slice and the pass-through rest both consume
+    # ``base`` — without it each branch recomputes the whole node build
+    # (scan + mention-stats aggregation), which at sf1.0 is most of a2's
+    # residual cost over the plain d_nodes build
+    base = build_nodes(transcripts, mentions, snapshot_version).localCheckpoint(
+        eager=True
+    )
     derive_stats = (
         mentions.filter(F.col("mtype") == "derive")
         .groupBy("norm")
