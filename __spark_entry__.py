@@ -504,7 +504,28 @@ def q_group_quantiles(spark, sf_dir):
     return A.group_quantiles(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_harmonic_centrality(spark, sf_dir):
+    """g13: sampled harmonic centrality (Eppstein-Wang 2001 / Boldi-Vigna
+    2014) over the undirected refers graph — every node scored by
+    sum(scale div d(seed, node)) from the deterministic 8-seed md5-rank
+    sample; the closeness-family centrality the PageRank/HITS pair cannot
+    express (it ranks by DISTANCE, not by link mass)."""
+    e = refers_to_edges(_m(spark, sf_dir))
+    return _hex_ids(G.harmonic_centrality(e.select("subj", "obj")), "id")
+
+
+def q_log_quantiles(spark, sf_dir):
+    """sk4: DDSketch-style base-2 log-histogram quantiles (p50/p90/p99 of
+    value per event_type) — the mergeable fixed-size sketch path to the
+    same order statistic qn1 answers exactly; factor-2 error bound by
+    construction."""
+    return A.log_histogram_quantiles(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def q_attribution(spark, sf_dir):
+
     """ev7: last-touch conversion attribution (1-day lookback) via one
     ignore-nulls carry window — the backward complement of ev5's funnel."""
     return A.attribute_conversions(spark.read.parquet(f"{sf_dir}/events.parquet"))
@@ -1107,12 +1128,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g10_label_propagation": q_label_propagation,
         "g11_hits": q_hits,
         "g12_personalized_pagerank": q_personalized_pagerank,
+        "g13_harmonic_centrality": q_harmonic_centrality,
         "ev8_session_overlaps": q_session_overlaps,
         "a9_cube_counts": q_cube_counts,
         "w5_hopping_counts": q_hopping_counts,
         "sk2_hll_distinct": q_hll_distinct,
         "sk3_cms_heavy_hitters": q_cms_heavy_hitters,
         "qn1_group_quantiles": q_group_quantiles,
+        "sk4_log_quantiles": q_log_quantiles,
         "cur5_semdedup": q_semdedup,
         "ev6_retention": q_retention,
         "lp1_link_prediction": q_link_prediction,
@@ -1419,6 +1442,11 @@ def oracle_sql() -> dict[str, str]:
             O.refers_to_cte(),
             G.personalized_pagerank_cte("refers_to"),
         ),
+        "g13_harmonic_centrality": O.oracle(
+            "SELECT id, hc, n_seen FROM hc",
+            O.refers_to_cte(),
+            G.harmonic_centrality_cte("refers_to"),
+        ),
         "g11_hits": O.oracle(
             "SELECT id, hub, auth FROM hits_out",
             O.refers_to_cte(),
@@ -1440,6 +1468,7 @@ def oracle_sql() -> dict[str, str]:
             A.cms_heavy_hitters_cte(),
         ),
         "qn1_group_quantiles": A.group_quantiles_sql(),
+        "sk4_log_quantiles": A.log_histogram_quantiles_sql(),
         "cur5_semdedup": S.semdedup_sql(),
         "ev6_retention": A.retention_cohorts_sql(),
         "lp1_link_prediction": O.oracle(

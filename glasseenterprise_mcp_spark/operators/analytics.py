@@ -1717,3 +1717,129 @@ def cube_mention_counts_cte() -> str:
          CAST(GROUPING(mtype, role) AS INT) AS gmask
   FROM mentions GROUP BY CUBE (mtype, role)
 )"""
+
+
+# sk4: log-bucket quantile sketch — the DDSketch idea (Masson, Rim & Lee,
+# VLDB 2019) in its base-2, fixed-point form. qn1 answers quantiles
+# EXACTLY but pays a full two-phase rank selection over the corpus per
+# query; sk4 is the standing 100TB path: the corpus collapses map-side to
+# a ≤64-row-per-group histogram whose counts merge by SUM under ANY batch
+# split (associative + commutative — the same mergeability contract as
+# sk1-sk3), and every quantile then reads off the cumulative histogram
+# with a guaranteed factor-2 relative error (the bucket's own width).
+# Bucketing is integer bit-length via the binary-string representation —
+# identical in Spark (F.bin) and DuckDB (bin()), no float log anywhere in
+# the parity surface.
+SK4_PS = (50, 90, 99)
+SK4_VSCALE = 1000  # fixed-point: v_int = floor(|value|·1000) + 1 ≥ 1
+
+
+def log_value_histogram(events: DataFrame) -> DataFrame:
+    """The sk4 sketch itself: (event_type, bucket, cnt) with bucket =
+    bit_length(floor(|value|·VSCALE) + 1) — ≤64 rows per group whatever
+    the corpus size, and counts merge by SUM under any split of the input
+    (the unit test pins hist(A∪B) == sum-merge(hist(A), hist(B))), which
+    is what makes it a one-partial-agg standing aggregate at 100TB.
+    Bucketing uses |value|: for the non-negative domains it serves
+    (latencies, sizes, counts — events.value here) bucket order IS value
+    order; a signed domain would need a two-sided variant first."""
+    return (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.length(
+                F.bin(
+                    F.floor(F.abs(F.col("value")) * SK4_VSCALE).cast("long")
+                    + 1
+                )
+            ).cast("int").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def log_histogram_quantiles(
+    events: DataFrame, ps: tuple[int, ...] = SK4_PS
+) -> DataFrame:
+    """sk4: (event_type, p, n, n_buckets, q_bucket, q_est) — per event
+    type, the p-th percentile estimated from the base-2 log histogram of
+    the fixed-point value. q_est = 2^(q_bucket-1) is the bucket's lower
+    bound: the true fixed-point quantile v satisfies q_est ≤ v < 2·q_est
+    (the factor-2 sandwich the unit test pins against qn1's exact rank).
+    Rank definition matches qn1's discrete rule ((n-1)·p div 100 + 1) so
+    the two operators answer the SAME order statistic at both fidelities.
+
+    Shape: one partial-agg shuffle collapses the corpus to (type, bucket)
+    counts; the cumulative window runs over ≤64-row groups (never the
+    corpus); quantile selection is a min-bucket aggregate. n_buckets is
+    the sketch's physical size — the number a capacity planner reads."""
+    hist = log_value_histogram(events)
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type",
+        "bucket",
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy("event_type").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("n"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("n_buckets"),
+    )
+    targets = F.explode(F.array(*[F.lit(p) for p in ps])).alias("p")
+    return (
+        cum.select("event_type", "bucket", "cum", "n", "n_buckets", targets)
+        .filter(F.col("cum") >= F.expr("(n - 1) * p div 100") + 1)
+        .groupBy("event_type", F.col("p").cast("int").alias("p"))
+        .agg(
+            F.first("n").alias("n"),
+            F.first("n_buckets").alias("n_buckets"),
+            F.min("bucket").cast("int").alias("q_bucket"),
+        )
+        .select(
+            "event_type",
+            "p",
+            "n",
+            "n_buckets",
+            "q_bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), q_bucket - 1)")
+            .cast("long")
+            .alias("q_est"),
+        )
+    )
+
+
+def log_histogram_quantiles_sql(ps: tuple[int, ...] = SK4_PS) -> str:
+    """Oracle: the identical histogram → cumulative → min-bucket chain."""
+    vals = ", ".join(f"({p})" for p in ps)
+    return f"""
+WITH sk4_hist AS (
+  SELECT event_type,
+         CAST(LENGTH(bin(CAST(FLOOR(ABS(value) * {SK4_VSCALE}) AS BIGINT) + 1)) AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, bucket
+),
+sk4_cum AS (
+  SELECT event_type, bucket,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_buckets
+  FROM sk4_hist
+)
+SELECT event_type, CAST(p AS INT) AS p, ANY_VALUE(n) AS n,
+       ANY_VALUE(n_buckets) AS n_buckets,
+       CAST(MIN(bucket) AS INT) AS q_bucket,
+       CAST(1::BIGINT << (MIN(bucket) - 1) AS BIGINT) AS q_est
+FROM sk4_cum JOIN (VALUES {vals}) ps(p)
+  ON cum >= (n - 1) * p // 100 + 1
+GROUP BY event_type, p"""

@@ -1377,3 +1377,128 @@ ppr0 AS MATERIALIZED (
         f"ppr AS (SELECT id, r AS rank, is_seed FROM ppr{iters})"
     )
     return ",\n".join(parts)
+
+
+# G13: sampled harmonic centrality (Eppstein & Wang 2001 sampling scheme;
+# Boldi & Vigna 2014 argue harmonic is the axiomatically sound closeness
+# variant on disconnected graphs — unreachable pairs contribute 0, no
+# infinite-distance special case). Exact all-pairs closeness is O(N·E);
+# the published scale path is distances from a FIXED seed sample, which
+# estimates every node's centrality with error independent of N. With the
+# undirected closure d(s,v) = d(v,s), so one multi-source BFS from the
+# sample scores the whole graph.
+HC_SEEDS = 8
+HC_ROUNDS = 4
+HC_SCALE = 1_000_000
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    n_seeds: int = HC_SEEDS,
+    rounds: int = HC_ROUNDS,
+    scale: int = HC_SCALE,
+) -> DataFrame:
+    """G13: (id, hc, n_seen) — hc(v) = Σ_{s∈S, s≠v, d(s,v)≤rounds}
+    ``scale div d(s,v)`` over the undirected closure; S = the ``n_seeds``
+    lowest (md5(id-text), id) nodes (the g12/ivf deterministic-sample
+    idiom, hashed over the ORACLE-FACING hex of binary ids). n_seen = how
+    many seeds reached v — the estimate's own support, reported so a
+    downstream consumer can weight confidence. Integer div keeps the twin
+    hash-matchable where float 1/d never would.
+
+    100TB shape: the symmetric edge table is distinct-ed, repartitioned by
+    src and checkpointed ONCE; each BFS round is one src-keyed join + one
+    (seed, node) min partial-agg + an anti-join against the visited state
+    (first visit IS the shortest distance — layered BFS), so state stays
+    ≤ |S|·N rows with |S| fixed; empty-frontier short-circuit; per-round
+    localCheckpoint truncates lineage (the g6 loop discipline)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .unionByName(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    with graph_sized_shuffle(e, e.count()):
+        nodes = (
+            e.select(F.col("src").alias("id")).distinct()
+        )
+        id_text = (
+            F.lower(F.hex("id"))
+            if dict(nodes.dtypes)["id"] == "binary"
+            else F.col("id").cast("string")
+        )
+        seeds = (
+            nodes.select("id", F.md5(id_text.cast("binary")).alias("_h"))
+            .orderBy("_h", "id")
+            .limit(n_seeds)
+            .select(F.col("id").alias("s"))
+        )
+        state = seeds.select(
+            "s", F.col("s").alias("id"), F.lit(0).cast("int").alias("dist")
+        ).localCheckpoint(eager=True)
+        frontier = state
+        for _ in range(rounds):
+            nxt = (
+                frontier.join(e, frontier["id"] == e["src"])
+                .select("s", F.col("dst").alias("id"),
+                        (F.col("dist") + 1).alias("dist"))
+                .groupBy("s", "id")
+                .agg(F.min("dist").cast("int").alias("dist"))
+            )
+            frontier = (
+                nxt.join(state.select("s", "id"), ["s", "id"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if frontier.limit(1).count() == 0:
+                break
+            state = state.unionByName(frontier).localCheckpoint(eager=True)
+    return (
+        state.filter(F.col("id") != F.col("s"))
+        .groupBy("id")
+        .agg(
+            F.sum(F.expr(f"{scale} div dist")).cast("long").alias("hc"),
+            F.count(F.lit(1)).cast("long").alias("n_seen"),
+        )
+    )
+
+
+def harmonic_centrality_cte(
+    edges_cte: str,
+    n_seeds: int = HC_SEEDS,
+    rounds: int = HC_ROUNDS,
+    scale: int = HC_SCALE,
+) -> str:
+    """DuckDB oracle: the bounded-walk closure from the same seed sample —
+    min dist per (seed, node) over walks of ≤ ``rounds`` edges equals BFS
+    distance (walks may revisit; MIN is unaffected). ``hc_e``/``hc_und``
+    MATERIALIZED so the recursive term re-reads a computed table instead
+    of re-deriving the edge pipeline per iteration (the dd7 lesson)."""
+    return f"""hc AS (
+  WITH RECURSIVE hc_und AS MATERIALIZED (
+    SELECT subj AS src, obj AS dst FROM {edges_cte} WHERE subj <> obj
+    UNION SELECT obj, subj FROM {edges_cte} WHERE subj <> obj
+  ),
+  hc_seeds AS MATERIALIZED (
+    SELECT id FROM (SELECT DISTINCT src AS id FROM hc_und)
+    ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_seeds}
+  ),
+  hc_walk(s, id, dist) AS (
+    SELECT id, id, 0 FROM hc_seeds
+    UNION
+    SELECT w.s, e.dst, w.dist + 1
+    FROM hc_walk w JOIN hc_und e ON w.id = e.src
+    WHERE w.dist < {rounds}
+  ),
+  hc_mind AS (
+    SELECT s, id, MIN(dist) AS dist FROM hc_walk GROUP BY s, id
+  )
+  SELECT id, CAST(SUM({scale} // dist) AS BIGINT) AS hc,
+         CAST(COUNT(*) AS BIGINT) AS n_seen
+  FROM hc_mind WHERE id <> s GROUP BY id
+)"""

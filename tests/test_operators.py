@@ -1990,3 +1990,154 @@ def test_personalized_pagerank_semantics(spark):
         "WITH " + personalized_pagerank_cte("pprtest", n_seeds=n_seeds)
         + "\nSELECT id, rank, is_seed FROM ppr",
     )
+
+
+def test_harmonic_centrality_semantics(spark):
+    """g13 vs an independent python BFS simulation of the same recurrence
+    (same md5 seed rule, undirected closure, bounded hops, integer div) on
+    a path + a disconnected pair; a reversed-only edge still connects (the
+    closure is undirected); empty edges yield an empty typed frame; the
+    DuckDB recursive-CTE twin agrees on the full output."""
+    import hashlib
+
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.graph import (
+        harmonic_centrality,
+        harmonic_centrality_cte,
+    )
+
+    from .conftest import compare_query
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+        ("g", "f"),  # reversed-only: f reaches g via the closure
+    ]
+    e = spark.createDataFrame(edges, "subj string, obj string")
+
+    # independent simulation
+    und: dict[str, set[str]] = {}
+    for s_, d_ in edges:
+        und.setdefault(s_, set()).add(d_)
+        und.setdefault(d_, set()).add(s_)
+    nodes = sorted(und)
+    seeds = sorted(nodes, key=lambda x: (hashlib.md5(x.encode()).hexdigest(), x))[:3]
+    expect: dict[str, list[int]] = {}
+    for s_ in seeds:
+        dist = {s_: 0}
+        frontier = [s_]
+        for r in range(4):
+            nxt = []
+            for u in frontier:
+                for v in und[u]:
+                    if v not in dist:
+                        dist[v] = r + 1
+                        nxt.append(v)
+            frontier = nxt
+        for v, d_ in dist.items():
+            if v != s_:
+                expect.setdefault(v, []).append(1_000_000 // d_)
+    want = {v: (sum(c), len(c)) for v, c in expect.items()}
+
+    got = {
+        r.id: (r.hc, r.n_seen)
+        for r in harmonic_centrality(e, n_seeds=3).collect()
+    }
+    assert got == want
+
+    con = duckdb.connect()
+    con.register("hctest", e.toPandas())
+    compare_query(
+        spark,
+        con,
+        harmonic_centrality(e, n_seeds=3),
+        "WITH " + harmonic_centrality_cte("hctest", n_seeds=3)
+        + "\nSELECT id, hc, n_seen FROM hc",
+    )
+
+    empty = spark.createDataFrame([], "subj string, obj string")
+    assert harmonic_centrality(empty).count() == 0
+
+
+def test_log_histogram_quantiles_semantics(spark):
+    """sk4 vs an independent python simulation (int.bit_length buckets,
+    qn1's discrete rank rule), the factor-2 sandwich against the EXACT
+    qn1 quantile on the same data, sum-mergeability of the histogram
+    under an arbitrary split, and the DuckDB twin."""
+    import datetime as dt
+
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.analytics import (
+        group_quantiles,
+        log_histogram_quantiles,
+        log_histogram_quantiles_sql,
+        log_value_histogram,
+    )
+
+    from .conftest import compare_query
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [0.01, 0.5, 1.0, 1.5, 2.0, 7.0, 7.0, 63.9, 64.1, 400.0]
+    rows = [(i, t0, 1, "view", v, "") for i, v in enumerate(vals)]
+    rows += [(100, t0, 1, "click", 5.0, ""), (101, t0, 1, "click", None, "")]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    ev = spark.createDataFrame(rows, schema)
+
+    # independent simulation
+    def sim(values, ps=(50, 90, 99)):
+        ints = sorted(int(abs(v) * 1000) + 1 for v in values)
+        n = len(ints)
+        hist: dict[int, int] = {}
+        for x in ints:
+            hist[x.bit_length()] = hist.get(x.bit_length(), 0) + 1
+        out = {}
+        for p in ps:
+            rn = (n - 1) * p // 100 + 1
+            cum = 0
+            for b in sorted(hist):
+                cum += hist[b]
+                if cum >= rn:
+                    out[p] = (n, len(hist), b, 1 << (b - 1))
+                    break
+        return out
+
+    got = {
+        (r.event_type, r.p): (r.n, r.n_buckets, r.q_bucket, r.q_est)
+        for r in log_histogram_quantiles(ev).collect()
+    }
+    want = {("view", p): v for p, v in sim(vals).items()}
+    want.update({("click", p): v for p, v in sim([5.0]).items()})
+    assert got == want
+
+    # factor-2 sandwich against qn1's exact answer (same rank rule)
+    exact = {
+        (r.event_type, r.p): r.q_value for r in group_quantiles(ev).collect()
+    }
+    for (et, p), (_, _, _, q_est) in got.items():
+        w = int(abs(exact[(et, p)]) * 1000) + 1
+        assert q_est <= w < 2 * q_est, (et, p, q_est, w)
+
+    # histogram counts sum-merge under any input split
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    merged: dict[tuple, int] = {}
+    for half in (half_a, half_b):
+        for r in log_value_histogram(half).collect():
+            merged[(r.event_type, r.bucket)] = (
+                merged.get((r.event_type, r.bucket), 0) + r.cnt
+            )
+    whole = {
+        (r.event_type, r.bucket): r.cnt
+        for r in log_value_histogram(ev).collect()
+    }
+    assert merged == whole
+
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    compare_query(
+        spark, con, log_histogram_quantiles(ev), log_histogram_quantiles_sql()
+    )
