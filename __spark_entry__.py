@@ -1009,6 +1009,19 @@ def q_ppm_resize(spark, sf_dir):
     return resize_ppm_features(synthesize_ppm_media(_docs(spark, sf_dir)))
 
 
+def q_image_near_dups(spark, sf_dir):
+    """mm11: perceptual-hash (aHash) image near-duplicates — decode the
+    real PPM blobs, 8x8 integer aHash as 4x16-bit bands, dd4's pigeonhole
+    band join + exact hamming <= 3; the bridge from the multimodal decode
+    path into the dedup family."""
+    from glasseenterprise_mcp_spark.operators.multimodal import (
+        image_near_dups,
+        synthesize_ppm_media,
+    )
+
+    return image_near_dups(synthesize_ppm_media(_docs(spark, sf_dir)))
+
+
 def q_png_decode(spark, sf_dir):
     """mm9: REAL compressed-codec round trip — stdlib-encoded PNG blobs
     (zlib deflate, filters cycling none/sub/up/average/paeth, verified
@@ -1184,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm8_y4m_frames": q_y4m_frames,
         "mm9_png_decode": q_png_decode,
         "mm10_jpeg_check": q_jpeg_check,
+        "mm11_image_near_dups": q_image_near_dups,
         "s5b_xml_deps": q_xml_deps,
     }
 
@@ -1684,6 +1698,9 @@ def oracle_sql() -> dict[str, str]:
         "mm10_jpeg_check": __import__(
             "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]
         ).jpeg_check_sql(),
+        "mm11_image_near_dups": __import__(
+            "glasseenterprise_mcp_spark.operators.multimodal", fromlist=["x"]
+        ).image_near_dups_sql(),
         "s8_versioned_readback": O.oracle(
             "SELECT tbl, k1, k2, val, snapshot_version FROM versioned",
             versioned_readback_cte(),

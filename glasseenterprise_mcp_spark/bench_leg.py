@@ -112,6 +112,12 @@ def run_leg(
         )
         return round(time.time() - t0, 3)
 
+    # the canary workload itself JITs on first execution (range source +
+    # md5-on-string codegen — codepaths the pipeline warm-up doesn't touch):
+    # the r6 side study read pre 1.5-2x post on 10/10 legs, which the 1.25x
+    # marking rule then read as steal on EVERY leg. One untimed canary
+    # first, so canary_pre measures the host, not the JIT.
+    _canary()
     canary_pre = _canary()
     t = amplify(derive_transcripts(spark, sf_dir), factor)
     t0 = time.time()

@@ -1481,3 +1481,160 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
        CAST(doc_id % 11 + 5 AS INT) AS height,
        TRUE AS within_tol
 FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# mm11: perceptual-hash image near-duplicates — the bridge between the
+# multimodal decode path and the dd4 banded-hamming dedup family. aHash
+# (average hash), the classic perceptual fingerprint: nearest-neighbor
+# resize to 8×8, integer grayscale, threshold each cell against the image
+# mean → 64 bits, carried as FOUR 16-bit band integers (the full 64-bit
+# value could set bit 63 and overflow signed int64; the bands are what the
+# dd4 pigeonhole join needs anyway). Everything integer: gray = (r+g+b)
+# div 3, threshold 64·gray ≥ Σgray (cross-multiplied — no mean division).
+# The oracle reproduces the SAME bands from the closed-form pixel formula
+# without seeing bytes, so encode→parse→resize→hash→band→join is checked
+# end-to-end.
+# ---------------------------------------------------------------------------
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("b0", IntegerType()),
+        StructField("b1", IntegerType()),
+        StructField("b2", IntegerType()),
+        StructField("b3", IntegerType()),
+    ]
+)
+
+
+def ahash_bands(media: DataFrame, target: int = 8) -> DataFrame:
+    """(media_id, b0..b3): the aHash of each decoded image as 4×16-bit
+    band integers; bit k = i·8+j (row-major), band n holds bits
+    [16n, 16n+16) at weight 2^(k mod 16)."""
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                px = _decode_ppm(bytes(buf))
+                h, w, _ = px.shape
+                yi = (np.arange(target) * h) // target
+                xi = (np.arange(target) * w) // target
+                small = px[np.ix_(yi, xi)]
+                gray = small.astype("int64").sum(axis=2) // 3
+                total = int(gray.sum())
+                bits = (target * target * gray.ravel() >= total).astype(int)
+                bands = [
+                    int(sum(int(bits[n * 16 + k]) << k for k in range(16)))
+                    for n in range(4)
+                ]
+                rows.append((mid, *bands))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AHASH_SCHEMA.fields]
+            )
+
+    from ..functions.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+    return media.select("media_id", "content").mapInPandas(
+        _batches, schema=AHASH_SCHEMA
+    )
+
+
+def image_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """mm11: (a, b, hamming) — image pairs whose aHashes differ in ≤
+    ``max_hamming`` of 64 bits, a < b. dd4's pigeonhole banding verbatim:
+    ≤3 differing bits across 4 bands leave ≥1 band identical, so the band
+    equi join loses nothing; exact hamming (one bit_count(xor) per band)
+    verifies candidates only. Synthetic gradient images make some bands
+    degenerate (all-0/all-1) — hot classes whose quadratic cost is bounded
+    WITHIN the class (the LSH-bucket contract; production would drop
+    flat-image bands from the blocking key the way dd2 documents its
+    hot-bucket cap)."""
+    sig = ahash_bands(media).localCheckpoint(eager=True)
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("band"), F.col(f"b{n}").alias("key")
+            )
+            for n in range(4)
+        ]
+    )
+    bands = sig.select(
+        "media_id", "b0", "b1", "b2", "b3", F.explode(bands_arr).alias("bb")
+    ).select(
+        "media_id", "b0", "b1", "b2", "b3",
+        F.col("bb.band").alias("band"), F.col("bb.key").alias("key"),
+    )
+    l = bands.select(
+        "band", "key", F.col("media_id").alias("a"),
+        *[F.col(f"b{n}").alias(f"xa{n}") for n in range(4)],
+    )
+    r = bands.select(
+        "band", "key", F.col("media_id").alias("b"),
+        *[F.col(f"b{n}").alias(f"xb{n}") for n in range(4)],
+    )
+    ham = sum(
+        F.bit_count(
+            F.col(f"xa{n}").cast("long").bitwiseXOR(F.col(f"xb{n}").cast("long"))
+        )
+        for n in range(4)
+    ).cast("int")
+    return (
+        l.join(r, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", *[f"xa{n}" for n in range(4)],
+                *[f"xb{n}" for n in range(4)])
+        .distinct()
+        .select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _ahash_bands_sql() -> str:
+    """CTE chain computing the same bands from the pixel formula."""
+    y = "((g.i * (d.doc_id % 12 + 4)) // 8)"
+    x = "((g.j * (d.doc_id % 16 + 4)) // 8)"
+    gray = (
+        "(" + " + ".join(_PX.format(d="d.doc_id", y=y, x=x, c=str(c)) for c in (0, 1, 2)) + ") // 3"
+    )
+    return f"""ah_grid AS (
+  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j
+  FROM (SELECT unnest(range(0, 8)) AS i),
+       LATERAL (SELECT unnest(range(0, 8)) AS j)
+),
+ah_gray AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS media_id, g.i, g.j,
+         CAST({gray} AS BIGINT) AS gray
+  FROM documents d CROSS JOIN ah_grid g
+),
+ah_bits AS (
+  SELECT media_id, i * 8 + j AS k,
+         CASE WHEN 64 * gray >= SUM(gray) OVER (PARTITION BY media_id)
+              THEN 1 ELSE 0 END AS bit
+  FROM ah_gray
+),
+ah_sig AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN k // 16 = 0 THEN bit << (k % 16) END) AS INT) AS b0,
+         CAST(SUM(CASE WHEN k // 16 = 1 THEN bit << (k % 16) END) AS INT) AS b1,
+         CAST(SUM(CASE WHEN k // 16 = 2 THEN bit << (k % 16) END) AS INT) AS b2,
+         CAST(SUM(CASE WHEN k // 16 = 3 THEN bit << (k % 16) END) AS INT) AS b3
+  FROM ah_bits GROUP BY media_id
+)"""
+
+
+def image_near_dups_sql(max_hamming: int = 3) -> str:
+    """Oracle twin: the naive O(N²) pair join over the closed-form bands —
+    independent of the engine's banded candidate step, so the gate proves
+    the pigeonhole decomposition loses nothing (the dd4 twin contract)."""
+    ham = " + ".join(
+        f"bit_count(CAST(xor(CAST(x.b{n} AS BIGINT), CAST(y.b{n} AS BIGINT)) AS BIGINT))"
+        for n in range(4)
+    )
+    return f"""
+WITH {_ahash_bands_sql()}
+SELECT x.media_id AS a, y.media_id AS b, CAST({ham} AS INT) AS hamming
+FROM ah_sig x JOIN ah_sig y ON x.media_id < y.media_id
+WHERE {ham} <= {max_hamming}"""

@@ -206,7 +206,13 @@ def run_composed_stream(
       1. ingest dedup: ``dropDuplicatesWithinWatermark`` on the turn
          content hash (the dedup_stream operator applied to the transcript
          feed) — retried/replayed turns are dropped at ingest, state is
-         bounded by the watermark;
+         bounded by the watermark. INGEST CONTRACT: the feed must arrive
+         approximately event-time-ordered — rows older than the watermark
+         are late data and are dropped (standard Structured Streaming
+         semantics; bounded dedup state is impossible without it). A
+         time-shuffled feed silently loses data: slice source files by ts
+         range the way bench.py's streaming leg does. Pinned by
+         tests/test_streaming.py::test_composed_stream_drops_late;
       2. ``foreachBatch`` → :func:`incremental_update` with
          ``with_components=True``: extract → link (delta + persisted
          registries) → MERGE upsert of nodes/edges/link registry →

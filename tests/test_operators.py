@@ -2141,3 +2141,66 @@ def test_log_histogram_quantiles_semantics(spark):
     compare_query(
         spark, con, log_histogram_quantiles(ev), log_histogram_quantiles_sql()
     )
+
+
+def test_image_near_dups_semantics(spark):
+    """mm11 vs an independent python/numpy simulation of the whole chain
+    (decode-free: pixels from the closed form, NN resize, integer gray,
+    mean threshold, band ints, hamming) on a doc set crafted to contain an
+    exact-dup pair (Δdoc_id = lcm(256, 48) = 768 ⇒ identical pixels AND
+    dims); the engine's banded join must equal the naive all-pairs set
+    (pigeonhole losslessness), and the DuckDB twin agrees."""
+    import itertools
+
+    import duckdb
+    import numpy as np
+
+    from glasseenterprise_mcp_spark.operators.multimodal import (
+        image_near_dups,
+        image_near_dups_sql,
+        synthesize_ppm_media,
+    )
+
+    ids = [0, 1, 7, 768, 769, 99, 100, 355, 611]  # 0/768 and 1/769 exact dups
+
+    def sim_bands(d):
+        w, h = d % 16 + 4, d % 12 + 4
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        px = (37 * d + 11 * y + 7 * x + 13 * c) % 256
+        yi = (np.arange(8) * h) // 8
+        xi = (np.arange(8) * w) // 8
+        gray = px[np.ix_(yi, xi)].astype("int64").sum(axis=2) // 3
+        bits = (64 * gray.ravel() >= int(gray.sum())).astype(int)
+        return tuple(
+            sum(int(bits[n * 16 + k]) << k for k in range(16)) for n in range(4)
+        )
+
+    sig = {d: sim_bands(d) for d in ids}
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(sig[a], sig[b]))
+
+    want = {
+        (a, b): ham(a, b)
+        for a, b in itertools.combinations(sorted(ids), 2)
+        if ham(a, b) <= 3
+    }
+    assert (0, 768) in want and want[(0, 768)] == 0  # planted exact dup
+
+    docs = spark.createDataFrame([(d, "t") for d in ids], "doc_id long, text string")
+    got = {
+        (r.a, r.b): r.hamming
+        for r in image_near_dups(synthesize_ppm_media(docs)).collect()
+    }
+    assert got == want
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    from .conftest import compare_query
+
+    compare_query(
+        spark,
+        con,
+        image_near_dups(synthesize_ppm_media(docs)),
+        image_near_dups_sql(),
+    )

@@ -583,3 +583,59 @@ def test_incremental_cms_exactly_once(spark):
         read_cms_sketch(sink).select("row", "col", "cell_n").collect()
     )
     assert doubled != oneshot
+
+
+def test_composed_stream_drops_late(spark):
+    """Pins the ingest contract the bench leg relies on: the watermarked
+    dedup (bounded state — the 100TB requirement) treats rows older than
+    the event-time watermark as LATE and drops them, standard Structured
+    Streaming semantics. A feed must therefore arrive approximately
+    event-time-ordered (the bench slices source files by ts range); a
+    shuffled feed silently loses data — the first r6 side study measured
+    833+833+4+1+1+0 of 5000 before the bench split was fixed."""
+    import datetime as dt
+
+    from glasseenterprise_mcp_spark.streaming.incremental import (
+        run_composed_stream,
+    )
+
+    src, ckpt = tempfile.mkdtemp(), tempfile.mkdtemp()
+    sink = GraphSink(spark, tempfile.mkdtemp())
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    new = [
+        (f"cN{i}", 0, "user", f"fresh turn {i}", None, t0)
+        for i in range(20)
+    ]
+    old = [
+        (f"cO{i}", 0, "user", f"stale turn {i}", None,
+         t0 - dt.timedelta(hours=1))
+        for i in range(20)
+    ]
+    # file 1 carries the NEW timestamps; file 2 (processed after — file
+    # source orders by mod time) is entirely older than watermark =
+    # max(ts) - 10min after batch 1
+    spark.createDataFrame(new, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    counts1 = []
+    q = run_composed_stream(
+        spark, src, sink, ckpt, "snapL", watermark="10 minutes",
+        post_batch_hook=lambda bid, n: counts1.append(n),
+    )
+    q.awaitTermination(300)
+    assert sum(counts1) == 20
+
+    spark.createDataFrame(old, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    counts2 = []
+    q = run_composed_stream(
+        spark, src, sink, ckpt, "snapL", watermark="10 minutes",
+        post_batch_hook=lambda bid, n: counts2.append(n),
+    )
+    q.awaitTermination(300)
+    assert sum(counts2) == 0  # an hour-late file is dropped whole
