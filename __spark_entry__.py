@@ -377,6 +377,14 @@ def q_mixture_weights(spark, sf_dir):
     return T.mixture_weights(_docs(spark, sf_dir))
 
 
+def q_temperature_mix(spark, sf_dir):
+    """cur6: √-temperature mixture sampling (Rae 2021 / Arivazhagan 2019) —
+    per-source keep rates ∝ n^(1/2)/n scaled so the most up-weighted source
+    keeps 100%, integer-exact isqrt, realized through the deterministic
+    hash gate whose survivors the oracle recounts."""
+    return T.temperature_mix(_docs(spark, sf_dir))
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """tx9: per-document top-k salient terms by integer tf-idf (ppm idf
     surrogate — monotone in N/df, so the ranking is the tf-idf ranking),
@@ -512,6 +520,17 @@ def q_harmonic_centrality(spark, sf_dir):
     express (it ranks by DISTANCE, not by link mass)."""
     e = refers_to_edges(_m(spark, sf_dir))
     return _hex_ids(G.harmonic_centrality(e.select("subj", "obj")), "id")
+
+
+def q_scc(spark, sf_dir):
+    """g14: strongly connected components of the directed tool-transition
+    graph — the directed counterpart of g4's undirected CC and the
+    closure-form generalization of g2's cycle scan (non-trivial SCC ⟺ on a
+    directed cycle); scc_id = lexicographically smallest member, with the
+    component size alongside."""
+    return G.strongly_connected_components(
+        G.tool_transitions(_t(spark, sf_dir)), "from_tool", "to_tool"
+    )
 
 
 def q_log_quantiles(spark, sf_dir):
@@ -1142,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g11_hits": q_hits,
         "g12_personalized_pagerank": q_personalized_pagerank,
         "g13_harmonic_centrality": q_harmonic_centrality,
+        "g14_scc": q_scc,
         "ev8_session_overlaps": q_session_overlaps,
         "a9_cube_counts": q_cube_counts,
         "w5_hopping_counts": q_hopping_counts,
@@ -1178,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur2_prepare_manifest": q_prepare_manifest,
         "cur3_mixture_weights": q_mixture_weights,
         "cur4_dsir_selection": q_dsir_selection,
+        "cur6_temperature_mix": q_temperature_mix,
         "tx9_tfidf_keywords": q_tfidf_keywords,
         "g6_pagerank": q_pagerank,
         "g7_shortest_paths": q_shortest_paths,
@@ -1335,6 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         "tx8_charlm_quality": T.charlm_quality_sql(),
         "bpe1_merge_candidates": T.bpe_merge_candidates_sql(),
         "cur3_mixture_weights": T.mixture_weights_sql(),
+        "cur6_temperature_mix": T.temperature_mix_sql(),
         "tx9_tfidf_keywords": T.tfidf_keywords_sql(),
         "g6_pagerank": O.oracle(
             f"SELECT id, rank FROM (SELECT id, r AS rank FROM pr{G.PR_ITERS})",
@@ -1460,6 +1482,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id, hc, n_seen FROM hc",
             O.refers_to_cte(),
             G.harmonic_centrality_cte("refers_to"),
+        ),
+        "g14_scc": O.oracle(
+            "SELECT id, scc_id, scc_size FROM scc",
+            G.tool_transitions_cte(),
+            G.strongly_connected_components_cte(
+                "tool_transitions", src="from_tool", dst="to_tool"
+            ),
         ),
         "g11_hits": O.oracle(
             "SELECT id, hub, auth FROM hits_out",

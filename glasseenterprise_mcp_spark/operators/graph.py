@@ -1502,3 +1502,132 @@ def harmonic_centrality_cte(
          CAST(COUNT(*) AS BIGINT) AS n_seen
   FROM hc_mind WHERE id <> s GROUP BY id
 )"""
+
+
+SCC_MAX_DEPTH = 16
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = SCC_MAX_DEPTH,
+) -> DataFrame:
+    """G14: (id, scc_id, scc_size) — strongly connected components of the
+    DIRECTED graph, the directed counterpart of g4's undirected CC and the
+    generalization of g2's bounded cycle scan (a node lies on some directed
+    cycle iff its SCC is non-trivial or it has a self-loop). scc_id = the
+    lexicographically smallest member.
+
+    Method: bounded transitive closure (frontier expansion, each round one
+    src-keyed join + distinct + anti-join vs the accumulated closure) →
+    mutual-reachability self-join (closure ⋈ reversed closure) → min-member
+    per node. Exact for any graph whose directed reach stabilizes within
+    ``max_depth`` hops.
+
+    100TB shape: closure state is O(N·reach) — this operator is for the
+    BOUNDED-CARDINALITY derived graphs the cycle queries already run on
+    (tool/label transition graphs: N = distinct tools, not corpus rows;
+    the reference's cycle surface is exactly this graph,
+    src/commands/queryCommand.ts:36-52). Entity-scale SCC would use
+    FW-BW/coloring (Fleischer-Hendrickson-Pinar 2000) — out of scope, and
+    the engine's entity graphs are bipartite (trivial SCCs) by
+    construction. The shuffle is sized to the derived graph
+    (graph_sized_shuffle), rounds short-circuit on an empty frontier, and
+    every round's state is localCheckpoint-truncated (the g6 loop
+    discipline)."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .distinct()
+        .repartition("s")
+        .localCheckpoint(eager=True)
+    )
+    with graph_sized_shuffle(e, e.count()):
+        closure = e
+        frontier = e
+        for _ in range(max_depth - 1):
+            nxt = (
+                frontier.join(
+                    e.select(F.col("s").alias("t"), F.col("t").alias("t2")),
+                    "t",
+                )
+                .select("s", F.col("t2").alias("t"))
+                .distinct()
+                .join(closure, ["s", "t"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            closure = closure.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        nodes = (
+            e.select(F.col("s").alias("id"))
+            .unionByName(e.select(F.col("t").alias("id")))
+            .distinct()
+        )
+        mutual = closure.join(
+            closure.select(F.col("t").alias("s"), F.col("s").alias("t")),
+            ["s", "t"],
+        ).select(F.col("s").alias("id"), F.col("t").alias("o"))
+        sccs = (
+            nodes.join(mutual, "id", "left")
+            .groupBy("id")
+            .agg(F.min("o").alias("_mo"))
+            .select(
+                "id",
+                F.when(
+                    F.col("_mo").isNotNull() & (F.col("_mo") < F.col("id")),
+                    F.col("_mo"),
+                )
+                .otherwise(F.col("id"))
+                .alias("scc_id"),
+            )
+        )
+        sizes = sccs.groupBy("scc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("scc_size")
+        )
+    return sccs.join(sizes, "scc_id").select("id", "scc_id", "scc_size")
+
+
+def strongly_connected_components_cte(
+    edges_cte: str,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = SCC_MAX_DEPTH,
+) -> str:
+    """DuckDB oracle: depth-bounded recursive closure (UNION-dedup on
+    (s,t,d) terminates under cycles; DISTINCT s,t collapses it — the bfs_cte
+    idiom), the same mutual self-join and min-member selection. The edge
+    CTE is re-read as a plain reference — cheap here because the derived
+    graph is small; a scaled twin would MATERIALIZE it (the dd7 lesson)."""
+    return f"""scc AS (
+  WITH RECURSIVE scc_e AS MATERIALIZED (
+    SELECT DISTINCT {src} AS s, {dst} AS t FROM {edges_cte}
+  ),
+  scc_walk(s, t, d) AS (
+    SELECT s, t, 1 FROM scc_e
+    UNION
+    SELECT w.s, e.t, w.d + 1
+    FROM scc_walk w JOIN scc_e e ON w.t = e.s
+    WHERE w.d < {max_depth}
+  ),
+  scc_closure AS (SELECT DISTINCT s, t FROM scc_walk),
+  scc_nodes AS (
+    SELECT s AS id FROM scc_e UNION SELECT t FROM scc_e
+  ),
+  scc_mutual AS (
+    SELECT c1.s AS id, c1.t AS o
+    FROM scc_closure c1 JOIN scc_closure c2 ON c1.s = c2.t AND c1.t = c2.s
+  ),
+  scc_assign AS (
+    SELECT n.id,
+           CASE WHEN MIN(m.o) IS NOT NULL AND MIN(m.o) < n.id
+                THEN MIN(m.o) ELSE n.id END AS scc_id
+    FROM scc_nodes n LEFT JOIN scc_mutual m ON n.id = m.id
+    GROUP BY n.id
+  )
+  SELECT a.id, a.scc_id, CAST(z.scc_size AS BIGINT) AS scc_size
+  FROM scc_assign a JOIN (
+    SELECT scc_id, COUNT(*) AS scc_size FROM scc_assign GROUP BY scc_id
+  ) z USING (scc_id)
+)"""

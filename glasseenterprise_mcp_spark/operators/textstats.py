@@ -753,6 +753,114 @@ SELECT source, n_docs, n_tokens,
 FROM by_src, tot"""
 
 
+# Temperature-flattened mixture sampling — the Gopher/multilingual-NMT
+# data-mixing move (Rae 2021 §A3.1; Arivazhagan 2019 temperature sampling):
+# sample source s with probability ∝ n_s^(1/T); T=2 (√-smoothing, the
+# common production choice) boosts small sources and damps the head
+# without cur3's hard uniform target. Everything integer-exact so the
+# DuckDB twin hash-matches: √ via isqrt (correctly-rounded double sqrt +
+# one-step integer correction — provably exact for n < 2^52), shares and
+# rates in ppm div arithmetic, and the per-doc gate is the tx4 idiom (md5
+# byte bucket vs an IN-QUERY hex threshold, both 3-char padded so the
+# keep-all rate 256 = '100' still compares lexicographically).
+_ISQRT = (
+    "CASE WHEN (_r0 + 1) * (_r0 + 1) <= {n} THEN _r0 + 1 "
+    "WHEN _r0 * _r0 > {n} THEN _r0 - 1 ELSE _r0 END"
+)
+
+
+def temperature_mix(documents: DataFrame) -> DataFrame:
+    """cur6: (source, n_docs, w, keep_ppm, kept_docs) — √-temperature
+    mixture sampling. w = isqrt(n_docs) (∝ n_s^0.5); the realized per-doc
+    keep probability scales the per-source ratio w/n so the most
+    UP-weighted source keeps 100% (never upsamples — a sampling gate can
+    only drop): keep_ppm_s = (w_s div n_s) / max_t(w_t div n_t) in ppm.
+    kept_docs counts the docs actually passing the deterministic hash
+    gate, so the gate itself — not just the arithmetic — is oracle-checked.
+
+    100TB shape: one source-bounded partial agg, a 1-row max broadcast,
+    then one narrow gate pass + one source-bounded count — nothing
+    quadratic, nothing driver-side."""
+    by_src = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = (
+        by_src.withColumn(
+            "_r0", F.expr("CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)")
+        )
+        .withColumn("w", F.expr(_ISQRT.format(n="n_docs")).cast("long"))
+        .withColumn("ratio", F.expr("w * 1000000000 div n_docs"))
+    )
+    mx = w.agg(F.max("ratio").alias("max_ratio"))
+    rates = (
+        w.crossJoin(F.broadcast(mx))
+        .withColumn("keep_ppm", F.expr("ratio * 1000000 div max_ratio").cast("long"))
+        .withColumn("rate256", F.expr("keep_ppm * 256 div 1000000"))
+        .withColumn("thr", F.lpad(F.lower(F.hex(F.col("rate256"))), 3, "0"))
+        .select("source", "n_docs", "w", "keep_ppm", "thr")
+    )
+    gated = (
+        documents.select(
+            "source",
+            F.lpad(
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+                ),
+                3,
+                "0",
+            ).alias("bucket"),
+        )
+        .join(F.broadcast(rates.select("source", "thr")), "source")
+        .filter(F.col("bucket") < F.col("thr"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("kept_docs"))
+    )
+    return (
+        rates.join(gated, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "w",
+            "keep_ppm",
+            F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias("kept_docs"),
+        )
+    )
+
+
+def temperature_mix_sql() -> str:
+    isqrt = _ISQRT.format(n="n_docs")
+    return f"""
+WITH tm_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+tm_w AS (
+  SELECT source, n_docs, CAST({isqrt} AS BIGINT) AS w,
+         CAST({isqrt} AS BIGINT) * 1000000000 // n_docs AS ratio
+  FROM (SELECT source, n_docs,
+               CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS _r0
+        FROM tm_src)
+),
+tm_rates AS (
+  SELECT source, n_docs, w,
+         CAST(ratio * 1000000 // (SELECT MAX(ratio) FROM tm_w) AS BIGINT)
+           AS keep_ppm,
+         lpad(lower(to_hex(
+           ratio * 1000000 // (SELECT MAX(ratio) FROM tm_w) * 256 // 1000000
+         )), 3, '0') AS thr
+  FROM tm_w
+),
+tm_gated AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS kept_docs
+  FROM documents d JOIN tm_rates r ON d.source = r.source
+  WHERE lpad(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2), 3, '0') < r.thr
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.w, r.keep_ppm,
+       CAST(COALESCE(g.kept_docs, 0) AS BIGINT) AS kept_docs
+FROM tm_rates r LEFT JOIN tm_gated g ON r.source = g.source"""
+
+
 # TF-IDF keyword extraction — per-document top-k salient terms, the
 # classic relevance weighting (Sparck Jones 1972) in EXACT integer form:
 # idf_scaled = n_docs * 1e6 div df (the ppm integer surrogate of N/df —

@@ -2204,3 +2204,161 @@ def test_image_near_dups_semantics(spark):
         image_near_dups(synthesize_ppm_media(docs)),
         image_near_dups_sql(),
     )
+
+
+def test_strongly_connected_components_semantics(spark):
+    """g14 vs an independent python Tarjan on a graph crafted to contain a
+    3-cycle, a 2-cycle hanging off it, a DAG tail, a self-loop, and an
+    isolated edge: the closure+mutual decomposition must equal the classic
+    stack algorithm's partition (min-member ids, sizes); the DuckDB
+    recursive-CTE twin agrees on the full output; empty edges yield an
+    empty typed frame."""
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.graph import (
+        strongly_connected_components,
+        strongly_connected_components_cte,
+    )
+
+    from .conftest import compare_query
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),      # 3-cycle {a,b,c}
+        ("c", "d"), ("d", "e"), ("e", "d"),      # 2-cycle {d,e} downstream
+        ("e", "f"), ("f", "g"),                  # DAG tail
+        ("h", "h"),                              # self-loop (trivial SCC)
+        ("x", "y"),                              # isolated edge
+    ]
+
+    # independent simulation: iterative Tarjan
+    adj: dict[str, list[str]] = {}
+    nodes = set()
+    for s_, d_ in edges:
+        adj.setdefault(s_, []).append(d_)
+        nodes.update((s_, d_))
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on_stack: set[str] = set()
+    stack: list[str] = []
+    comps: list[list[str]] = []
+    counter = [0]
+
+    def tarjan(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj.get(v, []))):
+                w = adj[v][i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if not recurse:
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on_stack.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    comps.append(comp)
+                if work:
+                    parent = work[-1][0]
+                    low[parent] = min(low[parent], low[v])
+
+    for v in sorted(nodes):
+        if v not in index:
+            tarjan(v)
+    want = {}
+    for comp in comps:
+        cid = min(comp)
+        for v in comp:
+            want[v] = (cid, len(comp))
+    assert want["a"] == ("a", 3) and want["d"] == ("d", 2)
+    assert want["h"] == ("h", 1) and want["f"] == ("f", 1)
+
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.id: (r.scc_id, r.scc_size)
+        for r in strongly_connected_components(e).collect()
+    }
+    assert got == want
+
+    con = duckdb.connect()
+    con.register("scctest", e.toPandas())
+    compare_query(
+        spark,
+        con,
+        strongly_connected_components(e),
+        "WITH " + strongly_connected_components_cte("scctest")
+        + "\nSELECT id, scc_id, scc_size FROM scc",
+    )
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert strongly_connected_components(empty).count() == 0
+
+
+def test_temperature_mix_semantics(spark):
+    """cur6 vs an independent python simulation (math.isqrt — exact by
+    definition, so this pins the engine's floor(sqrt)+correction isqrt —
+    ppm div arithmetic, md5 byte gate): a skewed 3-source corpus where the
+    smallest source must keep 100% (it has the max w/n ratio) and the
+    head source keeps ~sqrt-proportionally less; the DuckDB twin agrees
+    on the full output."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.textstats import (
+        temperature_mix,
+        temperature_mix_sql,
+    )
+
+    from .conftest import compare_query
+
+    rows = []
+    did = 0
+    for src, n in [("head", 400), ("mid", 64), ("tail", 4)]:
+        for _ in range(n):
+            rows.append((did, src, "t"))
+            did += 1
+
+    n_by = Counter(s for _, s, _ in rows)
+    ratio = {s: math.isqrt(n) * 1_000_000_000 // n for s, n in n_by.items()}
+    mx = max(ratio.values())
+    keep = {s: r * 1_000_000 // mx for s, r in ratio.items()}
+    thr = {s: format(keep[s] * 256 // 1_000_000, "03x") for s in keep}
+    kept = Counter(
+        s
+        for d, s, _ in rows
+        if ("0" + hashlib.md5(str(d).encode()).hexdigest()[:2]) < thr[s]
+    )
+    want = {
+        s: (n_by[s], math.isqrt(n_by[s]), keep[s], kept.get(s, 0)) for s in n_by
+    }
+    assert keep["tail"] == 1_000_000  # max-ratio source keeps everything
+    assert kept["tail"] == 4
+    assert keep["head"] < keep["mid"] < 1_000_000  # sqrt-flattened ordering
+
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.source: (r.n_docs, r.w, r.keep_ppm, r.kept_docs)
+        for r in temperature_mix(docs).collect()
+    }
+    assert got == want
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    compare_query(spark, con, temperature_mix(docs), temperature_mix_sql())
