@@ -639,3 +639,54 @@ def test_composed_stream_drops_late(spark):
     )
     q.awaitTermination(300)
     assert sum(counts2) == 0  # an hour-late file is dropped whole
+
+
+def test_stream_stream_join(spark):
+    """Watermarked stream-stream interval join: (1) a two-batch
+    availableNow drain over a time-split feed equals the one-shot BATCH
+    join run through the SAME plan (inner join emits on match — the
+    watermark governs state eviction, not emission); (2) replaying with
+    the same checkpoint appends nothing (idempotent resume)."""
+    import glob
+
+    from glasseenterprise_mcp_spark.streaming.stream_join import (
+        click_purchase_pairs,
+        run_stream_join,
+    )
+
+    from .conftest import SF_SMALL, freeze
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    cutoff = ev.selectExpr(
+        "CAST(percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5) AS LONG) AS c"
+    ).collect()[0]["c"]
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    src = tempfile.mkdtemp()
+    out = tempfile.mkdtemp()
+    ckpt = tempfile.mkdtemp()
+
+    # event-time-ordered arrival: first half, then second half
+    ev.filter(ts_us <= cutoff).coalesce(1).write.mode("append").parquet(src)
+    q = run_stream_join(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    ev.filter(ts_us > cutoff).coalesce(1).write.mode("append").parquet(src)
+    q = run_stream_join(spark, src, out, ckpt)
+    q.awaitTermination(300)
+
+    got = freeze(spark.read.parquet(out).collect())
+
+    want = freeze(
+        click_purchase_pairs(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    )
+    assert got == want
+    assert len(spark.read.parquet(out).head(1)) == 1  # non-vacuous
+
+    # replay idempotence: same checkpoint, no new input => no new rows
+    n_files = len(glob.glob(os.path.join(out, "*.parquet")))
+    q = run_stream_join(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    assert freeze(spark.read.parquet(out).collect()) == want
