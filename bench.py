@@ -606,6 +606,10 @@ def main() -> None:
             wm = min(l["sec"] for l in calm_4n)
             if (wn / wm) / 4.0 >= 0.8:
                 break
+            # cool-down before re-measuring: bursts pass; a persistent
+            # throttle mode won't, but giving the host a quiet minute costs
+            # little against the legs' own runtime and lets a burst clear
+            time.sleep(60)
             legs[f"local[{n4}]"].append(run_scaling_leg(n4, SCALING_FACTOR))
             legs[f"local[{n}]"].append(run_scaling_leg(n, SCALING_FACTOR))
             calm_n, calm_4n = _mark(f"local[{n}]"), _mark(f"local[{n4}]")
@@ -621,9 +625,23 @@ def main() -> None:
             return [
                 {"sec": l["sec"], "canary_pre": l["canary_pre"],
                  "canary_post": l["canary_post"],
-                 "steal_marked": l["steal_marked"]}
+                 "steal_marked": l["steal_marked"],
+                 "host": l.get("host")}
                 for l in legs[side]
             ]
+
+        # pair-wise efficiency: legs run interleaved (4N then N per rep),
+        # so pairing by index compares ADJACENT time windows — under a
+        # slowly drifting host mode this is less biased than best-of-side
+        # across different windows (a uniformly throttled hour depresses
+        # best-of-side efficiency because contention hits the wide leg
+        # harder; the pair view shows whether ANY window read scalable).
+        pair_eff = [
+            round(
+                (a["sec"] / b["sec"]) / 4.0, 3
+            )
+            for a, b in zip(legs[f"local[{n}]"], legs[f"local[{n4}]"])
+        ]
 
         thr_n, thr_4n = triples_scal / wn_best, triples_scal / wm_best
         result["scaling"] = {
@@ -652,7 +670,8 @@ def main() -> None:
                 / 4.0,
                 3,
             ),
-            "steal_rule": f"leg excluded iff max(bracket canaries) > "
+            "efficiency_pairs": pair_eff,
+            "steal_rule": f"leg excluded iff min(bracket canaries) > "
             f"{STEAL_RATIO}x fastest same-core canary",
             "all_legs_steal_marked": {
                 f"local[{n}]": all(l["steal_marked"] for l in legs[f"local[{n}]"]),

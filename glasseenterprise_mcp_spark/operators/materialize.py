@@ -159,9 +159,15 @@ def build_nodes_with_attrs(
     # checkpoint: the entity slice and the pass-through rest both consume
     # ``base`` — without it each branch recomputes the whole node build
     # (scan + mention-stats aggregation), which at sf1.0 is most of a2's
-    # residual cost over the plain d_nodes build
+    # residual cost over the plain d_nodes build. LAZY (eager would run the
+    # whole node build at PLAN-BUILD time — run_pipeline constructs this
+    # plan unconditionally, so an eager checkpoint charged every sink-less
+    # pipeline run the full node materialization even when nothing read
+    # nodes: the r6 headline read 18.2s vs r5's ~11.5s on an idle host
+    # until this was caught); the first consumer computes it once, later
+    # consumers reuse the persisted RDD.
     base = build_nodes(transcripts, mentions, snapshot_version).localCheckpoint(
-        eager=True
+        eager=False
     )
     derive_stats = (
         mentions.filter(F.col("mtype") == "derive")
