@@ -2177,19 +2177,27 @@ def test_image_near_dups_semantics(spark):
 
     sig = {d: sim_bands(d) for d in ids}
 
-    def ham(a, b):
-        return sum(bin(x ^ y).count("1") for x, y in zip(sig[a], sig[b]))
+    # class collapse: identical signatures -> one class (id = min member)
+    classes: dict[tuple, list[int]] = {}
+    for d in sorted(ids):
+        classes.setdefault(sig[d], []).append(d)
+    cls = {min(v): (k, len(v)) for k, v in classes.items()}
+
+    def ham(x, y):
+        return sum(bin(a ^ b).count("1") for a, b in zip(x, y))
 
     want = {
-        (a, b): ham(a, b)
-        for a, b in itertools.combinations(sorted(ids), 2)
-        if ham(a, b) <= 3
+        (a, b): (ham(cls[a][0], cls[b][0]), cls[a][1], cls[b][1])
+        for a, b in itertools.combinations(sorted(cls), 2)
+        if ham(cls[a][0], cls[b][0]) <= 3
     }
-    assert (0, 768) in want and want[(0, 768)] == 0  # planted exact dup
+    # planted exact dups collapse INTO their class, not into pair rows
+    assert sig[0] == sig[768] and sig[1] == sig[769]
+    assert cls[0][1] >= 2  # class 0 carries its exact-dup member count
 
     docs = spark.createDataFrame([(d, "t") for d in ids], "doc_id long, text string")
     got = {
-        (r.a, r.b): r.hamming
+        (r.a, r.b): (r.hamming, r.na, r.nb)
         for r in image_near_dups(synthesize_ppm_media(docs)).collect()
     }
     assert got == want
