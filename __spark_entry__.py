@@ -377,6 +377,16 @@ def q_mixture_weights(spark, sf_dir):
     return T.mixture_weights(_docs(spark, sf_dir))
 
 
+def q_zorder_key(spark, sf_dir):
+    """zo1: Morton/Z-order layout key over (user_id, event time) — the
+    write-path clustering pass behind OPTIMIZE ZORDER: 16-bit min-max
+    quantization of both dims + the 32-term bit interleave, all integer
+    column expressions (extremes ride a 1-row broadcast)."""
+    from glasseenterprise_mcp_spark.operators.layout import zorder_key
+
+    return zorder_key(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_temperature_mix(spark, sf_dir):
     """cur6: √-temperature mixture sampling (Rae 2021 / Arivazhagan 2019) —
     per-source keep rates ∝ n^(1/2)/n scaled so the most up-weighted source
@@ -1199,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur3_mixture_weights": q_mixture_weights,
         "cur4_dsir_selection": q_dsir_selection,
         "cur6_temperature_mix": q_temperature_mix,
+        "zo1_zorder_key": q_zorder_key,
         "tx9_tfidf_keywords": q_tfidf_keywords,
         "g6_pagerank": q_pagerank,
         "g7_shortest_paths": q_shortest_paths,
@@ -1357,6 +1368,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe1_merge_candidates": T.bpe_merge_candidates_sql(),
         "cur3_mixture_weights": T.mixture_weights_sql(),
         "cur6_temperature_mix": T.temperature_mix_sql(),
+        "zo1_zorder_key": __import__(
+            "glasseenterprise_mcp_spark.operators.layout", fromlist=["x"]
+        ).zorder_key_sql(),
         "tx9_tfidf_keywords": T.tfidf_keywords_sql(),
         "g6_pagerank": O.oracle(
             f"SELECT id, rank FROM (SELECT id, r AS rank FROM pr{G.PR_ITERS})",

@@ -2370,3 +2370,113 @@ def test_temperature_mix_semantics(spark):
     con = duckdb.connect()
     con.register("documents", docs.toPandas())
     compare_query(spark, con, temperature_mix(docs), temperature_mix_sql())
+
+
+def test_zorder_key_semantics(spark):
+    """zo1 vs an independent python simulation (min-max 16-bit
+    quantization, Morton interleave) on a crafted grid, plus the DuckDB
+    twin; and the known Morton identities: (0,0)->0, (max,max)->2^32-1,
+    za alone fills even bit positions, zb odd."""
+    import datetime as dt
+
+    import duckdb
+
+    from glasseenterprise_mcp_spark.operators.layout import (
+        zorder_key,
+        zorder_key_sql,
+    )
+
+    from .conftest import compare_query
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    us, ts = [], []
+    eid = 0
+    for u in (0, 1, 17, 255, 1000):
+        for m in (0, 5, 59, 600, 1439):
+            rows.append((eid, base + dt.timedelta(minutes=m), u, "view", 1.0, ""))
+            us.append(u)
+            ts.append(int((base + dt.timedelta(minutes=m)).timestamp() * 1_000_000))
+            eid += 1
+
+    def quant(v, lo, hi):
+        return (v - lo) * 65535 // max(1, hi - lo)
+
+    def morton(a, b):
+        out = 0
+        for k in range(16):
+            out |= ((a >> k) & 1) << (2 * k)
+            out |= ((b >> k) & 1) << (2 * k + 1)
+        return out
+
+    want = {}
+    for i, (u, t) in enumerate(zip(us, ts)):
+        za = quant(u, min(us), max(us))
+        zb = quant(t, min(ts), max(ts))
+        want[i] = (za, zb, morton(za, zb))
+    assert morton(0, 0) == 0 and morton(65535, 65535) == 2**32 - 1
+    assert morton(65535, 0) == sum(1 << (2 * k) for k in range(16))
+
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.event_id: (r.za, r.zb, r.zkey) for r in zorder_key(ev).collect()}
+    assert got == want
+
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    compare_query(spark, con, zorder_key(ev), zorder_key_sql())
+
+
+def test_zorder_layout_prunes_2d(spark):
+    """The payoff measurement: the SAME rectangle predicate, judged by
+    per-file min/max stats (exactly the footer-pruning decision a scan
+    planner makes), must touch strictly fewer files under the z-order
+    layout than under a single-dimension sort of the same rows — the
+    2-D locality single-column clustering cannot provide."""
+    import tempfile
+
+    from glasseenterprise_mcp_spark.operators.layout import (
+        file_prune_stats,
+        write_zordered,
+    )
+
+    # 64x64 grid of (za, zb) — uniform 2-D mass, pre-quantized by scaling
+    df = (
+        spark.range(4096)
+        .selectExpr(
+            "id AS event_id",
+            "CAST((id % 64) * 65535 div 63 AS BIGINT) AS za",
+            "CAST((id div 64) * 65535 div 63 AS BIGINT) AS zb",
+        )
+        .selectExpr(
+            "event_id", "za", "zb",
+            "CAST("
+            + "+".join(
+                f"(((za >> {k}) & 1) << {2 * k}) + (((zb >> {k}) & 1) << {2 * k + 1})"
+                for k in range(16)
+            )
+            + " AS BIGINT) AS zkey",
+        )
+    )
+    zdir = tempfile.mkdtemp()
+    sdir = tempfile.mkdtemp()
+    write_zordered(df, zdir, 16)
+    # comparison layout: same rows, same file count, single-dim sort
+    (
+        df.repartitionByRange(16, "zb")
+        .sortWithinPartitions("zb")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+    # middle-quarter rectangle in both dims
+    rect = (16384, 32767)
+    z_tot, z_need = file_prune_stats(spark, zdir, rect, rect)
+    s_tot, s_need = file_prune_stats(spark, sdir, rect, rect)
+    assert z_tot == s_tot == 16
+    # single-dim layout prunes zb (4/16 files) but every file spans all za;
+    # the z-order layout prunes BOTH dims
+    assert z_need < s_need, (z_need, s_need)
+    assert z_need <= 6
