@@ -377,6 +377,19 @@ def q_mixture_weights(spark, sf_dir):
     return T.mixture_weights(_docs(spark, sf_dir))
 
 
+def q_bloom_semi_join(spark, sf_dir):
+    """bf1: bloom-prefiltered semi join — events of users who ever signed
+    up. The 2KiB bit array built from the key side rides the probe plan as
+    a literal (map-side discard BEFORE the shuffle); exact verify join
+    after, so the result is exactly the plain semi join the oracle runs."""
+    from glasseenterprise_mcp_spark.functions.bloom import bloom_semi_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    keys = ev.filter(F.col("event_type") == "signup").select("user_id")
+    result, _pruned = bloom_semi_join(ev, keys, "user_id")
+    return result.select("event_id", "user_id", "event_type")
+
+
 def q_zorder_key(spark, sf_dir):
     """zo1: Morton/Z-order layout key over (user_id, event time) — the
     write-path clustering pass behind OPTIMIZE ZORDER: 16-bit min-max
@@ -1210,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur4_dsir_selection": q_dsir_selection,
         "cur6_temperature_mix": q_temperature_mix,
         "zo1_zorder_key": q_zorder_key,
+        "bf1_bloom_semi_join": q_bloom_semi_join,
         "tx9_tfidf_keywords": q_tfidf_keywords,
         "g6_pagerank": q_pagerank,
         "g7_shortest_paths": q_shortest_paths,
@@ -1371,6 +1385,10 @@ def oracle_sql() -> dict[str, str]:
         "zo1_zorder_key": __import__(
             "glasseenterprise_mcp_spark.operators.layout", fromlist=["x"]
         ).zorder_key_sql(),
+        "bf1_bloom_semi_join": """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, event_type
+FROM events
+WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'signup')""",
         "tx9_tfidf_keywords": T.tfidf_keywords_sql(),
         "g6_pagerank": O.oracle(
             f"SELECT id, rank FROM (SELECT id, r AS rank FROM pr{G.PR_ITERS})",

