@@ -18,6 +18,19 @@ utilities cover the cases AQE cannot see:
 Salts are DETERMINISTIC (hash of row content, not rand()) — retries and
 replays produce identical placement, preserving the pipeline's
 idempotent-replay contract.
+
+WHEN NOT TO REACH FOR THIS (measured, bench `skew_ab` section):
+* count/sum-shaped skew (a hot groupBy key) — map-side partial
+  aggregation already absorbs it; salting is pure overhead there
+  (w1_count: salted 1.13s vs plain 0.75s at 16 cores). Salt only
+  JOIN-shaped skew, where a hot key's probe rows must meet a single
+  build partition.
+* sort-merge joins where AQE's skew split can fire — with thresholds
+  sized to the deployment's partition budget, AQE's runtime split beat
+  the manual kernel on the same hot-key corpus (plain+AQE 1.84s vs
+  salted 3.04s vs plain-no-AQE 7.10s). The kernel's scope is the joins
+  AQE cannot see: broadcast-ineligible skew under disabled/ineffective
+  AQE, or skew introduced mid-plan where stats are gone.
 """
 
 from __future__ import annotations
