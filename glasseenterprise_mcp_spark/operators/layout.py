@@ -106,6 +106,31 @@ def write_zordered(df: DataFrame, path: str, n_files: int) -> None:
     )
 
 
+def compact_parquet(
+    spark, src: str, dst: str, target_mb: int = 128
+) -> tuple[int, int]:
+    """The small-file compaction pass (the other half of the write path;
+    zorder clusters, this bin-packs): rewrite ``src`` into files of
+    ~``target_mb`` each, sized from the SOURCE's actual on-disk bytes —
+    at 100TB a streaming sink's per-trigger commits leave thousands of
+    KB-scale files per partition, and both the driver's file-listing cost
+    and the scheduler's task count scale with file count, not bytes.
+    Returns (files_before, files_after). Row-identity is the contract
+    (pinned by the unit test); ordering is NOT preserved (coalesce merges
+    whole input splits — no shuffle, no sort)."""
+    import os
+
+    files = [
+        os.path.join(src, f)
+        for f in os.listdir(src)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
+    spark.read.parquet(src).coalesce(n_out).write.mode("overwrite").parquet(dst)
+    return len(files), n_out
+
+
 def file_prune_stats(
     spark, path: str, za_rng: tuple[int, int], zb_rng: tuple[int, int]
 ) -> tuple[int, int]:

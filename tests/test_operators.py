@@ -2511,3 +2511,28 @@ def test_bloom_semi_join_semantics(spark):
     assert n_pruned >= 500  # superset (no false negatives)
     fp_rate = (n_pruned - 500) / (100_000 - 500)
     assert fp_rate < 0.05, fp_rate
+
+
+def test_compact_parquet_row_identity(spark):
+    """Compaction contract: file count drops to the byte-sized target,
+    row multiset is identical (compaction must never dedup, reorder-
+    sensitively aggregate, or drop late rows — it only re-bins bytes)."""
+    import glob
+    import tempfile
+
+    from glasseenterprise_mcp_spark.operators.layout import compact_parquet
+
+    from .conftest import freeze
+
+    src = tempfile.mkdtemp()
+    dst = tempfile.mkdtemp()
+    # simulate a streaming sink's small-file litter: 40 tiny commits
+    df = spark.range(20_000).selectExpr("id", "CAST(id % 7 AS STRING) AS v")
+    df.repartition(40).write.mode("overwrite").parquet(src)
+    n_src = len(glob.glob(f"{src}/*.parquet"))
+    assert n_src == 40
+
+    before, after = compact_parquet(spark, src, dst, target_mb=1)
+    assert before == 40 and after < 40
+    assert len(glob.glob(f"{dst}/*.parquet")) == after
+    assert freeze(spark.read.parquet(dst).collect()) == freeze(df.collect())
