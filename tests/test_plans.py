@@ -282,3 +282,40 @@ def test_pagerank_loop_plan_shape(spark):
     plan = _plan(r)
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_bloom_prefilter_sits_below_the_shuffle(spark):
+    """bf1's whole point is WHERE the discard happens: the bloom bit-test
+    filter must execute in the scan stage, below the semi join's exchange,
+    so non-matching rows never ship. The formatted plan lists operators
+    leaf-first: the xxhash64 Filter must appear before (deeper than) any
+    Exchange/BroadcastExchange of the probe side."""
+    from glasseenterprise_mcp_spark.functions.bloom import bloom_semi_join
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    keys = ev.filter(F.col("event_type") == "signup").select("user_id")
+    result, pruned = bloom_semi_join(ev, keys, "user_id")
+    plan = _plan(result)
+    assert "xxhash64" in plan
+    # the pruned side is a pure narrow filter over the scan — no exchange
+    assert "Exchange" not in _plan(pruned)
+
+
+def test_zorder_key_is_exchange_free(spark):
+    """zo1's key computation must be narrow: one 1-row aggregate broadcast
+    for the extremes (BroadcastExchange/BroadcastNestedLoopJoin of a 1-row
+    dim is the accepted pattern), and NO hash/range exchange of the events
+    themselves until write_zordered's deliberate range sort."""
+    from glasseenterprise_mcp_spark.operators.layout import zorder_key
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    plan = _plan(zorder_key(ev))
+    import re
+
+    # hash/range exchanges of the fact side would mean the key computation
+    # itself shuffles; only the 1-row extremes may exchange (broadcast)
+    fact_exchanges = [
+        l for l in plan.splitlines()
+        if re.search(r"Exchange (hashpartitioning|rangepartitioning)", l)
+    ]
+    assert fact_exchanges == [], fact_exchanges
