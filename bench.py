@@ -171,7 +171,26 @@ def run_queries() -> tuple[dict[str, float], dict]:
     # the first timed canary measures the host, not the JIT (same fix as
     # bench_leg.run_leg; the r6 side study read pre 1.5-2x post everywhere).
     _canary(spark, eff_cpus)
+
+    # SECOND canary flavor: the Arrow/Python path. The r6 dry run exposed
+    # a host mode the pure-JVM canary cannot see — cur5 (applyInPandas
+    # matmul) and sim3 (mapInPandas) ran 3-4.6x their rerun times inside a
+    # window where every JVM canary read ~1.0, because the throttle hits
+    # Arrow IPC + Python workers (socket/futex-heavy), not JVM codegen.
+    # A query leg mixing both execution paths needs both calibrations.
+    def _pycanary() -> float:
+        t0 = time.time()
+        (
+            spark.range(300_000)
+            .repartition(eff_cpus)
+            .mapInPandas(lambda it: it, "id long")
+            .count()
+        )
+        return round(time.time() - t0, 3)
+
+    _pycanary()
     canaries = [_canary(spark, eff_cpus)]
+    py_canaries = [_pycanary()]
     out: dict[str, float] = {}
     names = list(E.queries().items())
     for i, (name, fn) in enumerate(names):
@@ -180,13 +199,18 @@ def run_queries() -> tuple[dict[str, float], dict]:
         out[name] = round(time.time() - t0, 3)
         if (i + 1) % CANARY_EVERY == 0:
             canaries.append(_canary(spark, eff_cpus))
+            py_canaries.append(_pycanary())
     canaries.append(_canary(spark, eff_cpus))
+    py_canaries.append(_pycanary())
 
     def _local_drift(idx: int) -> float:
-        """Steal evidence local to query idx: the slower of the two canaries
-        bracketing its CANARY_EVERY segment, relative to the leg start."""
+        """Steal evidence local to query idx: the slower of the two
+        bracketing readings of EITHER canary flavor, relative to that
+        flavor's leg-start reading."""
         seg = min(idx // CANARY_EVERY + 1, len(canaries) - 1)
-        return max(canaries[seg], canaries[seg - 1]) / canaries[0]
+        jvm = max(canaries[seg], canaries[seg - 1]) / canaries[0]
+        py = max(py_canaries[seg], py_canaries[seg - 1]) / py_canaries[0]
+        return max(jvm, py)
 
     # Drift-proofing pass: re-time outliers (host-steal bursts land on
     # random queries — r3's artifact showed dd3 at 7.7x its dry-run time).
@@ -209,10 +233,15 @@ def run_queries() -> tuple[dict[str, float], dict]:
     meta = {
         # canary wall times: [start, after q20, after q40, ..., end]
         "canaries": canaries,
+        # Arrow/Python-path canary at the same points — the r6 throttle
+        # mode hit Pandas-UDF queries 3-4.6x while JVM canaries read ~1.0
+        "py_canaries": py_canaries,
         # >1 = the host slowed down across the leg (steal), <1 = warmed up
         "drift_ratio": round(canaries[-1] / canaries[0], 2),
+        "py_drift_ratio": round(py_canaries[-1] / py_canaries[0], 2),
         "reruns": rerun,
-        "rerun_policy": "pair reported; min kept only when local canary >1.2 (else warm-path)",
+        "rerun_policy": "pair reported; min kept only when local canary "
+        "(either flavor) >1.2 (else warm-path)",
     }
     return out, meta
 
