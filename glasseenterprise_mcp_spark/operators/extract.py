@@ -178,62 +178,74 @@ _COMPILED = [
 ]
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: one call per Arrow batch of turns.
+# per-task text-memo bounds: entry count AND cumulative key chars, so an
+# adversarial stream of huge distinct texts cannot grow worker memory
+# unboundedly (mega-turns above the char bound are scanned but never stored)
+_TEXT_MEMO_MAX_ENTRIES = 100_000
+_TEXT_MEMO_MAX_CHARS = 32_000_000
 
-    Vectorization strategy (the Tree-sitter-analogue hot loop):
-      * detector-outer iteration with a pandas ``str.contains`` candidate
-        mask per detector — the regex engine only ever sees rows whose text
-        can match (C-speed substring probe, vectorized);
+
+class _ExtractState:
+    """Per-task memo state for the extraction kernel (one instance per
+    mapInArrow/mapInPandas invocation, shared across that task's batches)."""
+
+    __slots__ = ("norm_memo", "id_memo", "text_memo", "memo_chars")
+
+    def __init__(self) -> None:
+        self.norm_memo: dict[tuple[str, str], tuple[str, str | None]] = {}
+        self.id_memo: dict[tuple[str, str], bytes] = {}
+        # text → list of mention-tuple suffixes (schema fields 2..13)
+        self.text_memo: dict[str, list[tuple]] = {}
+        self.memo_chars = 0
+
+
+def _extract_rows(
+    conv_ids: list, turn_idxs: list, text_list: list, st: _ExtractState
+) -> list[tuple]:
+    """The Tree-sitter-analogue hot loop, shared by both kernel flavors.
+
+    Strategy:
+      * per-TEXT result memo: everything the detectors produce except
+        (conv_id, turn_idx, turn_id) is a pure function of the turn text, so
+        the full detector sweep runs once per DISTINCT text per task and
+        repeated texts — endemic in real corpora (the dedup family's whole
+        premise) — collapse to one dict lookup + tuple re-stamping;
+      * per-row literal prefilter per detector (C-speed ``in`` probe) so the
+        regex engine only runs on texts that can match;
       * surface→(norm, path) memo: normalization regexes run once per
-        DISTINCT surface, not per occurrence — mention surfaces are heavily
-        repeated in any real corpus, so the per-match cost collapses to
-        dict lookups;
-      * one tuple emit per mention (single append; from_records at the end)
-        + a per-row ``seen`` dict for the first_in_turn
-        flag (keyed on the NODE key — kind + norm/path — so downstream
-        mentions-in is unique by construction across detector families).
+        DISTINCT surface, not per occurrence;
+      * a per-row ``seen`` set for the first_in_turn flag (keyed on the NODE
+        key — kind + norm/path — so downstream mentions-in is unique by
+        construction across detector families). Detector iteration order per
+        row matches the unmemoized kernel, so flags/ordinals are
+        bit-identical.
     """
     from hashlib import md5 as _md5
 
-    norm_memo: dict[tuple[str, str], tuple[str, str | None]] = {}
-    id_memo: dict[tuple[str, str], bytes] = {}
-    for pdf in batches:
-        n = len(pdf)
-        conv_ids = pdf["conv_id"].tolist()
-        turn_idxs = pdf["turn_idx"].tolist()
-        texts = pdf["text"]
-        # mega-turn cap (chars): truncate once, up front
-        lens = texts.str.len()
-        if (lens > MAX_TEXT_CHARS).any():
-            texts = texts.str.slice(0, MAX_TEXT_CHARS)
-        text_list = texts.tolist()
+    norm_memo, id_memo, text_memo = st.norm_memo, st.id_memo, st.text_memo
+    compiled = _COMPILED
+    out_rows: list[tuple] = []
+    emit = out_rows.append
 
-        out_rows: list[tuple] = []
-        emit = out_rows.append
-
-        # turn ids: one md5 per distinct row (rows repeat across detectors)
-        tid_cache: list[bytes | None] = [None] * n
-        seen: dict[int, set] = {}
-        for det, rx, hint in _COMPILED:
-            mtype = det.mtype
-            kind = _NODE_KIND.get(mtype, mtype)
-            sg, mg, xg = det.surface_g, det.method_g, det.extra_g
-            norm_fn = _NORM_PY[mtype]
-            path_fn = _PATH_PY.get(mtype)
-            if hint is not None:
-                mask = texts.str.contains(hint, regex=False)
-                rows = mask.to_numpy().nonzero()[0]
-            else:
-                rows = range(n)
-            for i in rows:
-                text = text_list[i]
-                if text is None:
+    for i, text in enumerate(text_list):
+        if text is None:
+            continue
+        rest = text_memo.get(text)
+        if rest is None:
+            # mega-turn cap (chars): truncate before scanning
+            scan = text if len(text) <= MAX_TEXT_CHARS else text[:MAX_TEXT_CHARS]
+            rest = []
+            add = rest.append
+            row_seen: set = set()
+            for det, rx, hint in compiled:
+                if hint is not None and hint not in scan:
                     continue
-                row_seen = seen.get(i)
-                if row_seen is None:
-                    row_seen = seen[i] = set()
-                for ord_, m in enumerate(rx.finditer(text), start=1):
+                mtype = det.mtype
+                kind = _NODE_KIND.get(mtype, mtype)
+                sg, mg, xg = det.surface_g, det.method_g, det.extra_g
+                norm_fn = _NORM_PY[mtype]
+                path_fn = _PATH_PY.get(mtype)
+                for ord_, m in enumerate(rx.finditer(scan), start=1):
                     if ord_ > MAX_MATCHES_PER_KIND:
                         break
                     surface = m.group(sg)
@@ -252,23 +264,16 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     row_seen.add(node_key)
                     nid = id_memo.get(node_key)
                     if nid is None:
-                        # raw 16-byte digest (ids are BINARY(16) engine-wide;
-                        # see functions/ids.py) — also skips the hex encode
+                        # raw 16-byte digest (ids are BINARY(16)
+                        # engine-wide; see functions/ids.py)
                         nid = _md5(
                             f"{node_key[0]}|{node_key[1]}".encode()
                         ).digest()
                         if len(id_memo) < 1_000_000:
                             id_memo[node_key] = nid
-                    tid = tid_cache[i]
-                    if tid is None:
-                        tid = tid_cache[i] = _md5(
-                            f"turn|{conv_ids[i]}|{turn_idxs[i]}".encode()
-                        ).digest()
                     ss, se = m.span(sg)
-                    emit(
+                    add(
                         (
-                            conv_ids[i],
-                            turn_idxs[i],
                             mtype,
                             surface,
                             norm,
@@ -281,14 +286,75 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                             m.group(xg) if xg else None,
                             kind,
                             nid,
-                            tid,
                         )
                     )
-        cols = [f.name for f in MENTIONS_SCHEMA.fields]
+            if (
+                len(text_memo) < _TEXT_MEMO_MAX_ENTRIES
+                and st.memo_chars + len(text) <= _TEXT_MEMO_MAX_CHARS
+            ):
+                text_memo[text] = rest
+                st.memo_chars += len(text)
+        if rest:
+            cid, tidx = conv_ids[i], turn_idxs[i]
+            tid = _md5(f"turn|{cid}|{tidx}".encode()).digest()
+            head = (cid, tidx)
+            for r in rest:
+                emit(head + r + (tid,))
+    return out_rows
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas flavor of the kernel (kept for unit-level callers; the
+    production path is the Arrow flavor below, which skips the pandas
+    row→column conversion entirely)."""
+    st = _ExtractState()
+    cols = [f.name for f in MENTIONS_SCHEMA.fields]
+    for pdf in batches:
+        out_rows = _extract_rows(
+            pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(),
+            pdf["text"].tolist(), st,
+        )
         if out_rows:
             yield pd.DataFrame.from_records(out_rows, columns=cols)
         else:
             yield pd.DataFrame({c: [] for c in cols})
+
+
+def _arrow_out_schema():
+    import pyarrow as pa
+
+    types = [
+        pa.string(), pa.int32(), pa.string(), pa.string(), pa.string(),
+        pa.int32(), pa.int32(), pa.int32(), pa.string(), pa.bool_(),
+        pa.string(), pa.string(), pa.string(), pa.binary(), pa.binary(),
+    ]
+    names = [f.name for f in MENTIONS_SCHEMA.fields]
+    return pa.schema(list(zip(names, types)))
+
+
+def _extract_arrow(batches):
+    """mapInArrow flavor: Arrow in, Arrow out — no pandas block manager on
+    either side of the boundary (guide §4: the conversion cost at the
+    Python boundary was ~half the kernel's profile; to_pylist + pa.array
+    are C-speed)."""
+    import pyarrow as pa
+
+    st = _ExtractState()
+    schema = _arrow_out_schema()
+    types = schema.types
+    for rb in batches:
+        names = rb.schema.names
+        conv_ids = rb.column(names.index("conv_id")).to_pylist()
+        turn_idxs = rb.column(names.index("turn_idx")).to_pylist()
+        text_list = rb.column(names.index("text")).to_pylist()
+        out_rows = _extract_rows(conv_ids, turn_idxs, text_list, st)
+        if out_rows:
+            arrays = [
+                pa.array(col, type=t) for col, t in zip(zip(*out_rows), types)
+            ]
+        else:
+            arrays = [pa.array([], type=t) for t in types]
+        yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
 
 def extract_mentions(transcripts: DataFrame) -> DataFrame:
@@ -296,8 +362,8 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
     from ..functions.shipping import ensure_package_shipped
 
     ensure_package_shipped(transcripts.sparkSession)
-    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
-        _extract_batches, schema=MENTIONS_SCHEMA
+    return transcripts.select("conv_id", "turn_idx", "text").mapInArrow(
+        _extract_arrow, schema=MENTIONS_SCHEMA
     )
 
 

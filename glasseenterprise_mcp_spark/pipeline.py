@@ -117,12 +117,23 @@ def run_pipeline(
     # consumer re-scans columnar storage with column pruning).
     slim = transcripts.drop("text").cache()
 
-    # Stage A — narrow; cache because four linking joins consume it.
+    # Stage A — narrow; cache because four linking joins + the node build
+    # consume it. The cached projection drops the engine-only columns no
+    # pipeline consumer reads (span offsets, ord, extra): the columnar
+    # cache build is the leg's second-biggest cost after the kernel itself,
+    # and caching 15 columns when downstream reads 11 pays encode cost for
+    # nothing (guide §5: cache exactly what is re-read). A two-specialized-
+    # kernel-passes variant (mentions-in emitted directly, no corpus-scale
+    # cache) was measured and REJECTED: the second input-boundary crossing
+    # (6M fat texts through Arrow again) costs as much as the cache build
+    # it saves (146s vs 125s per local[2] leg).
+    pipeline_cols = [
+        "conv_id", "turn_idx", "mtype", "surface", "norm", "path",
+        "first_in_turn", "method", "kind", "node_id", "turn_id",
+    ]
     mentions = _stage_checkpoint(
         spark, extract_mentions(transcripts), stage_dir, "A_mentions", timings
-    ).cache()
-
-    # Stage B
+    ).select(*pipeline_cols).cache()
     e_mentions_in = mentions_in_edges(mentions).drop("subj_kind")
     e_replies = replies_to_edges(slim, mentions)
     e_calls = calls_tool_edges(slim, mentions)
