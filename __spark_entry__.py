@@ -85,14 +85,14 @@ _MEMO: dict = {}
 def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = (id(spark), "t", sf_dir)
     if k not in _MEMO:
-        _MEMO[k] = derive_transcripts(spark, sf_dir).cache()
+        _MEMO[k] = derive_transcripts(spark, sf_dir).localCheckpoint(eager=True)
     return _MEMO[k]
 
 
 def _m(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = (id(spark), "m", sf_dir)
     if k not in _MEMO:
-        _MEMO[k] = extract_mentions(_t(spark, sf_dir)).cache()
+        _MEMO[k] = extract_mentions(_t(spark, sf_dir)).localCheckpoint(eager=True)
     return _MEMO[k]
 
 
@@ -111,7 +111,7 @@ def _e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 refers_to_edges(m),
             ],
             SNAP,
-        ).cache()
+        ).localCheckpoint(eager=True)
     return _MEMO[k]
 
 
@@ -120,7 +120,7 @@ def _sh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingling of documents; one cached build per session)."""
     k = (id(spark), "sh", sf_dir)
     if k not in _MEMO:
-        _MEMO[k] = D.shingles(_docs(spark, sf_dir)).cache()
+        _MEMO[k] = D.shingles(_docs(spark, sf_dir)).localCheckpoint(eager=True)
     return _MEMO[k]
 
 
@@ -130,7 +130,7 @@ def _embsig(spark: SparkSession, sf_dir: str) -> DataFrame:
     judge #5)."""
     k = (id(spark), "embsig", sf_dir)
     if k not in _MEMO:
-        _MEMO[k] = S.signatures(_emb(spark, sf_dir)).cache()
+        _MEMO[k] = S.signatures(_emb(spark, sf_dir)).localCheckpoint(eager=True)
     return _MEMO[k]
 
 
@@ -140,7 +140,7 @@ def _simpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     as _embsig)."""
     k = (id(spark), "simpairs", sf_dir)
     if k not in _MEMO:
-        _MEMO[k] = D.simhash_near_dups(_sh(spark, sf_dir)).cache()
+        _MEMO[k] = D.simhash_near_dups(_sh(spark, sf_dir)).localCheckpoint(eager=True)
     return _MEMO[k]
 
 
@@ -148,7 +148,7 @@ def _n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized node table (d_nodes/a8/g1/g1b all read the same build)."""
     k = (id(spark), "n", sf_dir)
     if k not in _MEMO:
-        _MEMO[k] = build_nodes(_t(spark, sf_dir), _m(spark, sf_dir), SNAP).cache()
+        _MEMO[k] = build_nodes(_t(spark, sf_dir), _m(spark, sf_dir), SNAP).localCheckpoint(eager=True)
     return _MEMO[k]
 
 

@@ -88,12 +88,15 @@ def run_leg(
         # spawn the Python worker pool + JIT before the measured run (on a
         # real cluster executors are long-lived; first-job fork cost is not
         # steady-state throughput)
+        # same snapshot literal + component path as the measured run so the
+        # warmup compiles the IDENTICAL generated code and plan shapes (a
+        # different literal is a different codegen cache key — the measured
+        # section would re-JIT the big union stage)
         w = run_pipeline(
             spark,
             derive_transcripts(spark, sf_dir),
             sink=None,
-            snapshot_version="warm",
-            with_components=False,
+            snapshot_version="bench",
         )
         _materialize_triples(w.edges)
         w.mentions.unpersist()

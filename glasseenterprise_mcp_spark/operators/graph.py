@@ -76,13 +76,25 @@ def bfs_expand(
     depth: int = 3,
     directed: bool = False,
     und: DataFrame | None = None,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """G1: bounded BFS from ``seeds`` (single column ``id``) over the edge
     set; returns (id, dist) with the minimal hop distance ≤ depth.
 
-    Iterative frontier expansion: each round joins only the *frontier*
-    (newly discovered nodes) against the edges — the classic Spark BFS that
-    keeps per-round work proportional to the frontier, not the visited set.
+    Two physical strategies behind one contract (the CC small-graph
+    pattern, canonicalize.py):
+
+    * graph ≤ ``driver_threshold`` edges → driver-side BFS over the
+      collected adjacency list. A bounded traversal at dim scale is pure
+      per-round scheduler latency distributed (each round = join +
+      distinct + anti-join + checkpoint + emptiness probe ≈ 4 jobs);
+      the probe + collect is ONE job and the Python BFS is exact integer
+      semantics — identical (id, min-dist) output.
+    * larger graphs → iterative frontier expansion: each round joins only
+      the *frontier* (newly discovered nodes) against the edges — the
+      classic Spark BFS that keeps per-round work proportional to the
+      frontier, not the visited set. This is the 100TB path.
+
     Pass ``und`` (a materialized :func:`undirected_edges`) to share the
     symmetric-closure build across traversals.
     """
@@ -94,6 +106,20 @@ def bfs_expand(
             e = e.unionByName(
                 edges.select(F.col("obj").alias("a"), F.col("subj").alias("b"))
             ).distinct()
+
+    if driver_threshold > 0:
+        probe = e.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            # no distinct: the driver dict dedups seeds; a distinct here
+            # would cost a shuffle job per traversal (duplicate-heavy seed
+            # frames can truncate early and fall back — physical only)
+            seed_rows = seeds.select("id").limit(driver_threshold + 1).collect()
+            if len(seed_rows) <= driver_threshold:
+                return _bfs_driver_side(
+                    edges.sparkSession, probe, seed_rows, depth
+                )
+
+    if not (und is not None and not directed):
         e = e.localCheckpoint(eager=True)
 
     visited = seeds.select(F.col("id"), F.lit(0).alias("dist")).distinct()
@@ -113,6 +139,43 @@ def bfs_expand(
             visited = visited.unionByName(nxt)
             frontier = nxt
     return visited
+
+
+def _bfs_driver_side(spark, edge_rows: list, seed_rows: list, depth: int):
+    """Driver-side replica of the bounded BFS for dim-sized graphs —
+    identical (id, min-dist ≤ depth) semantics, one collect instead of
+    ~4 jobs per round. Binary ids collect as bytearray (unhashable) →
+    normalized to bytes, exactly like _cc_driver_side."""
+
+    def _k(v):
+        return bytes(v) if isinstance(v, (bytearray, memoryview)) else v
+
+    adj: dict = {}
+    binary = False
+    for row in edge_rows:
+        a, b = _k(row[0]), _k(row[1])
+        binary = binary or isinstance(a, bytes)
+        adj.setdefault(a, []).append(b)
+    dist = {}
+    for r in seed_rows:
+        s = _k(r[0])
+        binary = binary or isinstance(s, bytes)
+        dist[s] = 0
+    frontier = list(dist)
+    d = 0
+    while frontier and d < depth:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    t = "binary" if binary else "string"
+    return spark.createDataFrame(
+        sorted(dist.items()), f"id {t}, dist int"
+    )
 
 
 def bfs_cte(depth: int, seed_where: str, directed: bool = False) -> str:

@@ -131,15 +131,26 @@ def replies_to_edges(transcripts: DataFrame, mentions: DataFrame) -> DataFrame:
         "conv_id", "turn_idx", F.lag("turn_idx").over(w).alias("prev_idx")
     ).filter(F.col("prev_idx").isNotNull())
 
+    # Aggregate the explicit-reply slice PRE-PARTITIONED BY conv_id: the
+    # window above already hash-partitions ``base`` on conv_id, and a
+    # groupBy on (conv_id, turn_idx) is satisfied by conv_id partitioning
+    # (same conv ⇒ same partition ⇒ same (conv, turn) co-located), so the
+    # left join below becomes a zero-exchange sort-merge — the base side is
+    # even pre-sorted by (conv_id, turn_idx) from the window sort. Without
+    # this the join re-shuffled BOTH sides on (conv_id, turn_idx): one
+    # corpus-scale exchange saved per run (guide §2.1 — remove shuffles by
+    # arranging compatible partitioning, not by broadcasting a
+    # corpus-proportional side).
     explicit = (
         mentions.filter(F.col("mtype") == "reply")
         .select("conv_id", "turn_idx", F.col("norm").cast("int").alias("target"))
         .filter(F.col("target") < F.col("turn_idx"))
+        .repartition("conv_id")
         .groupBy("conv_id", "turn_idx")
         .agg(F.min("target").alias("explicit_target"))
     )
 
-    joined = base.join(explicit, ["conv_id", "turn_idx"], "left")
+    joined = base.join(explicit.hint("merge"), ["conv_id", "turn_idx"], "left")
     target = F.coalesce(F.col("explicit_target"), F.col("prev_idx"))
     mode = F.when(F.col("explicit_target").isNotNull(), F.lit("explicit")).otherwise(
         F.lit("implicit")
@@ -812,20 +823,40 @@ def refers_to_edges(
         .distinct()
     )
 
-    # Registry-sized short-circuit (the CC small-graph pattern): probe +
-    # collect in one job per side; below the threshold the 4-tier cascade
-    # runs as a driver-side match — the distributed plan pays ~7 broadcast
-    # exchanges of pure scheduler latency to join a few hundred rows.
-    # Above it, the broadcast-join cascade below is the 100TB path.
+    # Registry-sized short-circuit (the CC small-graph pattern): ONE probe
+    # job collects BOTH distinct registries (side-tagged union, capped at
+    # 2·threshold+2 rows) — below the threshold the 4-tier cascade runs as
+    # a driver-side match; the distributed plan pays ~7 broadcast exchanges
+    # of pure scheduler latency to join a few hundred rows. Above it, the
+    # broadcast-join cascade below is the 100TB path. One combined probe
+    # instead of two halves the full mention-cache scans this operator
+    # costs per pipeline run. If the cap is hit, at least one side exceeds
+    # the threshold (2t+2 rows ⇒ some side ≥ t+1), so falling through to
+    # the distributed path preserves the exact old routing.
     # Threshold 5k/side: tiers 1/1b are dict lookups (O(C+P)), but tiers 2/3
     # are linear scans of the provider side per residual row — O(C*P) worst
     # case, which at 5k*5k = 25M short-string ops stays low-single-digit
     # seconds on the driver (micro-benched; was 50k = a 2.5B-op cliff).
     if driver_threshold > 0:
-        c_rows = consumed.limit(driver_threshold + 1).collect()
-        if len(c_rows) <= driver_threshold:
-            p_rows = provided.limit(driver_threshold + 1).collect()
-            if len(p_rows) <= driver_threshold:
+        probe = (
+            mentions.filter(F.col("mtype").isin("url", "endpoint"))
+            .select(
+                "mtype",
+                "path",
+                "norm",
+                F.upper(F.coalesce(F.col("method"), F.lit("GET"))).alias("m"),
+            )
+            .distinct()
+            .limit(2 * driver_threshold + 2)
+            .collect()
+        )
+        if len(probe) <= 2 * driver_threshold + 1:
+            c_rows = [(r[1], r[2], r[3]) for r in probe if r[0] == "url"]
+            p_rows = [(r[1], r[2], r[3]) for r in probe if r[0] == "endpoint"]
+            if (
+                len(c_rows) <= driver_threshold
+                and len(p_rows) <= driver_threshold
+            ):
                 return _refers_driver_side(
                     mentions.sparkSession, c_rows, p_rows, anchored_contains
                 )

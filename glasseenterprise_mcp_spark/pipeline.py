@@ -109,13 +109,14 @@ def run_pipeline(
 
     # transcripts feeds four consumers (extract, replies, calls, nodes) but
     # only extraction reads the fat ``text`` column, and it reads it exactly
-    # once — so cache a SLIM projection for the narrow consumers and never
-    # cache text. Caching the full table builds a DRAM-bandwidth-bound
-    # columnar copy of the corpus's largest column for zero reuse (measured:
-    # the cache build is the dominant non-scaling component of the pipeline;
-    # at 100TB you would never cache the input table's text either — each
-    # consumer re-scans columnar storage with column pruning).
-    slim = transcripts.drop("text").cache()
+    # once — the narrow consumers re-scan the source with the text column
+    # PRUNED at the scan, which is cheaper than building any cache for it:
+    # the slim projection is a parquet scan of the short columns only
+    # (measured: a full count of the 6M-turn amplified corpus is <1s at 2
+    # cores because Catalyst never computes the text concat), so a cache
+    # build (≈5s/leg) never pays for its two readers (guide §5/§6: let
+    # column pruning do the work).
+    slim = transcripts.drop("text")
 
     # Stage A — narrow; cache because four linking joins + the node build
     # consume it. The cached projection drops the engine-only columns no

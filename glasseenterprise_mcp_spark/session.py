@@ -32,6 +32,12 @@ ENGINE_CONFS: dict[str, str] = {
     # executor-memory-sized tasks at any input scale (spill-aware sizing,
     # SURVEY.md "Optimize for scale").
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Accept subset co-partitioning for joins (a join on (k1, k2) can reuse
+    # children already hash-partitioned on k1 alone): several operators
+    # arrange their aggregations to be pre-partitioned on the window/join
+    # prefix key exactly so the downstream join is exchange-free (guide
+    # §2.1); the default (true) re-shuffles both sides on the full key set.
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
     # In local mode the driver heap IS the executor heap: size it for the
