@@ -162,7 +162,13 @@ def _stat_delta(a: list[int] | None, b: list[int] | None) -> dict | None:
     d = [y - x for x, y in zip(a, b)]
     tot = sum(d) or 1
     ncpu = os.cpu_count() or 1
-    busy = tot - d[3] - d[4]
+    # guest-delivered busy cycles only: user+nice+system+irq+softirq.
+    # (tot - idle - iowait would count steal/guest ticks as busy — i.e.
+    # overstate delivered cycles precisely in the hypervisor-steal mode
+    # this field diagnoses; r6 ADVICE.)
+    busy = d[0] + d[1] + d[2] + (d[5] if len(d) > 5 else 0) + (
+        d[6] if len(d) > 6 else 0
+    )
     return {
         "user_pct": round(100 * (d[0] + d[1]) / tot, 1),
         "sys_pct": round(100 * d[2] / tot, 1),

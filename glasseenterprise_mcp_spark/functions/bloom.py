@@ -85,8 +85,15 @@ def bloom_semi_join(
     tests use SQL ``shiftright`` via expr (the DataFrame helper only
     accepts int-literal amounts)."""
     small_key = small_key or big_key
+    # xxhash64 output depends on the input's Catalyst type: hash the build
+    # keys AS the probe column's type, or a bigint-vs-int (or string-vs-
+    # long) pair would silently drop every row — false negatives violating
+    # the exact-semi-join contract (r6 ADVICE). The same cast is applied in
+    # the verify join below so both stages see one key domain.
+    big_type = big.schema[big_key].dataType
     bloom = build_bloom(
-        small_keys.select(F.col(small_key).alias(big_key)), big_key, words, k
+        small_keys.select(F.col(small_key).cast(big_type).alias(big_key)),
+        big_key, words, k,
     )
     m = words * 64
     checks = [
@@ -105,7 +112,8 @@ def bloom_semi_join(
         .drop("_bf")
     )
     result = pruned.join(
-        small_keys.select(F.col(small_key).alias(big_key)).distinct(),
+        small_keys.select(F.col(small_key).cast(big_type).alias(big_key))
+        .distinct(),
         big_key,
         "left_semi",
     )

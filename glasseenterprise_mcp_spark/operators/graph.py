@@ -470,6 +470,310 @@ def blast_radius_cte() -> str:
 )"""
 
 
+
+# --------------------------------------------------------------------------
+# Driver-side replicas for dim-sized graphs (the CC/find_cycles small-graph
+# pattern, applied family-wide). Every iterative operator below works in
+# EXACT int64 arithmetic precisely so its rounds are replayable anywhere —
+# including on the driver: for a graph under the probe threshold the
+# distributed loop is pure per-round scheduler latency (each round ≈ 3-5
+# jobs over a handful of rows), while one collect + a Python replay of the
+# SAME integer recurrences returns the identical rows in milliseconds.
+# Above the threshold the distributed loops below remain the 100TB path.
+# Python ``//`` on the non-negative int64 values here equals Spark's
+# ``div``; bytes ordering equals Spark binary ordering, so min/struct
+# tie-breaks replay exactly.
+# --------------------------------------------------------------------------
+GRAPH_DRIVER_EDGE_THRESHOLD = 100_000
+SCC_DRIVER_EDGE_THRESHOLD = 2_000  # closure state is O(V*reach): keep small
+
+
+def _kb(v):
+    """Normalize collected ids (binary ids arrive as bytearray)."""
+    return bytes(v) if isinstance(v, (bytearray, memoryview)) else v
+
+
+def _probe_small(df, threshold: int):
+    """One job: collect at most threshold+1 rows; None if the frame is
+    bigger (the caller then takes the distributed path)."""
+    rows = df.limit(threshold + 1).collect()
+    return rows if len(rows) <= threshold else None
+
+
+def _id_type(rows) -> str:
+    for r in rows:
+        if isinstance(r[0], bytes):
+            return "binary"
+        break
+    return "string"
+
+
+def _md5_rank_seeds(node_ids, n_seeds: int, binary: bool):
+    """The g12/ivf deterministic-sample idiom, replayed: seeds = the
+    n_seeds lowest (md5(oracle-facing id text), id)."""
+    from hashlib import md5 as _md5
+
+    def h(i):
+        t = i.hex() if binary else str(i)
+        return _md5(t.encode()).hexdigest()
+
+    return [i for _, i in sorted(((h(i), i) for i in node_ids))[:n_seeds]]
+
+
+def _pagerank_driver(spark, rows, iters, damping_pct, scale):
+    e = [(_kb(a), _kb(b)) for a, b in rows]
+    t = _id_type(e) if e else "string"
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    n = len(nodes)
+    if n == 0:
+        return spark.createDataFrame([], f"id {t}, rank long")
+    outdeg = {}
+    for a, _ in e:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    base = (100 - damping_pct) * scale // 100
+    r = {v: scale for v in nodes}
+    for _ in range(iters):
+        in_sum = {}
+        for a, b in e:
+            in_sum[b] = in_sum.get(b, 0) + r[a] // outdeg[a]
+        dang = sum(r[v] for v in nodes if v not in outdeg)
+        r = {
+            v: base + damping_pct * (in_sum.get(v, 0) + dang // n) // 100
+            for v in nodes
+        }
+    return spark.createDataFrame(
+        [(v, r[v]) for v in nodes], f"id {t}, rank long"
+    )
+
+
+def _ppr_driver(spark, rows, iters, damping_pct, scale, n_seeds):
+    e = [(_kb(a), _kb(b)) for a, b in rows]
+    t = _id_type(e) if e else "string"
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    n = len(nodes)
+    if n == 0:
+        return spark.createDataFrame([], f"id {t}, rank long, is_seed boolean")
+    seeds = set(_md5_rank_seeds(nodes, n_seeds, t == "binary"))
+    k = min(n_seeds, n)
+    outdeg = {}
+    for a, _ in e:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    seed_base = (100 - damping_pct) * scale * n // (100 * k)
+    r = {v: scale for v in nodes}
+    for _ in range(iters):
+        in_sum = {}
+        for a, b in e:
+            in_sum[b] = in_sum.get(b, 0) + r[a] // outdeg[a]
+        dang = sum(r[v] for v in nodes if v not in outdeg)
+        r = {
+            v: (seed_base if v in seeds else 0)
+            + damping_pct
+            * (in_sum.get(v, 0) + (dang // k if v in seeds else 0))
+            // 100
+            for v in nodes
+        }
+    return spark.createDataFrame(
+        [(v, r[v], v in seeds) for v in nodes],
+        f"id {t}, rank long, is_seed boolean",
+    )
+
+
+def _hits_driver(spark, rows, rounds, scale):
+    e = [(_kb(a), _kb(b)) for a, b in rows]
+    t = _id_type(e) if e else "string"
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    if not nodes:
+        return spark.createDataFrame([], f"id {t}, hub long, auth long")
+    hub = {v: scale for v in nodes}
+    auth = {v: scale for v in nodes}
+    for _ in range(rounds):
+        araw = {}
+        for a, b in e:
+            araw[b] = araw.get(b, 0) + hub[a]
+        tot = sum(araw.values())
+        auth = {
+            v: (araw.get(v, 0) * scale // tot if tot > 0 else 0) for v in nodes
+        }
+        hraw = {}
+        for a, b in e:
+            hraw[a] = hraw.get(a, 0) + auth[b]
+        tot = sum(hraw.values())
+        hub = {
+            v: (hraw.get(v, 0) * scale // tot if tot > 0 else 0) for v in nodes
+        }
+    return spark.createDataFrame(
+        [(v, hub[v], auth[v]) for v in nodes], f"id {t}, hub long, auth long"
+    )
+
+
+def _lpa_driver(spark, rows, rounds):
+    # rows: canonical (a < b) distinct edges, self-loops removed
+    e = [(_kb(a), _kb(b)) for a, b in rows]
+    t = _id_type(e) if e else "string"
+    adj = {}
+    for a, b in e:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    nodes = sorted(adj)
+    label = {v: v for v in nodes}
+    for _ in range(rounds):
+        nxt = {}
+        for v in nodes:
+            votes = {}
+            for nb in adj[v]:
+                lb = label[nb]
+                votes[lb] = votes.get(lb, 0) + 1
+            nxt[v] = min((-c, lb) for lb, c in votes.items())[1]
+        label = nxt
+    return spark.createDataFrame(
+        [(v, label[v]) for v in nodes], f"id {t}, community {t}"
+    )
+
+
+def _kcore_driver(spark, rows, k, rounds):
+    # rows: symmetric distinct (a, b), self-loops removed
+    e = [(_kb(a), _kb(b)) for a, b in rows]
+    t = _id_type(e) if e else "string"
+    for _ in range(rounds):
+        deg = {}
+        for a, _b in e:
+            deg[a] = deg.get(a, 0) + 1
+        drop = {v for v, d in deg.items() if d < k}
+        if not drop:
+            break
+        e = [(a, b) for a, b in e if a not in drop and b not in drop]
+    deg = {}
+    for a, _b in e:
+        deg[a] = deg.get(a, 0) + 1
+    return spark.createDataFrame(
+        sorted((v, d) for v, d in deg.items()), f"id {t}, core_deg long"
+    )
+
+
+def _harmonic_driver(spark, rows, n_seeds, rounds, scale):
+    # rows: symmetric distinct (src, dst), self-loops removed
+    e = [(_kb(a), _kb(b)) for a, b in rows]
+    t = _id_type(e) if e else "string"
+    adj = {}
+    for a, b in e:
+        adj.setdefault(a, []).append(b)
+    nodes = sorted(adj)
+    seeds = _md5_rank_seeds(nodes, n_seeds, t == "binary")
+    hc = {}
+    n_seen = {}
+    for s in seeds:
+        dist = {s: 0}
+        frontier = [s]
+        d = 0
+        while frontier and d < rounds:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        for v, dv in dist.items():
+            if v != s:
+                hc[v] = hc.get(v, 0) + scale // dv
+                n_seen[v] = n_seen.get(v, 0) + 1
+    return spark.createDataFrame(
+        sorted((v, hc[v], n_seen[v]) for v in hc),
+        f"id {t}, hc long, n_seen long",
+    )
+
+
+def _scc_driver(spark, rows, max_depth):
+    import warnings
+
+    e = [(_kb(a), _kb(b)) for a, b in rows]
+    t = _id_type(e) if e else "string"
+    adj = {}
+    nodes = set()
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        nodes.add(a)
+        nodes.add(b)
+    nodes = sorted(nodes)
+    # bounded closure: reachable via paths of length 1..max_depth (the
+    # distributed loop extends the 1-hop closure max_depth-1 times)
+    reach = {}
+    bound_hit = False
+    for v in nodes:
+        dist = {}
+        frontier = adj.get(v, ())
+        d = 1
+        cur = set()
+        for u in frontier:
+            if u not in dist:
+                dist[u] = 1
+                cur.add(u)
+        while cur and d < max_depth:
+            d += 1
+            nxt = set()
+            for u in cur:
+                for w in adj.get(u, ()):
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.add(w)
+            cur = nxt
+        if cur and d >= max_depth:
+            bound_hit = True
+        reach[v] = set(dist)
+    if bound_hit:
+        warnings.warn(
+            f"strongly_connected_components: directed reach did not "
+            f"stabilize within max_depth={max_depth}; components spanning "
+            "longer paths may be split",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    out = []
+    for v in nodes:
+        mutual = [o for o in reach.get(v, ()) if v in reach.get(o, ())]
+        mo = min(mutual) if mutual else None
+        out.append((v, mo if mo is not None and mo < v else v))
+    sizes = {}
+    for _v, s in out:
+        sizes[s] = sizes.get(s, 0) + 1
+    return spark.createDataFrame(
+        [(v, s, sizes[s]) for v, s in out],
+        f"id {t}, scc_id {t}, scc_size long",
+    )
+
+
+def _sssp_driver(spark, edge_rows, seed_rows, rounds):
+    # edge_rows: (src, dst, w) with parallel edges already min-collapsed
+    e = [(_kb(a), _kb(b), w) for a, b, w in edge_rows]
+    t = _id_type(e) if e else "string"
+    adj = {}
+    for a, b, w in e:
+        adj.setdefault(a, []).append((b, w))
+    cost = {}
+    for r in seed_rows:
+        cost[_kb(r[0])] = 0
+        if not e:
+            t = "binary" if isinstance(_kb(r[0]), bytes) else "string"
+    frontier = list(cost)
+    for _ in range(rounds):
+        improved = {}
+        for u in frontier:
+            cu = cost[u]
+            for v, w in adj.get(u, ()):
+                c = cu + w
+                if c < cost.get(v, c + 1) and c < improved.get(v, c + 1):
+                    improved[v] = c
+        if not improved:
+            break
+        for v, c in improved.items():
+            cost[v] = c
+        frontier = list(improved)
+    return spark.createDataFrame(
+        sorted(cost.items()), f"id {t}, cost long"
+    )
+
+
 # G6: PageRank over the materialized graph — the classic "which node does
 # the corpus keep pointing at" centrality, in EXACT integer arithmetic so
 # the DuckDB twin hash-matches (float PageRank could never cross-engine
@@ -511,12 +815,13 @@ def pagerank(
     per round to truncate lineage, the same discipline as the CC loop.
     N is the one upfront driver scalar (a count), unavoidable: it is a
     parameter of the formula itself."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .repartition("src")
-        .localCheckpoint(eager=True)
-    )
+    ed = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    probe = _probe_small(ed, GRAPH_DRIVER_EDGE_THRESHOLD)
+    if probe is not None:
+        return _pagerank_driver(
+            edges.sparkSession, probe, iters, damping_pct, scale
+        )
+    e = ed.repartition("src").localCheckpoint(eager=True)
     with graph_sized_shuffle(e, e.count()):
         nodes = (
             e.select(F.col("src").alias("id"))
@@ -644,15 +949,21 @@ def shortest_paths(
     skew); state and frontier are checkpointed per round, and an empty
     frontier short-circuits the loop (the same single-job probe the BFS
     uses)."""
-    e = (
+    ed = (
         edges.select(
             F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(w).alias("w")
         )
         .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))
-        .repartition("src")
-        .localCheckpoint(eager=True)
     )
+    probe = _probe_small(ed, GRAPH_DRIVER_EDGE_THRESHOLD)
+    if probe is not None:
+        seed_rows = seeds.select("id").limit(
+            GRAPH_DRIVER_EDGE_THRESHOLD + 1
+        ).collect()
+        if len(seed_rows) <= GRAPH_DRIVER_EDGE_THRESHOLD:
+            return _sssp_driver(edges.sparkSession, probe, seed_rows, rounds)
+    e = ed.repartition("src").localCheckpoint(eager=True)
     state = (
         seeds.select("id")
         .distinct()
@@ -859,7 +1170,7 @@ def kcore(
     proportional to the surviving graph, which only shrinks; the
     empty-drop probe is the same single-job limit(1) the Bellman-Ford
     loop uses."""
-    sym = (
+    symd = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .unionByName(
@@ -868,9 +1179,11 @@ def kcore(
             )
         )
         .distinct()
-        .repartition("a")
-        .localCheckpoint(eager=True)
     )
+    probe = _probe_small(symd, GRAPH_DRIVER_EDGE_THRESHOLD)
+    if probe is not None:
+        return _kcore_driver(edges.sparkSession, probe, k, rounds)
+    sym = symd.repartition("a").localCheckpoint(eager=True)
     e = sym
     with graph_sized_shuffle(sym, sym.count()):
         for _ in range(rounds):
@@ -1064,6 +1377,9 @@ def label_propagation(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    probe = _probe_small(e, GRAPH_DRIVER_EDGE_THRESHOLD)
+    if probe is not None:
+        return _lpa_driver(edges.sparkSession, probe, rounds)
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .select(F.col("a").alias("node"), F.col("b").alias("n"))
@@ -1165,12 +1481,11 @@ def hits(
     partial-agg shuffle; the L1 normalizer is a 1-row aggregate riding as
     a broadcast cross join — never a driver collect inside the loop;
     state localCheckpoints per round to truncate lineage."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .repartition("src")
-        .localCheckpoint(eager=True)
-    )
+    ed = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    probe = _probe_small(ed, GRAPH_DRIVER_EDGE_THRESHOLD)
+    if probe is not None:
+        return _hits_driver(edges.sparkSession, probe, rounds, scale)
+    e = ed.repartition("src").localCheckpoint(eager=True)
     with graph_sized_shuffle(e, e.count()):
         nodes = (
             e.select(F.col("src").alias("id"))
@@ -1309,12 +1624,13 @@ def personalized_pagerank(
     checkpoint ONCE; per round one src-keyed join + one dst-keyed partial
     agg + a 1-row dangling aggregate broadcast; the seed flag is a column
     on the state (no per-round seed join); localCheckpoint per round."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .repartition("src")
-        .localCheckpoint(eager=True)
-    )
+    ed = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    probe = _probe_small(ed, GRAPH_DRIVER_EDGE_THRESHOLD)
+    if probe is not None:
+        return _ppr_driver(
+            edges.sparkSession, probe, iters, damping_pct, scale, n_seeds
+        )
+    e = ed.repartition("src").localCheckpoint(eager=True)
     with graph_sized_shuffle(e, e.count()):
         nodes = (
             e.select(F.col("src").alias("id"))
@@ -1477,16 +1793,20 @@ def harmonic_centrality(
     (first visit IS the shortest distance — layered BFS), so state stays
     ≤ |S|·N rows with |S| fixed; empty-frontier short-circuit; per-round
     localCheckpoint truncates lineage (the g6 loop discipline)."""
-    e = (
+    ed = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .unionByName(
             edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .repartition("src")
-        .localCheckpoint(eager=True)
     )
+    probe = _probe_small(ed, GRAPH_DRIVER_EDGE_THRESHOLD)
+    if probe is not None:
+        return _harmonic_driver(
+            edges.sparkSession, probe, n_seeds, rounds, scale
+        )
+    e = ed.repartition("src").localCheckpoint(eager=True)
     with graph_sized_shuffle(e, e.count()):
         nodes = (
             e.select(F.col("src").alias("id")).distinct()
@@ -1599,12 +1919,11 @@ def strongly_connected_components(
     (graph_sized_shuffle), rounds short-circuit on an empty frontier, and
     every round's state is localCheckpoint-truncated (the g6 loop
     discipline)."""
-    e = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
-        .distinct()
-        .repartition("s")
-        .localCheckpoint(eager=True)
-    )
+    ed = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    probe = _probe_small(ed, SCC_DRIVER_EDGE_THRESHOLD)
+    if probe is not None:
+        return _scc_driver(edges.sparkSession, probe, max_depth)
+    e = ed.repartition("s").localCheckpoint(eager=True)
     with graph_sized_shuffle(e, e.count()):
         closure = e
         frontier = e
@@ -1623,6 +1942,19 @@ def strongly_connected_components(
                 break
             closure = closure.unionByName(nxt).localCheckpoint(eager=True)
             frontier = nxt
+        else:
+            # loop exhausted the bound with a still-growing frontier: the
+            # closure is NOT converged and components spanning longer paths
+            # would silently split — warn loudly instead (ADVICE r6).
+            import warnings
+
+            warnings.warn(
+                f"strongly_connected_components: directed reach did not "
+                f"stabilize within max_depth={max_depth}; components "
+                "spanning longer paths may be split",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         nodes = (
             e.select(F.col("s").alias("id"))
             .unionByName(e.select(F.col("t").alias("id")))

@@ -55,13 +55,22 @@ def zorder_key(events: DataFrame) -> DataFrame:
         F.min("t").alias("t_min"),
         F.max("t").alias("t_max"),
     )
+    # The quantization product routes through DECIMAL(38,0): in int64,
+    # (v - min) * 65535 silently wraps once the span exceeds ~1.4e14
+    # (snowflake-style ids; ~4.46 years of unix_micros), producing garbage
+    # keys with no error under non-ANSI Spark (r6 ADVICE). Decimal keeps
+    # the product exact for any int64 span; the quotient is ≤ 65535 so the
+    # final BIGINT cast is always safe. Values are bit-identical to the
+    # int64 path on non-overflowing spans (the oracle-gated range).
     q = ev.crossJoin(F.broadcast(ext)).select(
         "event_id",
         F.expr(
-            "CAST((u - u_min) * 65535 div greatest(1, u_max - u_min) AS BIGINT)"
+            "CAST(CAST((u - u_min) AS DECIMAL(38,0)) * 65535"
+            " div greatest(1, u_max - u_min) AS BIGINT)"
         ).alias("za"),
         F.expr(
-            "CAST((t - t_min) * 65535 div greatest(1, t_max - t_min) AS BIGINT)"
+            "CAST(CAST((t - t_min) AS DECIMAL(38,0)) * 65535"
+            " div greatest(1, t_max - t_min) AS BIGINT)"
         ).alias("zb"),
     )
     return q.select(
@@ -125,6 +134,14 @@ def compact_parquet(
         for f in os.listdir(src)
         if f.endswith(".parquet") and not f.startswith((".", "_"))
     ]
+    if not files:
+        # a partitioned dataset (or non-local path) lists no flat *.parquet
+        # files here; proceeding would size total_bytes=0 and coalesce
+        # arbitrarily large data into ONE file (r6 ADVICE) — fail loudly.
+        raise ValueError(
+            f"compact_parquet requires a flat local parquet directory; no "
+            f"*.parquet files found directly under {src!r}"
+        )
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
     spark.read.parquet(src).coalesce(n_out).write.mode("overwrite").parquet(dst)

@@ -93,17 +93,40 @@ def _dot(a: str, b: str) -> Column:
     )
 
 
+# Query-side broadcast budget for the ANN family (r6 verdict #1): the
+# gated workloads' query sets are corpus-PROPORTIONAL (vec_id % 50), so an
+# unconditional broadcast(queries) is a conditional scale-killer — multi-GB
+# through the driver at 100x. Every consumer below probes the query set
+# with ONE bounded job and keeps the broadcast fast path only under the
+# budget; above it the same join runs as a shuffle (cell-/bucket-keyed
+# equi join, or a partitioned cartesian for the exact-scan operators whose
+# cost is the O(N*Q) product itself, not the exchange).
+ANN_BROADCAST_QUERY_LIMIT = 100_000
+
+
+def _fits_broadcast(df: DataFrame, limit: int) -> bool:
+    """One job, bounded at limit+1 rows: is the frame within budget?"""
+    return limit > 0 and df.limit(limit + 1).count() <= limit
+
+
 def brute_force_topk(
-    embeddings: DataFrame, query_filter: Column, k: int = 5
+    embeddings: DataFrame, query_filter: Column, k: int = 5,
+    broadcast_limit: int = ANN_BROADCAST_QUERY_LIMIT,
 ) -> DataFrame:
     """Exact top-k by integer dot product: (query_id, neighbor_id, rank, dot).
-    Queries broadcast against the full corpus; rank ties break on
-    neighbor_id asc (W1-style deterministic window)."""
+    Queries broadcast against the full corpus when they fit the budget,
+    else a partitioned cartesian; rank ties break on neighbor_id asc
+    (W1-style deterministic window)."""
     q = quantized(embeddings)
     queries = q.filter(query_filter).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
     )
-    pairs = q.crossJoin(F.broadcast(queries)).filter(
+    q_side = (
+        F.broadcast(queries)
+        if _fits_broadcast(queries, broadcast_limit)
+        else queries
+    )
+    pairs = q.crossJoin(q_side).filter(
         F.col("vec_id") != F.col("query_id")
     )
     scored = pairs.select(
@@ -197,6 +220,7 @@ def lsh_topk(
     query_filter: Column,
     k: int = 5,
     banded: DataFrame | None = None,
+    broadcast_limit: int = ANN_BROADCAST_QUERY_LIMIT,
 ) -> DataFrame:
     """ANN via banded hyperplane-LSH: candidates collide with the query in
     ANY band (equi join on (band, bucket) instead of a cross product, OR'd
@@ -216,8 +240,13 @@ def lsh_topk(
         "band",
         "bucket",
     )
+    q_side = (
+        F.broadcast(queries)
+        if _fits_broadcast(queries, broadcast_limit)
+        else queries  # shuffle equi join on (band, bucket) — the 100x path
+    )
     cands = (
-        q.join(F.broadcast(queries), ["band", "bucket"])
+        q.join(q_side, ["band", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         # a pair colliding in several bands is one candidate (OR-construction)
         .dropDuplicates(["query_id", "vec_id"])
@@ -328,6 +357,7 @@ def ivf_topk(
     k: int = 5,
     nprobe: int = 3,
     n_refine: int = 2,
+    broadcast_limit: int = ANN_BROADCAST_QUERY_LIMIT,
 ) -> DataFrame:
     """ANN via an IVF (inverted-file) index: a FIXED number of
     deterministically sampled seed centroids (``ivf_centroids``) sharpened
@@ -375,7 +405,12 @@ def ivf_topk(
         .select("query_id", "q_qv", F.col("cid").alias("cell"))
     )
 
-    cands = assigned.join(F.broadcast(probes), "cell").filter(
+    p_side = (
+        F.broadcast(probes)
+        if _fits_broadcast(queries, broadcast_limit)
+        else probes  # cell-keyed shuffle join: queries repartition by cell
+    )
+    cands = assigned.join(p_side, "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
     scored = cands.select(
@@ -745,6 +780,7 @@ def pq_topk(
     n_centroids: int = IVF_CENTROIDS,
     k: int = 5,
     shortlist: int = PQ_SHORTLIST,
+    broadcast_limit: int = ANN_BROADCAST_QUERY_LIMIT,
 ) -> DataFrame:
     """sim4: (query_id, neighbor_id, rank, dot, adc) — PQ/ADC ANN with an
     exact top-``shortlist`` rerank; rank is by the exact integer dot over
@@ -783,8 +819,9 @@ def pq_topk(
                           CAST(0 AS BIGINT), (acc, v) -> acc + v)))"""
         ).alias("ltab"),
     )
+    q_fits = _fits_broadcast(queries, broadcast_limit)
     scored = (
-        codes.crossJoin(F.broadcast(qltab))
+        codes.crossJoin(F.broadcast(qltab) if q_fits else qltab)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -804,8 +841,8 @@ def pq_topk(
     )
     rerank = (
         q.select(F.col("vec_id").alias("neighbor_id"), "qv")
-        .join(F.broadcast(short), "neighbor_id")
-        .join(F.broadcast(queries), "query_id")
+        .join(F.broadcast(short) if q_fits else short, "neighbor_id")
+        .join(F.broadcast(queries) if q_fits else queries, "query_id")
         .select(
             "query_id",
             "neighbor_id",

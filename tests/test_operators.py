@@ -2430,6 +2430,44 @@ def test_zorder_key_semantics(spark):
     compare_query(spark, con, zorder_key(ev), zorder_key_sql())
 
 
+def test_zorder_key_wide_span(spark):
+    """r6 ADVICE: int64 (v-min)*65535 silently wraps once the span exceeds
+    ~1.4e14 (snowflake ids / >4.46y of unix_micros). The decimal-routed
+    quantization must keep za/zb exact — in [0, 65535], monotone in v, and
+    matching the python big-int simulation — on spans that overflow the
+    old int64 product."""
+    import datetime as dt
+
+    from glasseenterprise_mcp_spark.operators.layout import zorder_key
+
+    base = dt.datetime(2015, 1, 1)
+    # user ids spanning 9e17 (snowflake-scale); ts spanning ~9 years
+    us = [0, 1, 7_000_000_000_000_000, 900_000_000_000_000_000]
+    days = [0, 400, 2200, 3300]
+    rows = [
+        (i, base + dt.timedelta(days=d), u, "view", 1.0, "")
+        for i, (u, d) in enumerate(zip(us, days))
+    ]
+    ts = [
+        int((base + dt.timedelta(days=d)).timestamp() * 1_000_000)
+        for d in days
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.event_id: (r.za, r.zb) for r in zorder_key(ev).collect()}
+
+    def quant(v, lo, hi):  # python ints: exact
+        return (v - lo) * 65535 // max(1, hi - lo)
+
+    for i, (u, t) in enumerate(zip(us, ts)):
+        za, zb = got[i]
+        assert (za, zb) == (quant(u, min(us), max(us)), quant(t, min(ts), max(ts)))
+        assert 0 <= za <= 65535 and 0 <= zb <= 65535
+
+
 def test_zorder_layout_prunes_2d(spark):
     """The payoff measurement: the SAME rectangle predicate, judged by
     per-file min/max stats (exactly the footer-pruning decision a scan

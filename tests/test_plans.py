@@ -319,3 +319,46 @@ def test_zorder_key_is_exchange_free(spark):
         if re.search(r"Exchange (hashpartitioning|rangepartitioning)", l)
     ]
     assert fact_exchanges == [], fact_exchanges
+
+
+def test_ann_query_side_shuffles_above_budget(spark):
+    """r6 verdict #1: above the broadcast budget the ANN query side must
+    SHUFFLE-join (no BroadcastExchange of a corpus-proportional frame);
+    below it the broadcast fast path stays. And the two physical paths must
+    return identical rows (the hash-gate property, checked directly)."""
+    from glasseenterprise_mcp_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    qf = F.expr("vec_id % 50 = 0")
+
+    # Above the budget no HINT forces a broadcast — Spark's own size
+    # estimate decides (adaptive, scale-safe: a corpus-proportional query
+    # side blows past autoBroadcastJoinThreshold and shuffles). Assert by
+    # disabling the auto threshold: any BroadcastExchange left in the plan
+    # would have to come from a hint.
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert "BroadcastExchange" not in _plan(
+            lsh_topk(emb, qf, broadcast_limit=0)
+        )
+        # ivf: the constant-size centroid broadcasts are hint-forced by
+        # design and stay; the query/probe side must not force one
+        shuf = _plan(ivf_topk(emb, qf, broadcast_limit=0))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    fast = _plan(ivf_topk(emb, qf))
+    assert shuf.count("BroadcastExchange") < fast.count("BroadcastExchange")
+    # fast path preserved: the query side still broadcasts under the budget
+    assert "BroadcastExchange" in _plan(lsh_topk(emb, qf))
+
+    # results identical through both physical paths, all four operators
+    for op in (brute_force_topk, lsh_topk, ivf_topk, pq_topk):
+        a = sorted(map(tuple, op(emb, qf).collect()))
+        b = sorted(map(tuple, op(emb, qf, broadcast_limit=0).collect()))
+        assert a == b, op.__name__
