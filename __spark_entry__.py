@@ -144,6 +144,17 @@ def _simpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _MEMO[k]
 
 
+def _ivfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized refined IVF centroid table — sim3 (ivf_topk) and cur5
+    (semdedup) run the identical deterministic-seed + 2-Lloyd-sweep chain;
+    one shared C-row table per session replaces two chains of interpreted
+    higher-order aggregation sweeps."""
+    k = (id(spark), "ivfc", sf_dir)
+    if k not in _MEMO:
+        _MEMO[k] = S.refined_centroids(S.quantized(_emb(spark, sf_dir)))
+    return _MEMO[k]
+
+
 def _n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized node table (d_nodes/a8/g1/g1b all read the same build)."""
     k = (id(spark), "n", sf_dir)
@@ -576,7 +587,7 @@ def q_attribution(spark, sf_dir):
 def q_semdedup(spark, sf_dir):
     """cur5: SemDeDup (Abbas et al. 2023) — k-means cells via the sim3 IVF
     machinery, within-cell integer-cosine eviction, min-id keep rule."""
-    return S.semdedup(_emb(spark, sf_dir))
+    return S.semdedup(_emb(spark, sf_dir), centroids=_ivfc(spark, sf_dir))
 
 
 def q_cube_counts(spark, sf_dir):
@@ -675,7 +686,10 @@ def q_ann_lsh(spark, sf_dir):
 def q_ann_ivf(spark, sf_dir):
     """sim3: IVF-partitioned ANN — sampled centroids, argmax-dot cell
     assignment, nprobe-cell probe, exact integer rerank."""
-    return S.ivf_topk(_emb(spark, sf_dir), F.expr(ANN_QUERY_WHERE))
+    return S.ivf_topk(
+        _emb(spark, sf_dir), F.expr(ANN_QUERY_WHERE),
+        centroids=_ivfc(spark, sf_dir),
+    )
 
 
 def q_ann_pq(spark, sf_dir):

@@ -350,6 +350,26 @@ def ivf_refine(q: DataFrame, centroids: DataFrame) -> DataFrame:
     return agg.select(F.col("cell").alias("cid"), c_qv.alias("c_qv"))
 
 
+def refined_centroids(
+    q: DataFrame, n_centroids: int = IVF_CENTROIDS, n_refine: int = 2
+) -> DataFrame:
+    """The shared sim3/cur5 centroid chain: deterministic seeds sharpened
+    by ``n_refine`` Lloyd sweeps. Checkpoint the C-row centroid table after
+    EVERY sweep (not just the last): each ivf_assign embeds the centroid
+    plan inside its broadcast argmax expression, so without the per-sweep
+    cut sweep k's plan nests sweep k-1's whole aggregation — plan size
+    (and optimizer time) grew geometrically with n_refine (bench: sim3
+    4.1s → ~2s). C rows, so the materialization is free at any corpus
+    scale; this is the CC-loop lineage pattern. Factored out so the two
+    IVF consumers (ivf_topk, semdedup) can share ONE refined table per
+    session instead of each re-running the sweeps (~3s/sweep of
+    interpreted higher-order aggregation at dim scale)."""
+    centroids = ivf_centroids(q, n_centroids)
+    for _ in range(n_refine):
+        centroids = ivf_refine(q, centroids).localCheckpoint(eager=True)
+    return centroids
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_filter: Column,
@@ -358,6 +378,7 @@ def ivf_topk(
     nprobe: int = 3,
     n_refine: int = 2,
     broadcast_limit: int = ANN_BROADCAST_QUERY_LIMIT,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """ANN via an IVF (inverted-file) index: a FIXED number of
     deterministically sampled seed centroids (``ivf_centroids``) sharpened
@@ -375,16 +396,8 @@ def ivf_topk(
     broadcast (bounded at C·DIM longs, independent of corpus size).
     Output shape matches brute force: (query_id, neighbor_id, rank, dot)."""
     q = quantized(embeddings)
-    centroids = ivf_centroids(q, n_centroids)
-    # Checkpoint the C-row centroid table after EVERY sweep (not just the
-    # last): each ivf_assign embeds the centroid plan inside its broadcast
-    # argmax expression, so without the per-sweep cut sweep k's plan nests
-    # sweep k-1's whole aggregation — plan size (and optimizer time) grew
-    # geometrically with n_refine and dominated wall time at n_refine=2
-    # (bench: sim3 4.1s → ~2s). C rows, so the materialization is free at
-    # any corpus scale; this is the CC-loop lineage pattern.
-    for _ in range(n_refine):
-        centroids = ivf_refine(q, centroids).localCheckpoint(eager=True)
+    if centroids is None:
+        centroids = refined_centroids(q, n_centroids, n_refine)
     assigned = ivf_assign(q, centroids)
 
     # queries probe their nprobe nearest cells (Q·C rows — window is fine,
@@ -962,6 +975,7 @@ def semdedup(
     n_centroids: int = IVF_CENTROIDS,
     n_refine: int = 2,
     min_cos_pct: int = SEMDEDUP_COS_PCT,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """cur5: (vec_id, cell, kept, dup_of) — every corpus vector with its
     k-means cell, whether SemDeDup keeps it, and (when dropped) the
@@ -978,9 +992,8 @@ def semdedup(
     sqrt, no floats. The eviction collapse is a (loser → min winner)
     partial agg and a left join back to the assignment."""
     q = quantized(embeddings)
-    centroids = ivf_centroids(q, n_centroids)
-    for _ in range(n_refine):
-        centroids = ivf_refine(q, centroids).localCheckpoint(eager=True)
+    if centroids is None:
+        centroids = refined_centroids(q, n_centroids, n_refine)
     assigned = ivf_assign(q, centroids).select(
         "vec_id", "qv", "cell"
     ).localCheckpoint(eager=True)

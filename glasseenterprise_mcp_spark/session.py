@@ -44,6 +44,14 @@ ENGINE_CONFS: dict[str, str] = {
     # concurrent-task count or GC thrash serializes the Python stages
     # (measured: 8g heap made local[32] extraction 5x slower than 32g).
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    # One BLAS thread per Python worker: Spark already runs one task per
+    # core, so numpy/OpenBLAS spawning its own per-core pool inside every
+    # task oversubscribes cores x tasks threads — measured as 4-20s
+    # nondeterministic wall on the numpy-matmul operators (cur5) whose
+    # block sizes are far too small to profit from threaded BLAS anyway.
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
 }
 
 

@@ -2574,3 +2574,56 @@ def test_compact_parquet_row_identity(spark):
     assert before == 40 and after < 40
     assert len(glob.glob(f"{dst}/*.parquet")) == after
     assert freeze(spark.read.parquet(dst).collect()) == freeze(df.collect())
+
+
+def test_graph_driver_replicas_match_distributed(spark, monkeypatch):
+    """r7: every dim-scale driver-side replica must return EXACTLY the
+    distributed loop's rows (the int64 recurrences are replayable by
+    design). Force the distributed path via the module thresholds and
+    compare on a graph with cycles, danglers, multi-SCCs and weights."""
+    import pyspark.sql.functions as F
+
+    from glasseenterprise_mcp_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "a"),        # 3-cycle SCC
+            ("c", "d"), ("d", "e"), ("e", "d"),        # 2-cycle SCC
+            ("e", "f"),                                  # dangling f
+            ("g", "a"), ("h", "g"), ("b", "h"),
+            ("i", "j"),                                  # separate pair
+        ],
+        "subj string, obj string",
+    )
+    wedges = edges.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"),
+        (F.length("subj") + F.length("obj")).cast("long").alias("w"),
+    )
+    seeds = spark.createDataFrame([("a",), ("i",)], "id string")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    cases = [
+        ("pagerank", lambda: G.pagerank(edges)),
+        ("ppr", lambda: G.personalized_pagerank(edges)),
+        ("hits", lambda: G.hits(edges)),
+        ("lpa", lambda: G.label_propagation(edges, "subj", "obj")),
+        ("kcore", lambda: G.kcore(edges, k=2)),
+        ("harmonic", lambda: G.harmonic_centrality(edges)),
+        ("scc", lambda: G.strongly_connected_components(edges, "subj", "obj")),
+        ("sssp", lambda: G.shortest_paths(wedges, seeds)),
+        ("bfs", lambda: G.bfs_expand(edges, seeds, depth=3)),
+    ]
+    driver_results = {name: rows(fn()) for name, fn in cases}
+    monkeypatch.setattr(G, "GRAPH_DRIVER_EDGE_THRESHOLD", 0)
+    monkeypatch.setattr(G, "SCC_DRIVER_EDGE_THRESHOLD", 0)
+    dist_results = {
+        name: rows(fn()) for name, fn in cases if name not in ("bfs",)
+    }
+    # bfs threshold is a parameter, not a module constant
+    dist_results["bfs"] = rows(
+        G.bfs_expand(edges, seeds, depth=3, driver_threshold=0)
+    )
+    for name in driver_results:
+        assert driver_results[name] == dist_results[name], name
