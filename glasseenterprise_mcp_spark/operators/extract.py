@@ -199,31 +199,99 @@ class _ExtractState:
         self.memo_chars = 0
 
 
-def _extract_rows(
-    conv_ids: list, turn_idxs: list, text_list: list, st: _ExtractState
-) -> list[tuple]:
-    """The Tree-sitter-analogue hot loop, shared by both kernel flavors.
+def _scan_text(scan: str, st: _ExtractState) -> list[tuple]:
+    """Detector sweep over one (already char-capped) text. Returns the
+    TEXT-PURE mention tuples — schema fields 2..13: (mtype, surface, norm,
+    ord, span_start, span_end, path, first_in_turn, method, extra, kind,
+    node_id). Everything here is a pure function of the text; the
+    (conv_id, turn_idx, turn_id) stamps are attached by the callers.
 
-    Strategy:
-      * per-TEXT result memo: everything the detectors produce except
-        (conv_id, turn_idx, turn_id) is a pure function of the turn text, so
-        the full detector sweep runs once per DISTINCT text per task and
-        repeated texts — endemic in real corpora (the dedup family's whole
-        premise) — collapse to one dict lookup + tuple re-stamping;
-      * per-row literal prefilter per detector (C-speed ``in`` probe) so the
-        regex engine only runs on texts that can match;
+      * per-detector literal prefilter (C-speed ``in`` probe) so the regex
+        engine only runs on texts that can match;
       * surface→(norm, path) memo: normalization regexes run once per
         DISTINCT surface, not per occurrence;
-      * a per-row ``seen`` set for the first_in_turn flag (keyed on the NODE
-        key — kind + norm/path — so downstream mentions-in is unique by
-        construction across detector families). Detector iteration order per
-        row matches the unmemoized kernel, so flags/ordinals are
-        bit-identical.
+      * a per-text ``seen`` set for the first_in_turn flag (keyed on the
+        NODE key — kind + norm/path — so downstream mentions-in is unique
+        by construction across detector families).
     """
     from hashlib import md5 as _md5
 
-    norm_memo, id_memo, text_memo = st.norm_memo, st.id_memo, st.text_memo
-    compiled = _COMPILED
+    norm_memo, id_memo = st.norm_memo, st.id_memo
+    rest: list[tuple] = []
+    add = rest.append
+    row_seen: set = set()
+    for det, rx, hint in _COMPILED:
+        if hint is not None and hint not in scan:
+            continue
+        mtype = det.mtype
+        kind = _NODE_KIND.get(mtype, mtype)
+        sg, mg, xg = det.surface_g, det.method_g, det.extra_g
+        norm_fn = _NORM_PY[mtype]
+        path_fn = _PATH_PY.get(mtype)
+        for ord_, m in enumerate(rx.finditer(scan), start=1):
+            if ord_ > MAX_MATCHES_PER_KIND:
+                break
+            surface = m.group(sg)
+            memo_k = (mtype, surface)
+            np_ = norm_memo.get(memo_k)
+            if np_ is None:
+                np_ = (
+                    norm_fn(surface),
+                    path_fn(surface) if path_fn else None,
+                )
+                if len(norm_memo) < 1_000_000:
+                    norm_memo[memo_k] = np_
+            norm, path = np_
+            node_key = (kind, path if mtype == "url" else norm)
+            first = node_key not in row_seen
+            row_seen.add(node_key)
+            nid = id_memo.get(node_key)
+            if nid is None:
+                # raw 16-byte digest (ids are BINARY(16)
+                # engine-wide; see functions/ids.py)
+                nid = _md5(
+                    f"{node_key[0]}|{node_key[1]}".encode()
+                ).digest()
+                if len(id_memo) < 1_000_000:
+                    id_memo[node_key] = nid
+            ss, se = m.span(sg)
+            add(
+                (
+                    mtype,
+                    surface,
+                    norm,
+                    ord_,
+                    ss,
+                    se,
+                    path,
+                    first,
+                    m.group(mg) if mg else None,
+                    m.group(xg) if xg else None,
+                    kind,
+                    nid,
+                )
+            )
+    return rest
+
+
+def _extract_rows(
+    conv_ids: list, turn_idxs: list, text_list: list, st: _ExtractState
+) -> list[tuple]:
+    """The Tree-sitter-analogue hot loop, row-tuple flavor (unit-level
+    callers + the reference implementation the Arrow flavor is pinned
+    against).
+
+    Per-TEXT result memo: everything the detectors produce except
+    (conv_id, turn_idx, turn_id) is a pure function of the turn text
+    (``_scan_text``), so the full detector sweep runs once per DISTINCT
+    text per task and repeated texts — endemic in real corpora (the dedup
+    family's whole premise) — collapse to one dict lookup + tuple
+    re-stamping. Detector iteration order per row matches the unmemoized
+    kernel, so flags/ordinals are bit-identical.
+    """
+    from hashlib import md5 as _md5
+
+    text_memo = st.text_memo
     out_rows: list[tuple] = []
     emit = out_rows.append
 
@@ -234,60 +302,7 @@ def _extract_rows(
         if rest is None:
             # mega-turn cap (chars): truncate before scanning
             scan = text if len(text) <= MAX_TEXT_CHARS else text[:MAX_TEXT_CHARS]
-            rest = []
-            add = rest.append
-            row_seen: set = set()
-            for det, rx, hint in compiled:
-                if hint is not None and hint not in scan:
-                    continue
-                mtype = det.mtype
-                kind = _NODE_KIND.get(mtype, mtype)
-                sg, mg, xg = det.surface_g, det.method_g, det.extra_g
-                norm_fn = _NORM_PY[mtype]
-                path_fn = _PATH_PY.get(mtype)
-                for ord_, m in enumerate(rx.finditer(scan), start=1):
-                    if ord_ > MAX_MATCHES_PER_KIND:
-                        break
-                    surface = m.group(sg)
-                    memo_k = (mtype, surface)
-                    np_ = norm_memo.get(memo_k)
-                    if np_ is None:
-                        np_ = (
-                            norm_fn(surface),
-                            path_fn(surface) if path_fn else None,
-                        )
-                        if len(norm_memo) < 1_000_000:
-                            norm_memo[memo_k] = np_
-                    norm, path = np_
-                    node_key = (kind, path if mtype == "url" else norm)
-                    first = node_key not in row_seen
-                    row_seen.add(node_key)
-                    nid = id_memo.get(node_key)
-                    if nid is None:
-                        # raw 16-byte digest (ids are BINARY(16)
-                        # engine-wide; see functions/ids.py)
-                        nid = _md5(
-                            f"{node_key[0]}|{node_key[1]}".encode()
-                        ).digest()
-                        if len(id_memo) < 1_000_000:
-                            id_memo[node_key] = nid
-                    ss, se = m.span(sg)
-                    add(
-                        (
-                            mtype,
-                            surface,
-                            norm,
-                            ord_,
-                            ss,
-                            se,
-                            path,
-                            first,
-                            m.group(mg) if mg else None,
-                            m.group(xg) if xg else None,
-                            kind,
-                            nid,
-                        )
-                    )
+            rest = _scan_text(scan, st)
             if (
                 len(text_memo) < _TEXT_MEMO_MAX_ENTRIES
                 and st.memo_chars + len(text) <= _TEXT_MEMO_MAX_CHARS
@@ -333,28 +348,157 @@ def _arrow_out_schema():
 
 
 def _extract_arrow(batches):
-    """mapInArrow flavor: Arrow in, Arrow out — no pandas block manager on
-    either side of the boundary (guide §4: the conversion cost at the
-    Python boundary was ~half the kernel's profile; to_pylist + pa.array
-    are C-speed)."""
+    """mapInArrow flavor (the production path): Arrow in, Arrow out, and the
+    per-mention output assembly fully vectorized (guide §4.2 — hand whole
+    batches to native code).
+
+    The text memo stores each distinct text's mention block as rows of an
+    accumulating Arrow COLUMN store (12 text-pure columns, chunked), keyed
+    text → (global_start, length). A batch is then assembled with three
+    C-speed gathers instead of per-mention Python tuple work:
+
+      * block columns   = chunked.take(block_indices) where block_indices is
+        a numpy grouped-arange over each row's (start, length);
+      * conv_id/turn_idx = input_column.take(row_repeat) with
+        row_repeat = np.repeat(arange(n), lengths);
+      * turn_id          = one md5 per row WITH mentions (not per mention),
+        then the same row_repeat take.
+
+    Only DISTINCT texts run the regex sweep (``_scan_text``) and only their
+    blocks are ever touched by Python; repeated texts cost two dict lookups
+    and their share of the gathers. Memo bounds are the same constants as
+    the row kernel; texts over the bound still emit through a per-batch
+    TRANSIENT chunk that is dropped after the batch, so worker memory stays
+    bounded under adversarial all-distinct streams.
+
+    Row set is bit-identical to ``_extract_rows`` (pinned by
+    test_extract_arrow_matches_row_kernel): same scan, same detector order,
+    same per-text block order, rows emitted in input-row order.
+    """
+    import numpy as np
     import pyarrow as pa
+
+    from hashlib import md5 as _md5
 
     st = _ExtractState()
     schema = _arrow_out_schema()
-    types = schema.types
+    block_types = [schema.types[i] for i in range(2, 14)]
+    n_block_cols = 12
+
+    # column-major persistent store: chunks[j] = list of pa.Array for col j
+    chunks: list[list] = [[] for _ in range(n_block_cols)]
+    base = 0  # rows in the persistent store
+    offsets: dict = {}  # text -> (global_start, length)
+
     for rb in batches:
         names = rb.schema.names
-        conv_ids = rb.column(names.index("conv_id")).to_pylist()
-        turn_idxs = rb.column(names.index("turn_idx")).to_pylist()
+        conv_arr = rb.column(names.index("conv_id"))
+        turn_arr = rb.column(names.index("turn_idx"))
         text_list = rb.column(names.index("text")).to_pylist()
-        out_rows = _extract_rows(conv_ids, turn_idxs, text_list, st)
-        if out_rows:
-            arrays = [
-                pa.array(col, type=t) for col, t in zip(zip(*out_rows), types)
-            ]
+        conv_ids = conv_arr.to_pylist()
+        turn_idxs = turn_arr.to_pylist()
+        n = len(text_list)
+
+        starts = np.zeros(n, dtype=np.int64)
+        lengths = np.zeros(n, dtype=np.int64)
+        tids: list = [None] * n
+        new_cols: list[list] = [[] for _ in range(n_block_cols)]
+        new_len = 0
+        trans_cols: list[list] | None = None
+        trans_offsets: dict = {}
+        trans_len = 0
+
+        for i, text in enumerate(text_list):
+            if text is None:
+                continue
+            off = offsets.get(text)
+            if off is None:
+                off = trans_offsets.get(text)
+            if off is None:
+                scan = (
+                    text if len(text) <= MAX_TEXT_CHARS
+                    else text[:MAX_TEXT_CHARS]
+                )
+                rows = _scan_text(scan, st)
+                k = len(rows)
+                storable = (
+                    len(offsets) < _TEXT_MEMO_MAX_ENTRIES
+                    and st.memo_chars + len(text) <= _TEXT_MEMO_MAX_CHARS
+                )
+                if storable:
+                    off = (base + new_len, k)
+                    if k:
+                        for j, col in enumerate(zip(*rows)):
+                            new_cols[j].extend(col)
+                    offsets[text] = off
+                    st.memo_chars += len(text)
+                    new_len += k
+                else:
+                    # transient: valid this batch only (negative marker,
+                    # fixed up once the new-chunk length is known)
+                    if trans_cols is None:
+                        trans_cols = [[] for _ in range(n_block_cols)]
+                    off = (-(trans_len + 1), k)
+                    if k:
+                        for j, col in enumerate(zip(*rows)):
+                            trans_cols[j].extend(col)
+                    trans_offsets[text] = off
+                    trans_len += k
+            s, k = off
+            if k:
+                starts[i] = s
+                lengths[i] = k
+                tids[i] = _md5(
+                    f"turn|{conv_ids[i]}|{turn_idxs[i]}".encode()
+                ).digest()
+
+        new_arrs = (
+            [pa.array(new_cols[j], type=block_types[j]) for j in range(n_block_cols)]
+            if new_len
+            else None
+        )
+        total = int(lengths.sum())
+        if total == 0:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([], type=t) for t in schema.types], schema=schema
+            )
         else:
-            arrays = [pa.array([], type=t) for t in types]
-        yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+            # fix up transient markers now that the new-chunk size is known
+            neg = starts < 0
+            if neg.any():
+                starts[neg] = base + new_len + (-starts[neg] - 1)
+            row_rep = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            csum = np.cumsum(lengths)
+            block_idx = (
+                np.repeat(starts, lengths)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(csum - lengths, lengths)
+            )
+            idx = pa.array(block_idx)
+            rr = pa.array(row_rep)
+            out: list = [conv_arr.take(rr), turn_arr.take(rr)]
+            for j in range(n_block_cols):
+                arrs = list(chunks[j])
+                if new_arrs is not None:
+                    arrs.append(new_arrs[j])
+                if trans_len:
+                    arrs.append(pa.array(trans_cols[j], type=block_types[j]))
+                if not arrs:
+                    arrs = [pa.array([], type=block_types[j])]
+                ca = pa.chunked_array(arrs)
+                out.append(ca.take(idx).combine_chunks())
+            out.append(pa.array(tids, type=pa.binary()).take(rr))
+            out = [
+                a.cast(t) if a.type != t else a
+                for a, t in zip(out, schema.types)
+            ]
+            yield pa.RecordBatch.from_arrays(out, schema=schema)
+
+        # persist this batch's newly-memoized blocks (transient ones drop)
+        if new_arrs is not None:
+            for j in range(n_block_cols):
+                chunks[j].append(new_arrs[j])
+            base += new_len
 
 
 def extract_mentions(transcripts: DataFrame) -> DataFrame:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass, field
+from typing import Callable
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -53,14 +53,46 @@ def partition_metrics(df: DataFrame, stage: str, snapshot_version: str) -> DataF
     )
 
 
-@dataclass
 class PipelineResult:
-    snapshot_version: str
-    mentions: DataFrame
-    nodes: DataFrame
-    edges: DataFrame
-    components: DataFrame
-    metrics: list[DataFrame] = field(default_factory=list)
+    """Pipeline outputs. ``nodes`` and ``metrics`` are built LAZILY on first
+    attribute access: ``build_nodes_with_attrs`` ends in a ``localCheckpoint``
+    whose construction forces full Catalyst analysis/optimization/physical
+    planning (``queryExecution.toRdd`` runs even with ``eager=False``) —
+    measured at 6s (8 cores) to 17s (2 cores) of pure driver time per
+    ``run_pipeline`` call over the amplified bench corpus. A sink-less run
+    (both bench legs, the headline pipeline job) never reads nodes or
+    metrics, so it must not pay for planning them (guide §1.2/§5: don't
+    compute what you throw away — including plan-time work)."""
+
+    def __init__(
+        self,
+        snapshot_version: str,
+        mentions: DataFrame,
+        nodes: DataFrame | Callable[[], DataFrame],
+        edges: DataFrame,
+        components: DataFrame,
+        metrics: list[DataFrame] | Callable[[], list[DataFrame]],
+    ):
+        self.snapshot_version = snapshot_version
+        self.mentions = mentions
+        self.edges = edges
+        self.components = components
+        self._nodes = None if callable(nodes) else nodes
+        self._nodes_thunk = nodes if callable(nodes) else None
+        self._metrics = None if callable(metrics) else metrics
+        self._metrics_thunk = metrics if callable(metrics) else None
+
+    @property
+    def nodes(self) -> DataFrame:
+        if self._nodes is None:
+            self._nodes = self._nodes_thunk()
+        return self._nodes
+
+    @property
+    def metrics(self) -> list[DataFrame]:
+        if self._metrics is None:
+            self._metrics = self._metrics_thunk()
+        return self._metrics
 
 
 def _stage_checkpoint(
@@ -147,8 +179,13 @@ def run_pipeline(
     # single materialization everything downstream (CC, metrics, sink) reads
     # — no edge family is ever computed twice.
     # nodes carry merged attrs maps (A2 + §1.4) — the merge is over the node
-    # dim only, never the edge table
-    nodes = build_nodes_with_attrs(slim, mentions, snap)
+    # dim only, never the edge table. Built as a THUNK: the node build ends
+    # in a localCheckpoint whose construction alone forces full Catalyst
+    # planning (6-17s of driver time at bench scale), so it runs only when
+    # a consumer (sink write, res.nodes, res.metrics) actually asks.
+    def nodes_thunk() -> DataFrame:
+        return build_nodes_with_attrs(slim, mentions, snap)
+
     edges = _stage_checkpoint(
         spark,
         build_edges([e_mentions_in, e_replies, e_calls, e_refers], snap),
@@ -173,10 +210,43 @@ def run_pipeline(
     else:
         components = spark.createDataFrame([], "id binary, comp binary")
 
+    result = PipelineResult(
+        snap,
+        mentions,
+        nodes_thunk,
+        edges,
+        components,
+        # metrics thunk closes over the result so the node build is shared
+        # with (and memoized by) the ``nodes`` property
+        lambda: _build_metrics(spark, result, snap, timings),
+    )
+
+    if sink is not None:
+        write_graph(sink, result.nodes, edges)
+        metrics = result.metrics
+        m = metrics[0]
+        for x in metrics[1:]:
+            m = m.unionByName(x)
+        sink.upsert(
+            m,
+            "metrics",
+            keys=["snapshot_version", "stage", "partition_id"],
+            partition_by=["stage"],
+        )
+
+    return result
+
+
+def _build_metrics(
+    spark: SparkSession,
+    result: PipelineResult,
+    snap: str,
+    timings: dict[str, float],
+) -> list[DataFrame]:
     metrics = [
-        partition_metrics(mentions, "A_extract", snap),
-        partition_metrics(edges, "D_edges", snap),
-        partition_metrics(nodes, "D_nodes", snap),
+        partition_metrics(result.mentions, "A_extract", snap),
+        partition_metrics(result.edges, "D_edges", snap),
+        partition_metrics(result.nodes, "D_nodes", snap),
     ]
     if timings:
         metrics.append(
@@ -188,17 +258,4 @@ def run_pipeline(
                 "snapshot_version string, stage string, partition_id int, rows long, metric string",
             )
         )
-
-    if sink is not None:
-        write_graph(sink, nodes, edges)
-        m = metrics[0]
-        for x in metrics[1:]:
-            m = m.unionByName(x)
-        sink.upsert(
-            m,
-            "metrics",
-            keys=["snapshot_version", "stage", "partition_id"],
-            partition_by=["stage"],
-        )
-
-    return PipelineResult(snap, mentions, nodes, edges, components, metrics)
+    return metrics

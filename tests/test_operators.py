@@ -2627,3 +2627,82 @@ def test_graph_driver_replicas_match_distributed(spark, monkeypatch):
     )
     for name in driver_results:
         assert driver_results[name] == dist_results[name], name
+
+
+# --------------------------------------------------------------------------
+# Arrow block-gather extraction kernel == row-tuple reference kernel
+# --------------------------------------------------------------------------
+def test_extract_arrow_matches_row_kernel(monkeypatch):
+    """The production mapInArrow kernel assembles output batches with Arrow
+    take-gathers over memoized per-text column blocks; this pins its row
+    SEQUENCE bit-identical to the row-tuple reference kernel, across batch
+    boundaries and under every memo-cap regime (entries, chars, disabled)."""
+    import pyarrow as pa
+
+    import glasseenterprise_mcp_spark.operators.extract as X
+
+    texts = [
+        "hello @agent_1 call:tool_2(x) env:CFG_3 GET /api/r5 "
+        "http://svc-1.example.com/api/v1/r5?q=1",
+        None,
+        "",
+        "no mentions here",
+        # exact repeat (memo-hit path)
+        "hello @agent_1 call:tool_2(x) env:CFG_3 GET /api/r5 "
+        "http://svc-1.example.com/api/v1/r5?q=1",
+        'POST http://x.example.com/a re:#3 error:"E4 failed" tbl:orders.c1 '
+        "secure:/api/** derive:agent2<agent_1,hot @A @A @a",
+        "@dup @dup @DUP",  # first_in_turn flag within one text
+        "x" * 50 + " @tail",
+    ]
+    convs = [f"c{i % 3}" for i in range(len(texts))]
+    turns = list(range(len(texts)))
+
+    ref = [
+        tuple(r)
+        for r in X._extract_rows(convs, turns, texts, X._ExtractState())
+    ]
+    assert ref, "fixture must produce mentions"
+
+    def run_arrow(batch_rows, entries=None, chars=None):
+        if entries is not None:
+            monkeypatch.setattr(X, "_TEXT_MEMO_MAX_ENTRIES", entries)
+        if chars is not None:
+            monkeypatch.setattr(X, "_TEXT_MEMO_MAX_CHARS", chars)
+        try:
+            batches = [
+                pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(convs[s : s + batch_rows]),
+                        pa.array(turns[s : s + batch_rows], type=pa.int32()),
+                        pa.array(texts[s : s + batch_rows]),
+                    ],
+                    names=["conv_id", "turn_idx", "text"],
+                )
+                for s in range(0, len(texts), batch_rows)
+            ]
+            out = []
+            for rb in X._extract_arrow(iter(batches)):
+                out.extend(tuple(r.values()) for r in rb.to_pylist())
+            return out
+        finally:
+            monkeypatch.setattr(
+                X, "_TEXT_MEMO_MAX_ENTRIES", _ORIG_MEMO_ENTRIES
+            )
+            monkeypatch.setattr(X, "_TEXT_MEMO_MAX_CHARS", _ORIG_MEMO_CHARS)
+
+    import glasseenterprise_mcp_spark.operators.extract as _X
+
+    global _ORIG_MEMO_ENTRIES, _ORIG_MEMO_CHARS
+    _ORIG_MEMO_ENTRIES = _X._TEXT_MEMO_MAX_ENTRIES
+    _ORIG_MEMO_CHARS = _X._TEXT_MEMO_MAX_CHARS
+
+    for label, got in [
+        ("batch1", run_arrow(1)),
+        ("batch3", run_arrow(3)),
+        ("one_batch", run_arrow(100)),
+        ("entry_cap", run_arrow(3, entries=2)),
+        ("char_cap", run_arrow(3, chars=10)),
+        ("memo_off", run_arrow(2, entries=0, chars=0)),
+    ]:
+        assert got == ref, label
