@@ -367,23 +367,98 @@ def ivf_refine(q: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def refined_centroids(
-    q: DataFrame, n_centroids: int = IVF_CENTROIDS, n_refine: int = 2
+    q: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    n_refine: int = 2,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """The shared sim3/cur5 centroid chain: deterministic seeds sharpened
-    by ``n_refine`` Lloyd sweeps. Checkpoint the C-row centroid table after
-    EVERY sweep (not just the last): each ivf_assign embeds the centroid
-    plan inside its broadcast argmax expression, so without the per-sweep
-    cut sweep k's plan nests sweep k-1's whole aggregation — plan size
-    (and optimizer time) grew geometrically with n_refine (bench: sim3
-    4.1s → ~2s). C rows, so the materialization is free at any corpus
-    scale; this is the CC-loop lineage pattern. Factored out so the two
-    IVF consumers (ivf_topk, semdedup) can share ONE refined table per
-    session instead of each re-running the sweeps (~3s/sweep of
-    interpreted higher-order aggregation at dim scale)."""
+    by ``n_refine`` Lloyd sweeps.
+
+    Two physical strategies behind one contract (the CC / refers /
+    graph-loop small-input pattern):
+
+    * corpus ≤ ``driver_threshold`` vectors (ONE bounded probe job,
+      collect at most threshold+1 rows) → the whole chain replays on the
+      driver in numpy (``_refined_centroids_driver``): the distributed
+      chain is ~2 jobs + one 64-sum-column codegen compile PER SWEEP of
+      pure latency at dim scale (measured: sweep1 3.8s, sweep2 1.6s at
+      sf0.1 — the whole of cur5/sim3's first-run dominance), while the
+      arithmetic itself is integer-exact and replayable bit-for-bit.
+      Driver memory is bounded by contract (threshold·DIM longs ≤ ~50MB).
+      Any NULL qv routes to the distributed path (its null-group
+      semantics are the contract there).
+    * larger corpora → the distributed loop below, UNCHANGED (the 100TB
+      path): checkpoint the C-row centroid table after EVERY sweep — each
+      ivf_assign embeds the centroid plan inside its argmax, so without
+      the per-sweep cut sweep k's plan nests sweep k-1's whole
+      aggregation and plan size grew geometrically with n_refine.
+
+    Both paths are pinned row-identical by
+    test_refined_centroids_driver_matches_distributed. Factored out so
+    the two IVF consumers (ivf_topk, semdedup) share ONE refined table
+    per session instead of each re-running the sweeps."""
+    if driver_threshold > 0:
+        probe = q.select("vec_id", "qv").limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold and all(
+            r[1] is not None for r in probe
+        ):
+            return _refined_centroids_driver(
+                q.sparkSession, probe, n_centroids, n_refine
+            )
+
     centroids = ivf_centroids(q, n_centroids)
     for _ in range(n_refine):
         centroids = ivf_refine(q, centroids).localCheckpoint(eager=True)
     return centroids
+
+
+def _refined_centroids_driver(
+    spark, rows: list, n_centroids: int, n_refine: int
+) -> DataFrame:
+    """Driver-side numpy replica of the seed + Lloyd-sweep chain — exactly
+    the distributed semantics:
+
+    * seeds: the ``n_centroids`` lowest (md5(str(vec_id)) hex, vec_id) —
+      hashlib md5 over the utf8 decimal string == Spark's
+      md5(cast(cast(vec_id as string) as binary)), and hex ordering is
+      lexicographic in both;
+    * per sweep, assignment = integer-dot argmax with the FIRST maximum
+      over cid-ASC centroids (np.argmax == the strict-``>`` fold / the
+      oracle's (dot DESC, cid ASC) window), update = per-cell
+      ``floor(sum/n)`` per dimension (Python/numpy floor division ==
+      Spark's FLOOR(sum/count) for negative sums too), member-less cells
+      drop out;
+    * output rows sorted by cid (the checkpointed table's order is not
+      part of the contract — every consumer re-sorts or aggregates)."""
+    from hashlib import md5 as _md5
+
+    import numpy as np
+
+    if not rows:
+        return spark.createDataFrame([], "cid long, c_qv array<bigint>")
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    x = np.array([r[1] for r in rows], dtype=np.int64)
+    seed_order = sorted(
+        range(len(ids)),
+        key=lambda i: (_md5(str(int(ids[i])).encode()).hexdigest(), ids[i]),
+    )[:n_centroids]
+    cids = ids[seed_order]
+    cmat = x[seed_order]
+    for _ in range(n_refine):
+        order = np.argsort(cids, kind="stable")
+        cids, cmat = cids[order], cmat[order]
+        cell = cids[np.argmax(x @ cmat.T, axis=1)]
+        new_cids = np.unique(cell)
+        new_cmat = np.empty((len(new_cids), x.shape[1]), dtype=np.int64)
+        for k, c in enumerate(new_cids):
+            members = x[cell == c]
+            new_cmat[k] = members.sum(axis=0) // len(members)
+        cids, cmat = new_cids, new_cmat
+    return spark.createDataFrame(
+        [(int(c), [int(v) for v in vec]) for c, vec in zip(cids, cmat)],
+        "cid long, c_qv array<bigint>",
+    )
 
 
 def ivf_topk(

@@ -160,13 +160,24 @@ def run_pipeline(
     # cache) was measured and REJECTED: the second input-boundary crossing
     # (6M fat texts through Arrow again) costs as much as the cache build
     # it saves (146s vs 125s per local[2] leg).
+    # ``surface`` (the widest string column at corpus scale) is read ONLY by
+    # the node build: with a sink it is cached like the rest; without one,
+    # nodes are a lazy thunk that usually nobody reads, so the cache skips
+    # surface's encode cost and the thunk re-derives a full-width extraction
+    # if a sink-less caller does ask for nodes (tests on dim corpora).
     pipeline_cols = [
         "conv_id", "turn_idx", "mtype", "surface", "norm", "path",
         "first_in_turn", "method", "kind", "node_id", "turn_id",
     ]
-    mentions = _stage_checkpoint(
+    cached_cols = (
+        pipeline_cols
+        if sink is not None
+        else [c for c in pipeline_cols if c != "surface"]
+    )
+    mentions_full = _stage_checkpoint(
         spark, extract_mentions(transcripts), stage_dir, "A_mentions", timings
-    ).select(*pipeline_cols).cache()
+    )
+    mentions = mentions_full.select(*cached_cols).cache()
     e_mentions_in = mentions_in_edges(mentions).drop("subj_kind")
     e_replies = replies_to_edges(slim, mentions)
     e_calls = calls_tool_edges(slim, mentions)
@@ -184,7 +195,15 @@ def run_pipeline(
     # planning (6-17s of driver time at bench scale), so it runs only when
     # a consumer (sink write, res.nodes, res.metrics) actually asks.
     def nodes_thunk() -> DataFrame:
-        return build_nodes_with_attrs(slim, mentions, snap)
+        if "surface" in mentions.columns:
+            return build_nodes_with_attrs(slim, mentions, snap)
+        # sink-less run with a pruned cache: the node build needs surface,
+        # so re-derive a full-width mention frame (reuses the stage
+        # checkpoint when one exists; otherwise re-extracts — only paid
+        # when a sink-less caller explicitly reads nodes/metrics)
+        return build_nodes_with_attrs(
+            slim, mentions_full.select(*pipeline_cols), snap
+        )
 
     edges = _stage_checkpoint(
         spark,

@@ -2706,3 +2706,34 @@ def test_extract_arrow_matches_row_kernel(monkeypatch):
         ("memo_off", run_arrow(2, entries=0, chars=0)),
     ]:
         assert got == ref, label
+
+
+def test_refined_centroids_driver_matches_distributed(spark):
+    """The driver-side numpy replica of the seed+Lloyd centroid chain must
+    produce EXACTLY the distributed loop's rows (same seeds via the md5
+    rank, same argmax tie rule, same floor-div update incl. negative sums,
+    same member-less-cell dropout) — forced onto both paths via the
+    threshold."""
+    import pyspark.sql.functions as F
+
+    from glasseenterprise_mcp_spark.operators.similarity import (
+        DIM,
+        refined_centroids,
+    )
+
+    # crafted corpus incl. negative coordinates (floor-div sign case) and
+    # enough vectors that several sweeps actually move the centroids
+    q = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).alias("label"),
+        F.expr(
+            f"transform(sequence(1,{DIM}),"
+            " i -> CAST((id*31 + i*7) % 1000 - 500 AS BIGINT))"
+        ).alias("qv"),
+    )
+    for n_refine in (0, 1, 2, 3):
+        drv = refined_centroids(q, n_refine=n_refine, driver_threshold=100_000)
+        dist = refined_centroids(q, n_refine=n_refine, driver_threshold=0)
+        rows_d = sorted((r[0], tuple(r[1])) for r in drv.collect())
+        rows_x = sorted((r[0], tuple(r[1])) for r in dist.collect())
+        assert rows_d == rows_x, f"n_refine={n_refine}"
