@@ -913,30 +913,148 @@ def pq_topk(
     queries = q.filter(query_filter).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
     )
-    qltab = queries.crossJoin(F.broadcast(cball)).select(
-        "query_id",
-        F.expr(
-            f"""transform(sequence(0, {m_sub - 1}), m ->
-              transform(element_at(cball, m + 1), c ->
-                aggregate(zip_with(slice(q_qv, m * {d} + 1, {d}), c.cv,
-                          (x, y) -> x * y),
-                          CAST(0 AS BIGINT), (acc, v) -> acc + v)))"""
-        ).alias("ltab"),
+    # ONE bounded job probes AND (under the budget) fetches the query set —
+    # the fits-probe and the relational ADC-table build used to be separate
+    # jobs whose plan-time latency dominated sim4 at dim scale.
+    qprobe = (
+        queries.limit(broadcast_limit + 1).collect()
+        if broadcast_limit > 0
+        else None
     )
-    q_fits = _fits_broadcast(queries, broadcast_limit)
-    scored = (
-        codes.crossJoin(F.broadcast(qltab) if q_fits else qltab)
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.expr(
-                f"aggregate(sequence(0, {m_sub - 1}), CAST(0 AS BIGINT),"
-                f" (acc, m) -> acc + element_at(element_at(ltab, m + 1),"
-                f" element_at(codes, m + 1)))"
-            ).alias("adc"),
+    q_fits = qprobe is not None and len(qprobe) <= broadcast_limit
+    if q_fits:
+        # Budget-bounded vectorized scoring (guide §4.2): the per-query ADC
+        # lookup tables are computed in numpy from the collected queries ×
+        # the (checkpointed, C·M-row) codebook — identical int64 arithmetic
+        # to the relational transform/aggregate build below (entries in
+        # cid-ASC order) over exactly the bytes the broadcast fast path
+        # shipped anyway. Each corpus batch then scores ALL queries with M
+        # numpy gathers + adds instead of one interpreted fold per
+        # (vector, query) pair — the operator's hot path (N·Q pairs; 231s
+        # at the sf10 probe). The -1 codes a NULL qv encodes index from
+        # the END of each table row (Spark's element_at negative-index
+        # rule); self-pairs are masked out. Row equality across the two
+        # physical paths is pinned by
+        # test_ann_query_side_shuffles_above_budget.
+        import numpy as np
+
+        cb_rows: dict = {}
+        for r in cb.select("m", "cid", "cv").collect():
+            cb_rows.setdefault(r[0], []).append((r[1], r[2]))
+        mats = [
+            np.array(
+                [cv for _, cv in sorted(cb_rows.get(m, []), key=lambda e: e[0])],
+                dtype=np.int64,
+            ).reshape(len(cb_rows.get(m, [])), d)
+            for m in range(m_sub)
+        ]
+        qids = np.array([r[0] for r in qprobe], dtype=np.int64)
+        if len(qprobe):
+            qv_mat = np.array([r[1] for r in qprobe], dtype=np.int64)
+            # ltabs[q, m, c] = dot(q_qv[m*d:(m+1)*d], codebook[m][c])
+            ltabs = np.stack(
+                [
+                    qv_mat[:, m * d : (m + 1) * d] @ mats[m].T
+                    for m in range(m_sub)
+                ],
+                axis=1,
+            )
+        else:
+            ltabs = np.zeros((0, m_sub, n_centroids), dtype=np.int64)
+        c_per_sub = ltabs.shape[2] if len(qprobe) else 0
+
+        min64 = np.iinfo(np.int64).min
+
+        def _score(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            empty = pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "adc": pd.Series(dtype="int64"),
+                }
+            )
+            if len(qids) == 0:
+                yield empty
+                return
+            for pdf in pdfs:
+                n = len(pdf)
+                if n == 0:
+                    yield empty
+                    continue
+                codes_m = np.stack(
+                    [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+                )
+                # 1-based codes → 0-based; negative codes index from the
+                # end (element_at(arr, -1) = last)
+                idx = np.where(
+                    codes_m > 0, codes_m - 1, c_per_sub + codes_m
+                )
+                vec = pdf["vec_id"].to_numpy(dtype=np.int64)
+                outs = []
+                # query blocks bound the n×Q score matrix's memory; per
+                # block, MAP-SIDE PARTIAL TOP-K: emit only rows with
+                # adc >= the block's per-query shortlist-th largest VALID
+                # score — a boundary-tie-inclusive superset of this
+                # batch's top-``shortlist`` under the (adc DESC,
+                # neighbor_id ASC) order, so the downstream global window
+                # selects exactly the same rows it would from all N·Q
+                # pairs, while the Python→JVM transfer shrinks from N·Q
+                # rows to ~Q·shortlist per batch (the 464s-vs-231s lesson:
+                # vectorized arithmetic lost to pair-sized Arrow traffic).
+                for qlo in range(0, len(qids), 1024):
+                    qb = qids[qlo : qlo + 1024]
+                    adc = np.zeros((n, len(qb)), dtype=np.int64)
+                    for m in range(m_sub):
+                        adc += ltabs[qlo : qlo + 1024, m, idx[:, m]].T
+                    valid = vec[:, None] != qb[None, :]
+                    if n > shortlist:
+                        sel = np.where(valid, adc, min64)
+                        thr = np.partition(sel, n - shortlist, axis=0)[
+                            n - shortlist
+                        ]
+                        keep = valid & (adc >= thr[None, :])
+                    else:
+                        keep = valid
+                    rows, cols = np.nonzero(keep)
+                    if len(rows):
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "query_id": qb[cols],
+                                    "neighbor_id": vec[rows],
+                                    "adc": adc[rows, cols],
+                                }
+                            )
+                        )
+                yield pd.concat(outs, ignore_index=True) if outs else empty
+
+        scored = codes.mapInPandas(
+            _score, "query_id long, neighbor_id long, adc long"
         )
-    )
+    else:
+        qltab = queries.crossJoin(F.broadcast(cball)).select(
+            "query_id",
+            F.expr(
+                f"""transform(sequence(0, {m_sub - 1}), m ->
+                  transform(element_at(cball, m + 1), c ->
+                    aggregate(zip_with(slice(q_qv, m * {d} + 1, {d}), c.cv,
+                              (x, y) -> x * y),
+                              CAST(0 AS BIGINT), (acc, v) -> acc + v)))"""
+            ).alias("ltab"),
+        )
+        scored = (
+            codes.crossJoin(qltab)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.expr(
+                    f"aggregate(sequence(0, {m_sub - 1}), CAST(0 AS BIGINT),"
+                    f" (acc, m) -> acc + element_at(element_at(ltab, m + 1),"
+                    f" element_at(codes, m + 1)))"
+                ).alias("adc"),
+            )
+        )
     wa = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     short = (
         scored.withColumn("arank", F.row_number().over(wa))
